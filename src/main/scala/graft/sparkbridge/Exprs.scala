@@ -1,0 +1,14 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 bridge between public `Column` and Catalyst `Expression`.
+  * `Column` no longer exposes `.expr` publicly in Spark 4's split API and
+  * `ExpressionUtils` is `private[sql]`, so this object lives under the
+  * `org.apache.spark.sql` namespace to reach it. */
+object Exprs {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
