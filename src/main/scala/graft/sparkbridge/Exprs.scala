@@ -11,4 +11,9 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Exprs {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Structural type equality ignoring nullability at every level. */
+  def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
+                                b: org.apache.spark.sql.types.DataType): Boolean =
+    org.apache.spark.sql.types.DataType.equalsIgnoreNullability(a, b)
 }

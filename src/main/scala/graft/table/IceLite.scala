@@ -1,0 +1,215 @@
+package graft.table
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{DataType, StructType}
+import com.fasterxml.jackson.databind.ObjectMapper
+import com.fasterxml.jackson.module.scala.DefaultScalaModule
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+/**
+ * "IceLite" — a minimal Iceberg-style table format: immutable Parquet data
+ * files + JSON snapshot manifests with file-level key statistics, atomic
+ * snapshot commits, an idempotent-epoch ledger for exactly-once sinks, and
+ * persisted schema-registry state.
+ *
+ * Design goals (BASELINE.json north_rule):
+ *  - all operations are O(changed data), never O(table): readers plan from
+ *    the manifest; MERGE rewrites only files whose key range intersects the
+ *    changed keys (copy-on-write);
+ *  - rows are hash-bucketed by key with the same Kafka-murmur2 placement the
+ *    reference uses for topic partitions (`smt/Outbox.java:225`), so a change
+ *    batch prunes to its buckets;
+ *  - commits are atomic (temp file + atomic rename of `meta/v{N}.json`);
+ *    a re-delivered foreachBatch epoch is a no-op via `committedEpochs`
+ *    (exactly-once on top of Spark's at-least-once);
+ *  - additive schema evolution: the snapshot schema may gain columns; old
+ *    files read as null for new columns.
+ *
+ * Single-writer is assumed (one streaming query owns the table), as in any
+ * single Kafka Connect sink task in the reference deployment.
+ */
+final case class DataFileMeta(
+    path: String,
+    bucket: Int,
+    rows: Long,
+    minKey: String,
+    maxKey: String,
+    tombstones: Long = 0L)
+
+final case class CommitStats(
+    epochKey: String,
+    inserted: Long,
+    updated: Long,
+    deleted: Long,
+    carried: Long,
+    stale: Long,
+    rewrittenFiles: Int,
+    touchedBuckets: Int)
+
+final case class Snapshot(
+    version: Long,
+    schemaJson: String,
+    keyColumn: String,
+    numBuckets: Int,
+    files: List[DataFileMeta],
+    committedEpochs: List[String],
+    registryJson: String,
+    lineage: Map[String, Long],
+    parentVersion: Long,
+    stats: Option[CommitStats]) {
+  def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+}
+
+object IceLite {
+  private[table] val mapper: ObjectMapper = {
+    val m = new ObjectMapper()
+    m.registerModule(DefaultScalaModule)
+    m
+  }
+
+  def create(spark: SparkSession, root: String, schema: StructType, keyColumn: String,
+             numBuckets: Int = 16): IceLiteTable = {
+    val rootP = Paths.get(root)
+    Files.createDirectories(rootP.resolve("data"))
+    Files.createDirectories(rootP.resolve("meta"))
+    require(schema.fieldNames.contains(keyColumn), s"key column $keyColumn missing from schema")
+    val snap = Snapshot(0L, schema.json, keyColumn, numBuckets, Nil, Nil, "", Map.empty, -1L, None)
+    writeSnapshot(rootP, snap)
+    new IceLiteTable(spark, root)
+  }
+
+  def load(spark: SparkSession, root: String): IceLiteTable = new IceLiteTable(spark, root)
+
+  def exists(root: String): Boolean =
+    Files.isDirectory(Paths.get(root, "meta")) && currentVersion(Paths.get(root)).isDefined
+
+  private[table] def currentVersion(root: Path): Option[Long] = {
+    val meta = root.resolve("meta")
+    if (!Files.isDirectory(meta)) return None
+    val versions = Files.list(meta).iterator().asScala
+      .map(_.getFileName.toString)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") => s.stripPrefix("v").stripSuffix(".json").toLong }
+      .toSeq
+    if (versions.isEmpty) None else Some(versions.max)
+  }
+
+  // Snapshot serde is hand-rolled on the Jackson tree API: Scala generics
+  // erase, so data-binding would deserialize Long fields inside collections
+  // as Integer and blow up at use sites.
+  private[table] def readSnapshot(root: Path, version: Long): Snapshot = {
+    val n = mapper.readTree(Files.readAllBytes(root.resolve("meta").resolve(s"v$version.json")))
+    val files = n.path("files").elements().asScala.map { f =>
+      DataFileMeta(f.path("path").asText(), f.path("bucket").asInt(), f.path("rows").asLong(),
+        f.path("minKey").asText(), f.path("maxKey").asText(), f.path("tombstones").asLong())
+    }.toList
+    val epochs = n.path("committedEpochs").elements().asScala.map(_.asText()).toList
+    val lineage = n.path("lineage").fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    val stats = Option(n.get("stats")).filter(!_.isNull).map { s =>
+      CommitStats(s.path("epochKey").asText(), s.path("inserted").asLong(), s.path("updated").asLong(),
+        s.path("deleted").asLong(), s.path("carried").asLong(), s.path("stale").asLong(),
+        s.path("rewrittenFiles").asInt(), s.path("touchedBuckets").asInt())
+    }
+    Snapshot(n.path("version").asLong(), n.path("schemaJson").asText(), n.path("keyColumn").asText(),
+      n.path("numBuckets").asInt(), files, epochs, n.path("registryJson").asText(),
+      lineage, n.path("parentVersion").asLong(), stats)
+  }
+
+  /** Atomic commit: write to temp, atomically move into place. A concurrent
+    * duplicate version fails the move (crash-safe; single writer assumed). */
+  private[table] def writeSnapshot(root: Path, snap: Snapshot): Unit = {
+    val meta = root.resolve("meta")
+    val tmp = Files.createTempFile(meta, s".v${snap.version}", ".tmp")
+    Files.write(tmp, mapper.writeValueAsBytes(snap))
+    Files.move(tmp, meta.resolve(s"v${snap.version}.json"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+/** Handle to an IceLite table; all reads plan from the current snapshot. */
+final class IceLiteTable(val spark: SparkSession, val root: String) {
+  private val rootP = Paths.get(root)
+
+  def snapshot: Snapshot = {
+    val v = IceLite.currentVersion(rootP)
+      .getOrElse(throw new IllegalStateException(s"No IceLite table at $root"))
+    IceLite.readSnapshot(rootP, v)
+  }
+
+  def snapshotAt(version: Long): Snapshot = IceLite.readSnapshot(rootP, version)
+
+  /** Read the full table as of the current snapshot (tombstones filtered,
+    * internal columns hidden). */
+  def read(): DataFrame = readSnap(snapshot)
+
+  /** Read as of an older snapshot (time travel). */
+  def readVersion(version: Long): DataFrame = readSnap(snapshotAt(version))
+
+  /** Read including tombstone rows and internal __lsn/__deleted columns. */
+  def readInternal(): DataFrame = {
+    val s = snapshot
+    readFiles(s.copy(schemaJson = graft.merge.MergeInto.dataSchemaOf(s.schema).json), s.files)
+  }
+
+  private def readSnap(s: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
+    readFiles(s.copy(schemaJson = graft.merge.MergeInto.dataSchemaOf(s.schema).json), s.files)
+      .filter(!coalesce(col(graft.merge.MergeInto.DELETED), lit(false)))
+      .select(s.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  private[graft] def readFiles(snap: Snapshot, files: Seq[DataFileMeta]): DataFrame = {
+    if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
+    else spark.read.schema(snap.schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+  }
+
+  def isEpochCommitted(epochKey: String): Boolean =
+    snapshot.committedEpochs.contains(epochKey)
+
+  /** MERGE a change batch into the table. See [[graft.merge.MergeInto]]. */
+  def merge(changes: DataFrame, epochKey: String): CommitStats =
+    graft.merge.MergeInto.run(this, changes, epochKey)
+
+  private[graft] def commit(newSnap: Snapshot): Unit = IceLite.writeSnapshot(rootP, newSnap)
+
+  /** Physically drop tombstone rows older than `lsnWatermark` (the stream's
+    * low-water mark: no change below it can still arrive). Rewrites only
+    * files that contain tombstones — O(tombstoned files). */
+  def compactTombstones(lsnWatermark: Long): Int = {
+    import org.apache.spark.sql.functions._
+    import graft.merge.MergeInto.{DELETED, LSN}
+    val snap = snapshot
+    val affected = snap.files.filter(_.tombstones > 0)
+    if (affected.isEmpty) return 0
+    val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema)
+    val df = readFiles(snap.copy(schemaJson = dataSchema.json), affected)
+      .filter(!(coalesce(col(DELETED), lit(false)) && col(LSN) < lsnWatermark))
+    val stats = graft.merge.MergeInto.writeDataFiles(this, snap, df, snap.version + 1)
+    commit(snap.copy(
+      version = snap.version + 1,
+      files = snap.files.filterNot(f => affected.exists(_.path == f.path)) ++ stats,
+      parentVersion = snap.version))
+    affected.size
+  }
+
+  /** Delete data files not referenced by the last `keepSnapshots` snapshots
+    * (orphans from failed commits, and files rewritten away by COW merges). */
+  def vacuum(keepSnapshots: Int = 1): Int = {
+    val current = IceLite.currentVersion(rootP).getOrElse(return 0)
+    val keepFrom = math.max(0, current - keepSnapshots + 1)
+    val referenced = (keepFrom to current)
+      .flatMap(v => IceLite.readSnapshot(rootP, v).files.map(_.path)).toSet
+    val dataDir = rootP.resolve("data")
+    if (!Files.isDirectory(dataDir)) return 0
+    var removed = 0
+    Files.walk(dataDir).iterator().asScala
+      .filter(p => Files.isRegularFile(p))
+      .foreach { p =>
+        val rel = rootP.relativize(p).toString
+        if (!referenced.contains(rel) && rel.endsWith(".parquet")) {
+          Files.delete(p); removed += 1
+        }
+      }
+    removed
+  }
+}

@@ -1,0 +1,167 @@
+package graft.merge
+
+import graft.SparkTestBase
+import graft.stream.{ChangeGen, GenConfig, Pipeline}
+import graft.table.IceLite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Replay correctness: the BASELINE.json gate — a deterministic change log
+ * replayed through the MERGE sink must equal a plain-Scala last-write-wins
+ * fold, with per-row token-array equality; re-delivered epochs are no-ops
+ * (exactly-once); schema evolution is additive.
+ */
+class ReplaySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private def collectOracle(cfg: GenConfig): Map[String, (Seq[Int], Int, String)] = {
+    val evs = ChangeGen.events(spark, cfg)
+      .select("doc_id", "op", "lsn", "after.tokens", "after.n_tok", "after.source")
+      .collect()
+      .map { r =>
+        val payload =
+          if (r.isNullAt(3)) None
+          else Some((r.getSeq[Int](3), r.getInt(4), r.getString(5)))
+        (r.getString(0), r.getString(1), r.getLong(2), payload)
+      }.toSeq
+    ChangeGen.oracleFold(evs)
+  }
+
+  private def tableState(table: graft.table.IceLiteTable): Map[String, (Seq[Int], Int, String)] =
+    table.read().select("doc_id", "tokens", "n_tok", "source").collect()
+      .map(r => r.getString(0) -> ((r.getSeq[Int](1), r.getInt(2), r.getString(3)))).toMap
+
+  test("multi-epoch replay matches the oracle fold with token-array equality") {
+    val cfg = GenConfig(numDocs = 300, numEvents = 5000, seed = 7, withMetadata = false)
+    val root = SparkTestBase.tempDir("icelite-replay")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 8)
+
+    val events = ChangeGen.events(spark, cfg)
+    Pipeline.replayBatch(spark, events, table, "t1", epochs = 5, lsnMax = cfg.numEvents)
+
+    val expected = collectOracle(cfg)
+    val actual = tableState(table)
+    assert(actual.keySet == expected.keySet)
+    // per-row token-array equality (input_hint invariant)
+    expected.foreach { case (k, (toks, n, src)) =>
+      val (aToks, aN, aSrc) = actual(k)
+      assert(aToks == toks, s"token mismatch for $k")
+      assert(aN == n && aSrc == src)
+      assert(aToks.size == aN) // n_tok = size(tokens) invariant
+    }
+  }
+
+  test("re-delivered epoch is a no-op (exactly-once)") {
+    val cfg = GenConfig(numDocs = 50, numEvents = 500, seed = 11, withMetadata = false)
+    val root = SparkTestBase.tempDir("icelite-eo")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val events = ChangeGen.events(spark, cfg)
+    val batch = events.select(col("doc_id"), col("op"), col("lsn"), col("after"))
+
+    val s1 = table.merge(batch, "s/0")
+    val v1 = table.snapshot.version
+    val state1 = tableState(table)
+    val s2 = table.merge(batch, "s/0") // re-delivery
+    assert(s2.inserted == 0 && s2.updated == 0 && s2.deleted == 0)
+    assert(table.snapshot.version == v1)
+    assert(tableState(table) == state1)
+    assert(s1.inserted > 0)
+  }
+
+  test("copy-on-write touches only affected buckets/files") {
+    val cfg = GenConfig(numDocs = 200, numEvents = 2000, seed = 3, withMetadata = false)
+    val root = SparkTestBase.tempDir("icelite-cow")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 8)
+    table.merge(ChangeGen.events(spark, cfg), "s/0")
+    val before = table.snapshot.files.map(f => f.path -> f).toMap
+
+    // a single-key update must rewrite only that key's bucket
+    val oneKey = ChangeGen.events(spark, cfg).filter(col("op") =!= "d").limit(1)
+    val stats = table.merge(oneKey, "s/1")
+    assert(stats.touchedBuckets == 1)
+    val after = table.snapshot.files
+    val unchanged = after.filter(f => before.contains(f.path))
+    // all files from untouched buckets survive commit untouched
+    assert(unchanged.size == before.size - stats.rewrittenFiles)
+  }
+
+  test("additive schema evolution: new column appears, old rows read null") {
+    val root = SparkTestBase.tempDir("icelite-evolve")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val cfg = GenConfig(numDocs = 40, numEvents = 300, seed = 5, withMetadata = false)
+    table.merge(ChangeGen.events(spark, cfg), "s/0")
+
+    // evolve: payload gains a `lang` column
+    val evolved = ChangeGen.events(spark, cfg.copy(startLsn = 300, numEvents = 100, seed = 5))
+      .filter(col("op") =!= "d")
+      .withColumn("after", struct(
+        col("after.doc_id"), col("after.tokens"), col("after.n_tok"), col("after.source"),
+        lit("en").as("lang")))
+    table.merge(evolved, "s/1")
+
+    val df = table.read()
+    assert(df.schema.fieldNames.contains("lang"))
+    val updatedKeys = evolved.select("doc_id").distinct().collect().map(_.getString(0)).toSet
+    val rows = df.select("doc_id", "lang").collect()
+    rows.foreach { r =>
+      if (updatedKeys.contains(r.getString(0))) assert(r.getString(1) == "en")
+      else assert(r.isNullAt(1), s"old row ${r.getString(0)} should read null for evolved column")
+    }
+    // incompatible type change refuses
+    intercept[Exception] {
+      MergeInto.evolveSchema(table.snapshot.schema,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("n_tok", org.apache.spark.sql.types.StringType))))
+    }
+  }
+
+  test("out-of-order replayed batch is stale-guarded by the per-row lsn") {
+    val cfg = GenConfig(numDocs = 60, numEvents = 800, seed = 17, withMetadata = false)
+    val root = SparkTestBase.tempDir("icelite-stale")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    table.merge(ChangeGen.events(spark, cfg), "s/0")
+    val state1 = tableState(table)
+    // replay an old prefix out of order under a NEW epoch key: stale rows
+    // are guarded; equal-lsn re-applies are idempotent; deleted keys are
+    // not resurrected (tombstones carry the delete's lsn)
+    val stats = table.merge(ChangeGen.events(spark, cfg.copy(numEvents = 100)), "s/1")
+    assert(stats.stale > 0)
+    assert(tableState(table) == state1)
+  }
+
+  test("tombstone compaction drops old tombstones, keeps live rows") {
+    val cfg = GenConfig(numDocs = 60, numEvents = 600, seed = 19, deleteRatio = 0.3, withMetadata = false)
+    val root = SparkTestBase.tempDir("icelite-compact")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    table.merge(ChangeGen.events(spark, cfg), "s/0")
+    val tombsBefore = table.snapshot.files.map(_.tombstones).sum
+    assert(tombsBefore > 0)
+    val state = tableState(table)
+    table.compactTombstones(lsnWatermark = Long.MaxValue)
+    assert(table.snapshot.files.map(_.tombstones).sum == 0)
+    assert(tableState(table) == state)
+  }
+
+  test("time travel reads older snapshot") {
+    val root = SparkTestBase.tempDir("icelite-tt")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val cfg = GenConfig(numDocs = 30, numEvents = 200, seed = 9, withMetadata = false)
+    table.merge(ChangeGen.events(spark, cfg), "s/0")
+    val v1Count = table.read().count()
+    table.merge(ChangeGen.events(spark, cfg.copy(startLsn = 200, numEvents = 200)), "s/1")
+    assert(table.readVersion(1).count() == v1Count)
+    assert(table.snapshot.lineage("applied.epochs") == 2L)
+  }
+
+  test("generator is deterministic and skewed") {
+    val cfg = GenConfig(numDocs = 100, numEvents = 1000, seed = 42)
+    val a = ChangeGen.events(spark, cfg).select("doc_id", "lsn", "metadata").collect().map(_.toString).sorted
+    val b = ChangeGen.events(spark, cfg).select("doc_id", "lsn", "metadata").collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    // skew: the top doc receives far more than 1/numDocs of events
+    val counts = ChangeGen.events(spark, cfg).groupBy("doc_id").count()
+      .orderBy(col("count").desc).limit(1).collect()
+    assert(counts(0).getLong(1) > 3 * (cfg.numEvents / cfg.numDocs))
+  }
+}

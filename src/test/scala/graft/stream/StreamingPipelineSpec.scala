@@ -1,0 +1,66 @@
+package graft.stream
+
+import graft.SparkTestBase
+import graft.table.IceLite
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Structured-Streaming pipeline: file-tailed change stream -> foreachBatch
+ * MERGE with checkpointing; a killed-and-restarted query resumes from the
+ * checkpoint and converges to the same final state (north_rule: "resumable
+ * from checkpoint").
+ */
+class StreamingPipelineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  test("file-stream ingest converges to batch-replay state") {
+    val cfg = GenConfig(numDocs = 120, numEvents = 2000, seed = 21, withMetadata = false)
+    val srcDir = SparkTestBase.tempDir("stream-src")
+    ChangeGen.writeChunks(spark, cfg, srcDir, numChunks = 4)
+
+    val root = SparkTestBase.tempDir("stream-table")
+    val ckpt = SparkTestBase.tempDir("stream-ckpt")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val q = Pipeline.runFileStream(spark, srcDir, table, ckpt, "sq1", maxFilesPerTrigger = 1)
+    q.awaitTermination()
+
+    // expected: direct fold of all events
+    val expectedRoot = SparkTestBase.tempDir("stream-expected")
+    val expected = IceLite.create(spark, expectedRoot, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    expected.merge(ChangeGen.events(spark, cfg), "one/0")
+
+    val a = table.read().orderBy("doc_id").collect().map(_.toString)
+    val b = expected.read().orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+    // multiple epochs actually committed
+    assert(table.snapshot.lineage("applied.epochs") >= 4L)
+  }
+
+  test("restart from checkpoint resumes without double-applying") {
+    val cfg = GenConfig(numDocs = 80, numEvents = 1200, seed = 33, withMetadata = false)
+    val srcDir = SparkTestBase.tempDir("resume-src")
+    val root = SparkTestBase.tempDir("resume-table")
+    val ckpt = SparkTestBase.tempDir("resume-ckpt")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+
+    // phase 1: first half of the stream
+    ChangeGen.writeChunks(spark, cfg.copy(numEvents = 600), srcDir, numChunks = 2)
+    val q1 = Pipeline.runFileStream(spark, srcDir, table, ckpt, "sq2")
+    q1.awaitTermination()
+    val midEpochs = table.snapshot.lineage("applied.epochs")
+    assert(midEpochs >= 2L)
+
+    // phase 2: stream grows; restart from the same checkpoint
+    ChangeGen.writeChunks(spark, cfg.copy(startLsn = 600, numEvents = 600), srcDir, numChunks = 2)
+    val q2 = Pipeline.runFileStream(spark, srcDir, table, ckpt, "sq2")
+    q2.awaitTermination()
+
+    val expectedRoot = SparkTestBase.tempDir("resume-expected")
+    val expected = IceLite.create(spark, expectedRoot, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    expected.merge(ChangeGen.events(spark, cfg), "one/0")
+    val a = table.read().orderBy("doc_id").collect().map(_.toString)
+    val b = expected.read().orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+}
