@@ -1,0 +1,139 @@
+package graft.smt
+
+import graft.SparkTestBase
+import graft.schema.{InferOptions, SchemaRegistry}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Batch-level port of the DebeziumJsonDeserializer contract
+  * (`smt/DebeziumJsonDeserializerTest.java`) against DataFrames. */
+class JsonDeserializeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def stage(reg: SchemaRegistry = new SchemaRegistry(true),
+                    opts: InferOptions = InferOptions(optionalStructFields = true),
+                    union: Boolean = true, lenient: Boolean = false) =
+    new JsonDeserialize(JsonDeserializeConfig(Seq("json"), "t", opts, union, lenient), reg)
+
+  test("types an array-of-strings column") {
+    val df = Seq(("1", """["foo", "bar"]""")).toDF("id", "json")
+    val out = stage()(df)
+    assert(out.schema("json").dataType.isInstanceOf[ArrayType])
+    assert(out.select(element_at(col("json"), 1)).head().getString(0) == "foo")
+  }
+
+  test("null and empty values stay null; schema comes from other rows") {
+    val df = Seq(("1", """{"foo": "bar"}"""), ("2", null), ("3", "")).toDF("id", "json")
+    val out = stage()(df).orderBy("id").collect()
+    assert(out(0).getStruct(1).getString(0) == "bar")
+    assert(out(1).isNullAt(1) && out(2).isNullAt(1))
+  }
+
+  test("schemas union across rows within a batch") {
+    val df = Seq(
+      ("1", """{"foo": "da value"}"""),
+      ("2", """{"bar": "oh a value"}"""),
+      ("3", """{"foo": "way", "bar": "plop"}""")).toDF("id", "json")
+    val out = stage()(df)
+    val st = out.schema("json").dataType.asInstanceOf[StructType]
+    assert(st.fieldNames.toSeq == Seq("bar", "foo")) // sorted union
+    val rows = out.orderBy("id").select("json.foo", "json.bar").collect()
+    assert(rows(0).getString(0) == "da value" && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).getString(1) == "oh a value")
+    assert(rows(2).getString(0) == "way" && rows(2).getString(1) == "plop")
+  }
+
+  test("registry unions across batches and persists") {
+    val reg = new SchemaRegistry(true)
+    val s = stage(reg)
+    s(Seq(("1", """{"foo": "x"}""")).toDF("id", "json")).collect()
+    val out2 = s(Seq(("2", """{"bar": "y"}""")).toDF("id", "json"))
+    // second batch output carries the unioned schema (foo from batch 1)
+    val st = out2.schema("json").dataType.asInstanceOf[StructType]
+    assert(st.fieldNames.toSet == Set("foo", "bar"))
+    // registry round-trips through serde (snapshot persistence)
+    val restored = SchemaRegistry.deserialize(reg.serialize, optionalStructFields = true)
+    assert(restored.entries == reg.entries)
+  }
+
+  test("incompatible classes fan out to sibling columns") {
+    val df = Seq(
+      ("1", """{"foo": "string"}"""),
+      ("2", """{"foo": ["array"]}""")).toDF("id", "json")
+    val out = stage()(df)
+    assert(out.columns.contains("json") && out.columns.contains("json__v1"))
+    val rows = out.orderBy("id").collect()
+    assert(!rows(0).isNullAt(rows(0).fieldIndex("json")) && rows(0).isNullAt(rows(0).fieldIndex("json__v1")))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("json")) && !rows(1).isNullAt(rows(1).fieldIndex("json__v1")))
+  }
+
+  test("root literals parse via cast (boolean/int classes)") {
+    val df = Seq(("1", "true"), ("2", "500"), ("3", "false"), ("4", "1000")).toDF("id", "json")
+    val out = stage()(df)
+    // two classes: BOOLEAN + INT32
+    assert(out.columns.contains("json") && out.columns.contains("json__v1"))
+    val byId = out.orderBy("id").collect()
+    val jIdx = byId(0).fieldIndex("json")
+    val vIdx = byId(0).fieldIndex("json__v1")
+    // class order: boolean first (first seen)
+    assert(byId(0).getBoolean(jIdx) == true && byId(1).getInt(vIdx) == 500)
+    assert(byId(2).getBoolean(jIdx) == false && byId(3).getInt(vIdx) == 1000)
+  }
+
+  test("unparseable JSON throws by default, lenient nulls") {
+    val bad = Seq(("1", """{"foo": unquoted}""")).toDF("id", "json")
+    intercept[Exception] { stage()(bad).collect() }
+    val out = stage(lenient = true)(bad).collect()
+    assert(out(0).isNullAt(1))
+  }
+
+  test("convert-numbers-to-double and big integers") {
+    val df = Seq(("1", """{"temperature": 37, "big": 190000000000000100000}""")).toDF("id", "json")
+    val opts = InferOptions(optionalStructFields = true, convertNumbersToDouble = true)
+    val out = stage(opts = opts)(df)
+    val st = out.schema("json").dataType.asInstanceOf[StructType]
+    assert(st("temperature").dataType == DoubleType && st("big").dataType == DoubleType)
+    val r = out.select("json.temperature", "json.big").head()
+    assert(r.getDouble(0) == 37.0)
+    assert(r.getDouble(1) == new java.math.BigInteger("190000000000000100000").doubleValue())
+  }
+
+  test("sanitized field names are queryable") {
+    val df = Seq(("1", """{"with space": 10, "1some_details": {"plenty": "x"}}""")).toDF("id", "json")
+    val opts = InferOptions(optionalStructFields = true, sanitizeFieldNames = true)
+    val out = stage(opts = opts)(df)
+    val r = out.select("json.with_space", "json._1some_details.plenty").head()
+    assert(r.getInt(0) == 10 && r.getString(1) == "x")
+  }
+
+  test("ignored fields are pruned from the output schema") {
+    val df = Seq(("1", """{"keep": 1, "baz": 2}""")).toDF("id", "json")
+    val opts = InferOptions(optionalStructFields = true, ignoredFields = Seq("json.baz"))
+    val out = stage(opts = opts)(df)
+    val st = out.schema("json").dataType.asInstanceOf[StructType]
+    assert(st.fieldNames.toSet == Set("keep"))
+  }
+
+  test("multiple json columns in one stage") {
+    val reg = new SchemaRegistry(true)
+    val cfg = JsonDeserializeConfig(Seq("a", "b"), "t", InferOptions(optionalStructFields = true))
+    val df = Seq(("1", """{"x": 1}""", """["y"]""")).toDF("id", "a", "b")
+    val out = new JsonDeserialize(cfg, reg)(df)
+    assert(out.schema("a").dataType.isInstanceOf[StructType])
+    assert(out.schema("b").dataType.isInstanceOf[ArrayType])
+  }
+
+  test("metadata drift from the generator unions additively") {
+    val reg = new SchemaRegistry(true)
+    val s = stage(reg)
+    val events = graft.stream.ChangeGen.events(spark,
+      graft.stream.GenConfig(numDocs = 20, numEvents = 200, driftAt = 100))
+      .select(col("source.lsn").as("id"), col("metadata").as("json"))
+    val out = s(events)
+    val st = out.schema("json").dataType.asInstanceOf[StructType]
+    assert(st.fieldNames.toSet == Set("lang", "pipeline", "quality"))
+    assert(st("pipeline").dataType.asInstanceOf[StructType].fieldNames.toSet == Set("version", "tokenizer"))
+  }
+}
