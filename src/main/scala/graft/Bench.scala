@@ -1,24 +1,76 @@
 package graft
+
+import graft.stream.{ChangeGen, GenConfig, Pipeline}
+import graft.table.IceLite
 import org.apache.spark.sql.SparkSession
+
+/**
+ * Per-round benchmark: (1) the engine's headline metric — change-events/sec
+ * applied through the full MERGE path over a deterministic generated stream —
+ * and (2) wall-clock for the headline queries on SPARK_GRAFT_SF_DIR.
+ * Prints ONE JSON line.
+ */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  def mkSession(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  /** CDC replay throughput: events/sec through dedup+COW-merge+commit. */
+  def cdcReplay(spark: SparkSession, numEvents: Long, cpus: Int): (Double, Double) = {
+    val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val cfg = GenConfig(
+      numDocs = math.max(1000L, numEvents / 10),
+      numEvents = numEvents,
+      seed = 42,
+      skew = 2.0,
+      withMetadata = false,
+      numPartitions = cpus * 2)
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id",
+      numBuckets = math.max(16, cpus))
+    val events = ChangeGen.events(spark, cfg)
+    val t0 = System.nanoTime()
+    Pipeline.replayBatch(spark, events, table, "bench", epochs = 5, lsnMax = cfg.numEvents)
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    // cleanup best-effort
+    try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root)) catch { case _: Throwable => () }
+    (numEvents / elapsed, elapsed)
+  }
+
+  val headlineQueries = Seq(
+    "q_cdc_replay", "q_cdc_merge_replay", "q1_pricing_summary", "q3_topk_orders",
+    "q_join_broadcast_dim", "q_window_running", "q_dedup_exact", "q_minhash_dedup",
+    "q_token_count", "q_text_quality", "q_fingerprint", "q_embed_topk")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "2000000").toLong
+    val spark = mkSession(cpus)
+
+    // headline engine metric: change-events/sec applied (binlog replay -> upsert)
+    val (eps, cdcElapsed) = cdcReplay(spark, benchEvents, cpus)
+
+    val results = headlineQueries.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).collect(): Unit } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(
+      f"""{"metric":"change-events/sec applied (binlog replay -> IceLite upsert)","value":$eps%.1f,"unit":"events/sec","cdc":{"events":$benchEvents,"elapsed_sec":$cdcElapsed%.2f,"cpus":$cpus},"queries_total_sec":$total%.2f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

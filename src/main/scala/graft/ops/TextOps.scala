@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines: token
+ * counting, quality scoring, language ID (n-gram/stopword heuristic) and
+ * document fingerprinting. All pure Catalyst expressions (no UDFs) — they
+ * stay inside whole-stage codegen and scale linearly with no shuffle.
+ */
+object TextOps {
+
+  /** Whitespace token count. regexp_extract_all('\S+') rather than split:
+    * identical empty/leading/trailing semantics in any SQL engine (the
+    * oracle reproduces it verbatim). */
+  def wsTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+
+  /** Word tokens (non-whitespace runs), lowercased. */
+  def words(text: Column): Column =
+    regexp_extract_all(lower(text), lit("\\S+"), lit(0))
+
+  /** BPE-ish subword pretokenizer count: letter runs, digit runs, single
+    * punctuation — the usual GPT-2-style pretoken split approximation. */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** Character-class counts via strip-and-diff (codegen'd, single pass each). */
+  def countMatching(text: Column, charClass: String): Column =
+    length(text) - length(regexp_replace(text, charClass, ""))
+
+  /** Quality features: length, punctuation/digit/upper ratios, mean word
+    * length, stopword ratio; `quality` is a [0,1] composite. */
+  def qualityFeatures(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val t = col(textCol)
+    val n = length(t).cast(DoubleType)
+    val ws = words(t)
+    val sw = LangProfiles.stopwords("en") ++ LangProfiles.stopwords("fr") ++
+      LangProfiles.stopwords("de") ++ LangProfiles.stopwords("es")
+    df.withColumn("n_chars_m", length(t))
+      .withColumn("n_words", wsTokenCount(t))
+      .withColumn("punct_ratio", round(countMatching(t, "[.,!?;:]") / nullif(n, lit(0.0)), 4))
+      .withColumn("digit_ratio", round(countMatching(t, "[0-9]") / nullif(n, lit(0.0)), 4))
+      .withColumn("upper_ratio", round(countMatching(t, "[A-Z]") / nullif(n, lit(0.0)), 4))
+      .withColumn("mean_word_len", round(n / nullif(col("n_words").cast(DoubleType), lit(0.0)), 4))
+      .withColumn("stopword_ratio",
+        round(size(filter(ws, w => w.isin(sw: _*))) / nullif(size(ws).cast(DoubleType), lit(0.0)), 4))
+      .withColumn("quality", round(
+        lit(1.0)
+          - least(col("punct_ratio") * 2, lit(0.3))
+          - least(col("digit_ratio") * 2, lit(0.3))
+          + least(col("stopword_ratio"), lit(0.3))
+          - when(col("n_words") < 5, 0.3).otherwise(0.0), 4))
+  }
+
+  /** Positional structural fingerprint: sum_i(i * len(word_i)) mod P —
+    * order-sensitive (a shuffled document fingerprints differently), cheap,
+    * and reproducible in plain SQL for the oracle. 1-based positions. */
+  def fingerprint(text: Column): Column = {
+    val weighted = transform(words(text), (w, i) => (i + 1).cast(LongType) * length(w).cast(LongType))
+    pmod(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(1000000007L))
+  }
+
+  /** Per-language stopword hit count (multiset: repeated stopwords count). */
+  def stopwordHits(text: Column, lang: String): Column =
+    size(filter(words(text), w => w.isin(LangProfiles.stopwords(lang): _*)))
+
+  /** Heuristic language ID: argmax of per-language stopword hit rates with
+    * a trigram tie-break. Deterministic; no model files. */
+  def langId(df: DataFrame, textCol: String = "text", out: String = "lang_pred"): DataFrame = {
+    val t = col(textCol)
+    val langs = LangProfiles.langs
+    val scores = langs.map(l => stopwordHits(t, l).cast(DoubleType).as(s"__hits_$l"))
+    val withScores = df.select(df.columns.map(col) ++ scores: _*)
+    val best = langs.foldLeft((lit("und"), lit(-1.0))) { case ((bl, bs), l) =>
+      val s = col(s"__hits_$l")
+      (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    withScores
+      .withColumn(out, when(best._2 <= 0, lit("und")).otherwise(best._1))
+      .drop(langs.map(l => s"__hits_$l"): _*)
+  }
+}
+
+/** Tiny embedded language profiles (top stopwords). Public-knowledge word
+  * lists; intentionally small — this is a heuristic language ID, not a model. */
+object LangProfiles {
+  val langs = Seq("en", "fr", "de", "es")
+  private val sw: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "of", "and", "to", "in", "is", "that", "it", "was", "for", "on", "are", "with", "as", "his", "they", "at", "be", "this", "have"),
+    "fr" -> Seq("le", "la", "les", "de", "des", "et", "un", "une", "du", "en", "est", "que", "qui", "dans", "pour", "pas", "sur", "avec", "au", "il"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "in", "den", "von", "zu", "mit", "sich", "des", "auf", "nicht", "es", "ein", "eine", "als", "auch", "an"),
+    "es" -> Seq("el", "la", "los", "las", "de", "y", "en", "un", "una", "que", "es", "del", "se", "por", "con", "para", "su", "al", "lo", "como"))
+  def stopwords(lang: String): Seq[String] = sw.getOrElse(lang, Nil)
+}

@@ -32,12 +32,23 @@ object Stages {
    */
   final case class UnwrapDebezium(keyColumn: String = "doc_id") extends SmtStage {
     val name = "unwrap"
-    def apply(df: DataFrame): DataFrame =
+    def apply(df: DataFrame): DataFrame = {
+      def structKey(c: String): Option[org.apache.spark.sql.Column] =
+        df.schema.fields.find(_.name == c) match {
+          case Some(f) if f.dataType.isInstanceOf[org.apache.spark.sql.types.StructType] &&
+            f.dataType.asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.contains(keyColumn) =>
+            Some(col(s"$c.$keyColumn"))
+          case _ => None
+        }
+      val keySources = Seq(structKey("after"), structKey("before"),
+        if (df.columns.contains(keyColumn)) Some(col(keyColumn)) else None).flatten
+      require(keySources.nonEmpty, s"no source for key column $keyColumn in ${df.columns.mkString(",")}")
       df.select(
-        coalesce(col(s"after.$keyColumn"), col(s"before.$keyColumn"), col(keyColumn)).as(keyColumn),
+        coalesce(keySources: _*).as(keyColumn),
         col("op"),
         col("source.lsn").as("lsn"),
         col("after"))
+    }
   }
 
   /** Tombstone drop (`smt/Outbox.java:79-82`): records with a null payload
