@@ -58,6 +58,7 @@ object Bench {
     val spark = mkSession(cpus)
 
     // headline engine metric: change-events/sec applied (binlog replay -> upsert)
+    cdcReplay(spark, math.max(benchEvents / 10, 100000L), cpus) // JIT/codegen warmup
     val (eps, cdcElapsed) = cdcReplay(spark, benchEvents, cpus)
 
     val results = headlineQueries.map { name =>
