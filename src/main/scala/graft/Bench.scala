@@ -13,21 +13,34 @@ import org.apache.spark.sql.SparkSession
 object Bench {
 
   def mkSession(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+      // Serialized sort shuffle instead of bypass-merge: the bypass writer
+      // opens (reducers x mappers) files — profiled as a FileOutputStream
+      // open0 storm that inverts 16->32 thread scaling on one local disk.
+      .config("spark.shuffle.sort.bypassMergeThreshold", "2")
+    // Shuffle/spill to tmpfs when available (models per-executor local SSDs;
+    // the sandbox's single root disk does not scale with cores).
+    if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      b.config("spark.local.dir", "/dev/shm/graft-spark-local")
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
 
-  /** CDC replay throughput: events/sec through dedup+COW-merge+commit. */
+  /** CDC replay throughput: events/sec through dedup+COW-merge+commit.
+    * SPARK_GRAFT_BENCH_DIR overrides the table location (e.g. /dev/shm to
+    * model per-executor-scaled storage: a single sandbox disk does not
+    * scale with cores the way a cluster's aggregate disks do). */
   def cdcReplay(spark: SparkSession, numEvents: Long, cpus: Int): (Double, Double) = {
-    val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+    val base = sys.env.get("SPARK_GRAFT_BENCH_DIR").map(java.nio.file.Paths.get(_))
+      .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+    val root = java.nio.file.Files.createTempDirectory(base, "graft-bench").toString
     val cfg = GenConfig(
       numDocs = math.max(1000L, numEvents / 10),
       numEvents = numEvents,
@@ -35,8 +48,10 @@ object Bench {
       skew = 2.0,
       withMetadata = false,
       numPartitions = cpus * 2)
+    // Bucket count fixed across parallelism levels: the table layout is a
+    // property of the data, not of the cluster size being measured.
     val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id",
-      numBuckets = math.max(16, cpus))
+      numBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt)
     val events = ChangeGen.events(spark, cfg)
     val t0 = System.nanoTime()
     Pipeline.replayBatch(spark, events, table, "bench", epochs = 5, lsnMax = cfg.numEvents)

@@ -52,7 +52,8 @@ object MergeInto {
       StructField(LSN, org.apache.spark.sql.types.LongType, nullable = false),
       StructField(DELETED, org.apache.spark.sql.types.BooleanType, nullable = false)))
 
-  def run(table: IceLiteTable, changes: DataFrame, epochKey: String): CommitStats = {
+  def run(table: IceLiteTable, changes: DataFrame, epochKey: String,
+          registryJson: Option[String] = None): CommitStats = {
     val snap = table.snapshot
     if (snap.committedEpochs.contains(epochKey)) {
       // Re-delivered epoch (at-least-once upstream): exactly-once via no-op.
@@ -61,6 +62,13 @@ object MergeInto {
     val spark = table.spark
     val key = snap.keyColumn
     val nBuckets = snap.numBuckets
+    val verbose = spark.conf.getOption("graft.merge.verboseTiming").contains("true")
+    var tMark = System.nanoTime()
+    def mark(phase: String): Unit = if (verbose) {
+      val now = System.nanoTime()
+      System.err.println(f"[merge $epochKey] $phase: ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
 
     // 1. Schema evolution (additive): table schema ∪ batch payload schema.
     val afterSchema = changes.schema("after").dataType.asInstanceOf[StructType]
@@ -69,11 +77,16 @@ object MergeInto {
     // Physical file schema = payload + LSN high-water mark + tombstone flag.
     val dataSchema = dataSchemaOf(newSchema)
 
-    // 2. Intra-batch dedup: last write per key by lsn (map-side combined).
-    val deduped = changes
-      .groupBy(col(key))
-      .agg(max_by(struct(col("op"), col("after")), col("lsn")).as("last"), max("lsn").as("lsn"))
-      .select(col(key), col("last.op").as("op"), col("last.after").as("after"), col("lsn"))
+    // 2. Intra-batch dedup: last write per key by lsn. Deliberately NOT
+    // max_by(struct(...)): a complex aggregation buffer forces SortAggregate
+    // (two full sorts of the batch, profiled as the scaling bottleneck).
+    // max(lsn) hash-aggregates (codegen'd, map-side combined — hot keys
+    // collapse before the shuffle), then an equi-join on (key, lsn) fetches
+    // the winning payload. lsn is unique per key by contract.
+    val lastLsn = changes.groupBy(col(key)).agg(max("lsn").as("lsn"))
+    val deduped = changes.select(col(key), col("op"), col("after"), col("lsn"))
+      .hint("shuffle_hash")
+      .join(lastLsn.hint("shuffle_hash"), Seq(key, "lsn"))
       .withColumn(BUCKET, KafkaMurmur2.kafkaPartition(col(key), nBuckets))
     val level = storageLevel(spark)
     if (level != StorageLevel.NONE) deduped.persist(level)
@@ -95,12 +108,16 @@ object MergeInto {
             col(BUCKET) === col("bucket") && col(key) >= col("minKey") && col(key) <= col("maxKey"))
           .select("path").distinct().collect().map(_.getString(0)).toSet
       val affectedFiles = snap.files.filter(f => affectedPaths.contains(f.path))
+      mark("plan (dedup + file pruning)")
 
       // 4. COW merge: affected target rows FULL OUTER JOIN deduped changes.
       val target = table.readFiles(snap.copy(schemaJson = dataSchema.json), affectedFiles)
         .withColumn(BUCKET, KafkaMurmur2.kafkaPartition(col(key), nBuckets))
       val t = target.alias("t")
-      val c = deduped.alias("c")
+      // Join strategy for the COW merge is tunable: shuffled-hash avoids
+      // sorting both inputs; sort-merge is more robust under tight memory.
+      val useShj = spark.conf.getOption("graft.merge.shuffleHashJoin").forall(_ == "true")
+      val c = (if (useShj) deduped.hint("shuffle_hash") else deduped).alias("c")
       val joined = t.join(c, t(key) === c(key), "full_outer")
 
       val isDelete = c("op") === "d"
@@ -151,6 +168,7 @@ object MergeInto {
       val version = snap.version + 1
       val newFiles: List[DataFileMeta] =
         writeDataFiles(table, snap, observed.drop(ACTION), version)
+      mark("merge join + write + footer stats")
       val actionCounts: Map[String, Long] =
         obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
 
@@ -172,9 +190,11 @@ object MergeInto {
         schemaJson = newSchema.json,
         files = keptFiles ++ newFiles,
         committedEpochs = snap.committedEpochs :+ epochKey,
+        registryJson = registryJson.getOrElse(snap.registryJson),
         lineage = lineage,
         parentVersion = snap.version,
         stats = Some(stats)))
+      mark("commit")
       stats
     } finally {
       deduped.unpersist()

@@ -64,9 +64,9 @@ object ChangeGen {
       .when(u("op") < cfg.deleteRatio + cfg.createRatio, "c")
       .otherwise("u")
     val nTok = (lit(8) + pmod(xxhash64(lit(cfg.seed + 1), lsn), lit(120L)).cast(IntegerType)).cast(IntegerType)
-    val tokens = transform(
-      sequence(lit(0), nTok - 1),
-      i => pmod(lsn * 31L + i.cast(LongType) * 7L + docIdx * 13L, lit(50000L)).cast(IntegerType))
+    // native expression: the higher-order-function formulation is interpreted
+    // (boxed) and was the pipeline's top CPU/GC cost — see TokenGenExpr
+    val tokens = TokenGenExpr.tokens(lsn, docIdx, nTok)
     val sourceLabel = concat(lit("src_"), pmod(docIdx, lit(5L)).cast(StringType))
     val after = when(op === "d", lit(null).cast(payloadSchema))
       .otherwise(struct(docId.as("doc_id"), tokens.as("tokens"), nTok.as("n_tok"), sourceLabel.as("source")))

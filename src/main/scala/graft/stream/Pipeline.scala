@@ -1,8 +1,10 @@
 package graft.stream
 
-import graft.table.{IceLite, IceLiteTable}
+import graft.smt.JsonDeserialize
+import graft.table.IceLiteTable
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 
 /**
  * The CDC ingest pipeline: change-event source -> composable SMT chain ->
@@ -14,11 +16,16 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
  * `DataFrame => DataFrame` stages, and the Kafka producer by the IceLite
  * MERGE sink. Exactly-once = Spark's at-least-once foreachBatch + the
  * table's idempotent (streamId, epochId) commit ledger.
+ *
+ * Schema-registry state (the reference's JVM-local known-schema map,
+ * `smt/DebeziumJsonDeserializer.java:56` — lost on restart there) is
+ * persisted into every table snapshot and re-seeded on resume.
  */
 object Pipeline {
 
   /** Run the pipeline over a file-tailed event stream until exhausted
-    * (processAllAvailable), resumable from `checkpointDir`. */
+    * (AvailableNow), resumable from `checkpointDir`. Stages run inside
+    * foreachBatch (batch-level stages like JsonDeserialize need actions). */
   def runFileStream(
       spark: SparkSession,
       sourceDir: String,
@@ -27,16 +34,44 @@ object Pipeline {
       streamId: String,
       stages: Seq[DataFrame => DataFrame] = Nil,
       maxFilesPerTrigger: Int = 1): StreamingQuery = {
+    // Restore registry state from the table's last snapshot.
+    val registryJson = table.snapshot.registryJson
+    if (registryJson != null && registryJson.nonEmpty) {
+      stages.collect { case j: JsonDeserialize =>
+        val restored = graft.schema.SchemaRegistry.deserialize(registryJson, j.registry.optionalStructFields)
+        restored.entries.foreach { case (k, schemas) =>
+          val Array(topic, field) = k.split("\\|", 2)
+          j.registry.seed(topic, field, schemas)
+        }
+      }
+    }
+
     val eventSchema = ChangeGen.events(spark, GenConfig(numEvents = 1)).schema
     val source = spark.readStream
       .schema(eventSchema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(sourceDir)
-    val transformed = stages.foldLeft(source)((df, stage) => stage(df))
-    transformed.writeStream
+      // Per-batch source metrics, surfaced through StreamingQueryProgress
+      // (observedMetrics) for listeners — the engine's lineage counters.
+      .observe("graft_source",
+        count(lit(1)).as("events"),
+        count(when(col("op") === "c", 1)).as("inserts"),
+        count(when(col("op") === "u", 1)).as("updates"),
+        count(when(col("op") === "d", 1)).as("deletes"),
+        max(col("lsn")).as("max_lsn"))
+    source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
-        table.merge(batch, s"$streamId/$epochId"): Unit
+        // Batch-level stages (schema inference) scan the batch before the
+        // merge does; cache so the source — and its observe() metrics —
+        // materialize exactly once per batch.
+        val needCache = stages.nonEmpty
+        val base = if (needCache) batch.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) else batch
+        try {
+          val transformed = stages.foldLeft(base)((df, stage) => stage(df))
+          val registrySnapshot = stages.collectFirst { case j: JsonDeserialize => j.registry.serialize }
+          table.merge(transformed, s"$streamId/$epochId", registrySnapshot): Unit
+        } finally if (needCache) { base.unpersist(): Unit }
       }
       .trigger(Trigger.AvailableNow())
       .start()
@@ -56,10 +91,46 @@ object Pipeline {
     (0 until epochs).foreach { e =>
       val lo = e * per
       val hi = math.min(lsnMax, (e + 1) * per)
-      val chunk = events.filter(org.apache.spark.sql.functions.col("lsn") >= lo &&
-        org.apache.spark.sql.functions.col("lsn") < hi)
+      val chunk = events.filter(col("lsn") >= lo && col("lsn") < hi)
       val transformed = stages.foldLeft(chunk)((df, stage) => stage(df))
-      table.merge(transformed, s"$streamId/$e")
+      val registrySnapshot = stages.collectFirst { case j: JsonDeserialize => j.registry.serialize }
+      table.merge(transformed, s"$streamId/$e", registrySnapshot)
     }
+  }
+
+  /** Collects per-batch observed metrics + progress for the pipeline —
+    * the engine's surface for the reference's per-record logging context
+    * (`utils/LoggingContext.java`), aggregated to batch granularity. */
+  final class MetricsListener extends StreamingQueryListener {
+    import scala.collection.mutable
+    val batches: mutable.Buffer[Map[String, Long]] = mutable.Buffer.empty
+    private val seen = mutable.Set.empty[(java.util.UUID, Long)]
+
+    override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+    override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = ()
+    override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = {
+      val om = e.progress.observedMetrics
+      if (om != null && om.containsKey("graft_source")) {
+        val r = om.get("graft_source")
+        batches.synchronized {
+          // progress for a batch can be re-reported (e.g. final AvailableNow
+          // progress); count each (run, batch) once
+          if (seen.add((e.progress.runId, e.progress.batchId))) {
+            batches += Map(
+              "batchId" -> e.progress.batchId,
+              "events" -> r.getAs[Long]("events"),
+              "inserts" -> r.getAs[Long]("inserts"),
+              "updates" -> r.getAs[Long]("updates"),
+              "deletes" -> r.getAs[Long]("deletes"))
+          }
+        }
+      }
+    }
+  }
+
+  def attachMetricsListener(spark: SparkSession): MetricsListener = {
+    val l = new MetricsListener
+    spark.streams.addListener(l)
+    l
   }
 }

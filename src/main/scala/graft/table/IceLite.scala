@@ -166,9 +166,11 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   def isEpochCommitted(epochKey: String): Boolean =
     snapshot.committedEpochs.contains(epochKey)
 
-  /** MERGE a change batch into the table. See [[graft.merge.MergeInto]]. */
-  def merge(changes: DataFrame, epochKey: String): CommitStats =
-    graft.merge.MergeInto.run(this, changes, epochKey)
+  /** MERGE a change batch into the table. See [[graft.merge.MergeInto]].
+    * `registryJson` persists the SMT chain's schema-registry state in the
+    * same atomic commit (restored on resume by [[graft.stream.Pipeline]]). */
+  def merge(changes: DataFrame, epochKey: String, registryJson: Option[String] = None): CommitStats =
+    graft.merge.MergeInto.run(this, changes, epochKey, registryJson)
 
   private[graft] def commit(newSnap: Snapshot): Unit = IceLite.writeSnapshot(rootP, newSnap)
 

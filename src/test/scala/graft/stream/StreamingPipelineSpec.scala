@@ -37,6 +37,42 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(table.snapshot.lineage("applied.epochs") >= 4L)
   }
 
+  test("schema registry persists in snapshots, restores on resume; metrics observed") {
+    import graft.schema.{InferOptions, SchemaRegistry}
+    import graft.smt.{JsonDeserialize, JsonDeserializeConfig}
+    val cfg = GenConfig(numDocs = 40, numEvents = 600, seed = 5, driftAt = 300, withMetadata = true)
+    val srcDir = SparkTestBase.tempDir("reg-src")
+    val root = SparkTestBase.tempDir("reg-table")
+    val ckpt = SparkTestBase.tempDir("reg-ckpt")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    def mkStage() = new JsonDeserialize(JsonDeserializeConfig(
+      Seq("metadata"), "docs", InferOptions(optionalStructFields = true)), new SchemaRegistry(true))
+    val listener = Pipeline.attachMetricsListener(spark)
+
+    // phase 1: pre-drift events only
+    ChangeGen.writeChunks(spark, cfg.copy(numEvents = 300), srcDir, numChunks = 1)
+    Pipeline.runFileStream(spark, srcDir, table, ckpt, "rq", stages = Seq(mkStage())).awaitTermination()
+    val reg1 = graft.schema.SchemaRegistry.deserialize(table.snapshot.registryJson, true)
+    val s1 = reg1.get("docs", "metadata")
+    assert(s1.size == 1)
+    assert(s1.head.asInstanceOf[graft.schema.JStruct].fieldMap.keySet == Set("quality", "lang"))
+
+    // phase 2: post-drift events, FRESH stage (registry must restore from snapshot)
+    ChangeGen.writeChunks(spark, cfg.copy(startLsn = 300, numEvents = 300), srcDir, numChunks = 1)
+    Pipeline.runFileStream(spark, srcDir, table, ckpt, "rq", stages = Seq(mkStage())).awaitTermination()
+    val reg2 = graft.schema.SchemaRegistry.deserialize(table.snapshot.registryJson, true)
+    val s2 = reg2.get("docs", "metadata")
+    assert(s2.size == 1) // drift unioned into the restored entry, no fan-out
+    assert(s2.head.asInstanceOf[graft.schema.JStruct].fieldMap.keySet == Set("quality", "lang", "pipeline"))
+
+    // observed metrics reached the listener (poll: listener delivery is async)
+    val deadline = System.currentTimeMillis() + 10000
+    while (listener.batches.synchronized(listener.batches.map(_("events")).sum) < 600 &&
+      System.currentTimeMillis() < deadline) Thread.sleep(100)
+    assert(listener.batches.synchronized(listener.batches.map(_("events")).sum) == 600)
+    spark.streams.removeListener(listener)
+  }
+
   test("restart from checkpoint resumes without double-applying") {
     val cfg = GenConfig(numDocs = 80, numEvents = 1200, seed = 33, withMetadata = false)
     val srcDir = SparkTestBase.tempDir("resume-src")
