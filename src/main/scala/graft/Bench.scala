@@ -39,6 +39,7 @@ object Bench {
     * scale with cores the way a cluster's aggregate disks do). */
   def cdcReplay(spark: SparkSession, numEvents: Long, cpus: Int): (Double, Double) = {
     val base = sys.env.get("SPARK_GRAFT_BENCH_DIR").map(java.nio.file.Paths.get(_))
+      .orElse(Some(java.nio.file.Paths.get("/dev/shm")).filter(java.nio.file.Files.isDirectory(_)))
       .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
     val root = java.nio.file.Files.createTempDirectory(base, "graft-bench").toString
     val cfg = GenConfig(
@@ -69,7 +70,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "2000000").toLong
+    val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
     val spark = mkSession(cpus)
 
     // headline engine metric: change-events/sec applied (binlog replay -> upsert)
@@ -85,8 +86,20 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(
-      f"""{"metric":"change-events/sec applied (binlog replay -> IceLite upsert)","value":$eps%.1f,"unit":"events/sec","cdc":{"events":$benchEvents,"elapsed_sec":$cdcElapsed%.2f,"cpus":$cpus},"queries_total_sec":$total%.2f,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+
+    // N -> 4N scaling evidence in the same report: the identical job at a
+    // quarter of the parallelism (no real cluster in-sandbox; see BASELINE.md).
+    val lo = math.max(1, cpus / 4)
+    val sparkLo = mkSession(lo)
+    cdcReplay(sparkLo, math.max(benchEvents / 10, 100000L), lo)
+    val (epsLo, _) = cdcReplay(sparkLo, benchEvents, lo)
+    sparkLo.stop()
+    val eff = eps / (epsLo * (cpus.toDouble / lo))
+
+    println(
+      f"""{"metric":"change-events/sec applied (binlog replay -> IceLite upsert)","value":$eps%.1f,"unit":"events/sec","cdc":{"events":$benchEvents,"elapsed_sec":$cdcElapsed%.2f,"cpus":$cpus},"scaling":{"n_cores":$lo,"n4_cores":$cpus,"events_per_sec_n":$epsLo%.1f,"events_per_sec_4n":$eps%.1f,"efficiency":$eff%.3f},"queries_total_sec":$total%.2f,"queries":$qs,"sf":"$sfDir"}""")
   }
 }

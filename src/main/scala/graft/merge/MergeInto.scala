@@ -84,30 +84,49 @@ object MergeInto {
     // collapse before the shuffle), then an equi-join on (key, lsn) fetches
     // the winning payload. lsn is unique per key by contract.
     val lastLsn = changes.groupBy(col(key)).agg(max("lsn").as("lsn"))
-    val deduped = changes.select(col(key), col("op"), col("after"), col("lsn"))
+    val dedupedRaw = changes.select(col(key), col("op"), col("after"), col("lsn"))
       .hint("shuffle_hash")
       .join(lastLsn.hint("shuffle_hash"), Seq(key, "lsn"))
       .withColumn(BUCKET, KafkaMurmur2.kafkaPartition(col(key), nBuckets))
-    val level = storageLevel(spark)
-    if (level != StorageLevel.NONE) deduped.persist(level)
+
+    // 3. Plan: which data files does this batch touch? Adaptive:
+    //  - a young/compact table (few files per bucket) is near-fully touched
+    //    by any broad batch — pruning would cost a full extra job + a cache
+    //    of the deduped batch for zero skipped files; read everything and
+    //    keep the epoch to ONE Spark job;
+    //  - a mature table (files >> buckets, the 10^10 shape) prunes via a
+    //    bucket equi-join + key-range condition against the broadcast
+    //    manifest — O(changed keys), rewrites only intersecting files.
+    val pruneMode = spark.conf.getOption("graft.merge.filePruning").getOrElse("auto")
+    val doPrune = pruneMode match {
+      case "always" => snap.files.nonEmpty
+      case "never" => false
+      case _ => snap.files.size > nBuckets * 2
+    }
+    val deduped =
+      if (doPrune) {
+        val level = storageLevel(spark)
+        if (level != StorageLevel.NONE) dedupedRaw.persist(level)
+        dedupedRaw
+      } else dedupedRaw
 
     try {
-      // 3. Plan: which data files does this batch touch? (bucket equi-join +
-      // key-range condition against the broadcast manifest — O(changed keys)).
-      val filesDf = spark.createDataFrame(snap.files.map(f =>
-        Row(f.path, f.bucket, f.minKey, f.maxKey)).asJava2(spark),
-        StructType(Seq(
-          StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
-          StructField("bucket", org.apache.spark.sql.types.IntegerType, nullable = false),
-          StructField("minKey", org.apache.spark.sql.types.StringType, nullable = false),
-          StructField("maxKey", org.apache.spark.sql.types.StringType, nullable = false))))
-      val affectedPaths: Set[String] =
-        if (snap.files.isEmpty) Set.empty
-        else deduped.select(col(key), col(BUCKET))
-          .join(broadcast(filesDf),
-            col(BUCKET) === col("bucket") && col(key) >= col("minKey") && col(key) <= col("maxKey"))
-          .select("path").distinct().collect().map(_.getString(0)).toSet
-      val affectedFiles = snap.files.filter(f => affectedPaths.contains(f.path))
+      val (affectedPaths, affectedFiles): (Set[String], Seq[DataFileMeta]) =
+        if (!doPrune) (snap.files.map(_.path).toSet, snap.files)
+        else {
+          val filesDf = spark.createDataFrame(snap.files.map(f =>
+            Row(f.path, f.bucket, f.minKey, f.maxKey)).asJava2(spark),
+            StructType(Seq(
+              StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
+              StructField("bucket", org.apache.spark.sql.types.IntegerType, nullable = false),
+              StructField("minKey", org.apache.spark.sql.types.StringType, nullable = false),
+              StructField("maxKey", org.apache.spark.sql.types.StringType, nullable = false))))
+          val paths = deduped.select(col(key), col(BUCKET))
+            .join(broadcast(filesDf),
+              col(BUCKET) === col("bucket") && col(key) >= col("minKey") && col(key) <= col("maxKey"))
+            .select("path").distinct().collect().map(_.getString(0)).toSet
+          (paths, snap.files.filter(f => paths.contains(f.path)))
+        }
       mark("plan (dedup + file pruning)")
 
       // 4. COW merge: affected target rows FULL OUTER JOIN deduped changes.
@@ -245,7 +264,23 @@ object MergeInto {
     val files = java.nio.file.Files.walk(dir).iterator().asScala
       .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
       .toList
-    files.map { p =>
+    // footer reads are independent metadata fetches; do them concurrently
+    // (they are on the driver's serial path between epochs)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, math.max(1, files.size)))
+    implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val futures = files.map { p => scala.concurrent.Future(footerStatOne(conf, tableRoot, key, p)) }
+    try scala.concurrent.Await.result(scala.concurrent.Future.sequence(futures),
+      scala.concurrent.duration.Duration(300, "s")).toList
+    finally pool.shutdown()
+  }
+
+  private def footerStatOne(conf: org.apache.hadoop.conf.Configuration, tableRoot: String,
+                            key: String, p: java.nio.file.Path): DataFileMeta = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.hadoop.fs.Path
+    import scala.jdk.CollectionConverters._
+    {
       val rel = p.toString.stripPrefix(s"$tableRoot/").stripPrefix(tableRoot).stripPrefix("/")
       val bucket = raw"$BUCKET=(\d+)".r.findFirstMatchIn(p.toString)
         .map(_.group(1).toInt)

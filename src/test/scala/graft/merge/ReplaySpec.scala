@@ -72,6 +72,8 @@ class ReplaySpec extends AnyFunSuite {
   test("copy-on-write touches only affected buckets/files") {
     val cfg = GenConfig(numDocs = 200, numEvents = 2000, seed = 3, withMetadata = false)
     val root = SparkTestBase.tempDir("icelite-cow")
+    // force pruning: auto mode skips it for young tables (files <= 2x buckets)
+    spark.conf.set("graft.merge.filePruning", "always")
     val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 8)
     table.merge(ChangeGen.events(spark, cfg), "s/0")
     val before = table.snapshot.files.map(f => f.path -> f).toMap
@@ -84,6 +86,7 @@ class ReplaySpec extends AnyFunSuite {
     val unchanged = after.filter(f => before.contains(f.path))
     // all files from untouched buckets survive commit untouched
     assert(unchanged.size == before.size - stats.rewrittenFiles)
+    spark.conf.set("graft.merge.filePruning", "auto")
   }
 
   test("additive schema evolution: new column appears, old rows read null") {
