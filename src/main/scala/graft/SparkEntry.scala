@@ -198,6 +198,11 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 4, dim = dim)
         .select("qid", "cid", "rank", "bucket")
     }),
+    "q_embed_dedup" -> ((s, dir) => {
+      val emb = T(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim, bits = 4, threshold = 0.5)
+    }),
 
     // ---- training-data pipeline: text analysis ----
     "q_token_count" -> ((s, dir) =>

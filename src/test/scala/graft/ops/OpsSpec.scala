@@ -1,0 +1,115 @@
+package graft.ops
+
+import graft.SparkTestBase
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit specs for the training-data operators: known near-dups found,
+  * signatures deterministic, ANN recall sane, multimodal plumbing real. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+    (2L, "the quick brown fox jumps over the lazy dog and runs far away house"), // near-dup of 1
+    (3L, "completely different text about spark catalyst optimizer internals here"),
+    (4L, "the quick brown fox jumps over the lazy dog and runs far away home"), // exact dup of 1
+    (5L, "numbers 123 and punctuation, everywhere! truly; different content")
+  ).toDF("doc_id", "text")
+
+  test("exact dedup keeps one row per content and reports groups") {
+    val (kept, groups) = Dedup.exact(docs, "doc_id", Seq("text"))
+    assert(kept.count() == 4) // 1&4 collapse
+    val dupGroup = groups.filter(col("n") > 1).collect()
+    assert(dupGroup.length == 1 && dupGroup(0).getAs[Long]("keep_id") == 1L)
+  }
+
+  test("minhash LSH finds the near-duplicate pair and not unrelated docs") {
+    val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)) || pairs.contains((1L, 4L))) // near/exact dups collide
+    assert(pairs.contains((1L, 4L))) // exact dup always collides
+    assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).intersect(Set(1L, 2L, 4L)).nonEmpty })
+  }
+
+  test("simhash is deterministic and exact dups have hamming 0") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+    assert(pairs(((1L, 4L))) == 0L)
+    val sigs1 = docs.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    val sigs2 = docs.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
+    assert(sigs1.sameElements(sigs2))
+  }
+
+  test("brute-force topk: self-similar vector ranks first") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.99f, 0.1f, 0.0f)), // closest to 0
+      (2L, Array(0.0f, 1.0f, 0.0f)),
+      (3L, Array(-1.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.filter(col("vec_id") === 0), vecs, k = 2)
+      .orderBy("rank").collect()
+    assert(top(0).getAs[Long]("cid") == 1L)
+    assert(top(1).getAs[Long]("cid") == 2L)
+  }
+
+  test("lsh topk places identical vectors in the same bucket and finds them") {
+    val base = (0 until 50).map(i => (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 13) % 17 - 8).toFloat)))
+    val plusDup = base :+ (100L, base(5)._2.clone())
+    val vecs = plusDup.toDF("vec_id", "embedding")
+    val out = Similarity.lshTopK(vecs.filter(col("vec_id") === 5), vecs, k = 3, bits = 4, dim = 8)
+      .orderBy("rank").collect()
+    assert(out.nonEmpty && out(0).getAs[Long]("cid") == 100L) // the exact dup wins
+    assert(math.abs(out(0).getAs[Double]("sim") - 1.0) < 1e-9)
+  }
+
+  test("embedding near-dup pairs finds the duplicate") {
+    val base = (0 until 30).map(i => (i.toLong, Array.tabulate(8)(d => ((i * 11 + d * 5) % 13 - 6).toFloat)))
+    val plusDup = base :+ (200L, base(7)._2.clone())
+    val vecs = plusDup.toDF("vec_id", "embedding")
+    val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", dim = 8, bits = 4, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dups.contains((7L, 200L)))
+  }
+
+  test("language id predicts stopword-bearing languages") {
+    val df = Seq(
+      (1L, "the cat is on the mat and it was there for the night"),
+      (2L, "le chat est dans la maison avec le chien et il est la"),
+      (3L, "der hund ist in dem haus und die katze ist auch da"),
+      (4L, "el perro es grande y la casa es de los padres como siempre"),
+      (5L, "xyzzy plugh qwerty")).toDF("doc_id", "text")
+    val preds = TextOps.langId(df).select("doc_id", "lang_pred").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(preds(1L) == "en" && preds(2L) == "fr" && preds(3L) == "de" && preds(4L) == "es")
+    assert(preds(5L) == "und")
+  }
+
+  test("fingerprint is order-sensitive") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+      .toDF("doc_id", "text")
+    val fps = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L) && fps(1L) != fps(2L))
+  }
+
+  test("multimodal feature extraction is deterministic and batched per partition") {
+    val media = Multimodal.syntheticMedia(spark, 200)
+    val f1 = Multimodal.extractFeatures(media).orderBy("media_id").collect()
+    val f2 = Multimodal.extractFeatures(media.repartition(7)).orderBy("media_id").collect()
+    assert(f1.length == 200)
+    assert(f1.map(_.toString).sameElements(f2.map(_.toString))) // partitioning-invariant
+    assert(f1.forall(_.getSeq[Float](3).size == 8))
+  }
+
+  test("quality features penalize junk") {
+    val df = Seq(
+      (1L, "this is a perfectly normal english sentence with many common words in it"),
+      (2L, "1234 5678 !!!! ;;;; 9999 ####")).toDF("doc_id", "text")
+    val q = TextOps.qualityFeatures(df).select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(q(1L) > q(2L))
+  }
+}
