@@ -36,7 +36,7 @@ class OpsSpec extends AnyFunSuite {
 
   test("simhash is deterministic and exact dups have hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
-      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(4))).toMap
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](4).longValue)).toMap
     assert(pairs(((1L, 4L))) == 0L)
     val sigs1 = docs.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
     val sigs2 = docs.select(Dedup.simhash(col("text"))).collect().map(_.getLong(0))
@@ -56,7 +56,11 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("lsh topk places identical vectors in the same bucket and finds them") {
-    val base = (0 until 50).map(i => (i.toLong, Array.tabulate(8)(d => ((i * 7 + d * 13) % 17 - 8).toFloat)))
+    def pseudo(i: Int, d: Int): Float = {
+      val h = scala.util.hashing.MurmurHash3.productHash((i, d))
+      (h % 1000) / 1000.0f
+    }
+    val base = (0 until 50).map(i => (i.toLong, Array.tabulate(8)(d => pseudo(i, d))))
     val plusDup = base :+ (100L, base(5)._2.clone())
     val vecs = plusDup.toDF("vec_id", "embedding")
     val out = Similarity.lshTopK(vecs.filter(col("vec_id") === 5), vecs, k = 3, bits = 4, dim = 8)
@@ -66,7 +70,11 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("embedding near-dup pairs finds the duplicate") {
-    val base = (0 until 30).map(i => (i.toLong, Array.tabulate(8)(d => ((i * 11 + d * 5) % 13 - 6).toFloat)))
+    def pseudo2(i: Int, d: Int): Float = {
+      val h = scala.util.hashing.MurmurHash3.productHash((i * 31, d))
+      (h % 1000) / 1000.0f
+    }
+    val base = (0 until 30).map(i => (i.toLong, Array.tabulate(8)(d => pseudo2(i, d))))
     val plusDup = base :+ (200L, base(7)._2.clone())
     val vecs = plusDup.toDF("vec_id", "embedding")
     val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", dim = 8, bits = 4, threshold = 0.999)
@@ -88,7 +96,7 @@ class OpsSpec extends AnyFunSuite {
   }
 
   test("fingerprint is order-sensitive") {
-    val df = Seq((1L, "alpha beta gamma"), (2L, "gamma beta alpha"), (3L, "alpha beta gamma"))
+    val df = Seq((1L, "a bb cccc"), (2L, "cccc bb a"), (3L, "a bb cccc"))
       .toDF("doc_id", "text")
     val fps = df.select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp")).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
