@@ -66,13 +66,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- CDC engine path ----
     "q_cdc_replay" -> ((s, dir) => {
-      // last-write-wins fold without the sink: groupBy + max_by
-      derivedChanges(s, dir)
-        .groupBy(col("doc_id"))
-        .agg(max_by(struct(col("op"), col("after.source").as("src")), col("lsn")).as("last"),
-          max("lsn").as("last_lsn"))
-        .filter(col("last.op") =!= "d")
-        .select(col("doc_id"), col("last_lsn"), col("last.src").as("last_source"))
+      // last-write-wins fold without the sink. Hash aggregate + equi-join
+      // (max_by over a struct would force SortAggregate — two full sorts).
+      val ch = derivedChanges(s, dir)
+      val last = ch.groupBy(col("doc_id")).agg(max("lsn").as("lsn"))
+      ch.join(last, Seq("doc_id", "lsn"))
+        .filter(col("op") =!= "d")
+        .select(col("doc_id"), col("lsn").as("last_lsn"),
+          col("after.source").as("last_source"))
     }),
     "q_cdc_merge_replay" -> ((s, dir) => cdcMergeReplay(s, dir)),
     "q_smt_unwrap" -> ((s, dir) => {
@@ -201,7 +202,9 @@ object SparkEntry {
     "q_embed_dedup" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
-      Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim, bits = 4, threshold = 0.5)
+      // synthetic embeddings are near-orthogonal (cos p99.9 ~ 0.38); a low
+      // threshold keeps the query non-trivial on this corpus
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim, bits = 2, threshold = 0.3)
     }),
 
     // ---- training-data pipeline: text analysis ----

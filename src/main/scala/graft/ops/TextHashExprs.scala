@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graftbridge.Exprs
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/**
+ * Native text-hash kernels. The composable-expression formulations
+ * (split -> transform -> concat_ws -> hash) re-evaluate the full upstream
+ * expression tree inside every higher-order-function lambda element (no
+ * common-subexpression elimination across lambda scopes — profiled: 5000
+ * docs x 52 shingles took ~10s because each shingle re-split the text
+ * three times). These expressions tokenize once per row and never
+ * materialize shingle strings at all — a shingle is an xxhash64 fold of
+ * its w word hashes.
+ */
+object TextHashKernel {
+  /** Lowercased word hashes (xxhash64 seed 42 over UTF-8 bytes) of
+    * whitespace-separated tokens. */
+  def wordHashes(text: UTF8String): Array[Long] = {
+    if (text == null) return Array.empty
+    val s = text.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) {
+        val w = UTF8String.fromString(s.substring(start, i))
+        out += MinHashSigExpr.hashUTF8(w, 42L)
+      }
+    }
+    out.toArray
+  }
+
+  /** Distinct, sorted hashes of w-word shingles (hash = xx fold of the w
+    * word hashes). Empty/short texts produce a single whole-text shingle,
+    * mirroring Dedup.shingles' short-text behavior. */
+  def shingleHashes(text: UTF8String, w: Int): UnsafeArrayData = {
+    val words = wordHashes(text)
+    val n = words.length - (w - 1)
+    val hs: Array[Long] =
+      if (n <= 0) {
+        if (words.isEmpty) Array(MinHashSigExpr.hashUTF8(UTF8String.fromString(""), 42L))
+        else Array(foldRange(words, 0, words.length))
+      } else {
+        val out = new Array[Long](n)
+        var i = 0
+        while (i < n) { out(i) = foldRange(words, i, i + w); i += 1 }
+        out
+      }
+    val distinct = hs.distinct
+    java.util.Arrays.sort(distinct)
+    UnsafeArrayData.fromPrimitiveArray(distinct)
+  }
+
+  private def foldRange(words: Array[Long], from: Int, until: Int): Long = {
+    var h = 0x9747b28cL
+    var i = from
+    while (i < until) { h = XXH64.hashLong(words(i), h); i += 1 }
+    h
+  }
+
+  /** 64-bit SimHash over word hashes: bit votes +1/-1, sign collapse. */
+  def simhash(text: UTF8String): Long = {
+    val words = wordHashes(text)
+    val votes = new Array[Int](64)
+    var i = 0
+    while (i < words.length) {
+      val h = words(i)
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var sig = 0L
+    var b = 0
+    while (b < 64) {
+      if (votes(b) > 0) sig |= (1L << b)
+      b += 1
+    }
+    sig
+  }
+}
+
+case class ShingleHashesExpr(child: Expression, w: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires STRING, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernel.shingleHashes(input.asInstanceOf[UTF8String], w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashKernel.shingleHashes($c, $w)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashesExpr =
+    copy(child = newChild)
+  override def prettyName: String = "shingle_hashes"
+}
+
+case class SimHashExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash requires STRING, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernel.simhash(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashKernel.simhash($c)")
+  override protected def withNewChildInternal(newChild: Expression): SimHashExpr =
+    copy(child = newChild)
+  override def prettyName: String = "simhash"
+}
+
+object TextHashExprs {
+  def shingleHashes(text: Column, w: Int): Column =
+    Exprs.column(ShingleHashesExpr(Exprs.expression(text), w))
+  def simhash(text: Column): Column =
+    Exprs.column(SimHashExpr(Exprs.expression(text)))
+}
