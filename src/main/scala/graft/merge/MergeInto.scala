@@ -70,6 +70,18 @@ object MergeInto {
       tMark = now
     }
 
+    // Empty batch: commit only the epoch marker (without this, the
+    // no-prune planning mode would rewrite every file to apply nothing).
+    if (changes.isEmpty) {
+      table.commit(snap.copy(
+        version = snap.version + 1,
+        committedEpochs = snap.committedEpochs :+ epochKey,
+        registryJson = registryJson.getOrElse(snap.registryJson),
+        parentVersion = snap.version,
+        stats = Some(CommitStats(epochKey, 0, 0, 0, 0, 0, 0, 0))))
+      return CommitStats(epochKey, 0, 0, 0, 0, 0, 0, 0)
+    }
+
     // 1. Schema evolution (additive): table schema ∪ batch payload schema.
     val afterSchema = changes.schema("after").dataType.asInstanceOf[StructType]
     val newSchema = evolveSchema(snap.schema, afterSchema)
