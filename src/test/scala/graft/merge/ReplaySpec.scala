@@ -157,6 +157,23 @@ class ReplaySpec extends AnyFunSuite {
     assert(table.snapshot.lineage("applied.epochs") == 2L)
   }
 
+  test("vacuum removes unreferenced files and keeps readable state") {
+    val cfg = GenConfig(numDocs = 40, numEvents = 400, seed = 23, withMetadata = false)
+    val root = SparkTestBase.tempDir("icelite-vacuum")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    table.merge(ChangeGen.events(spark, cfg), "s/0")
+    table.merge(ChangeGen.events(spark, cfg.copy(startLsn = 400, numEvents = 400)), "s/1")
+    val state = tableState(table)
+    val removed = table.vacuum(keepSnapshots = 1)
+    assert(removed > 0) // v1's rewritten files are unreferenced by v2
+    assert(tableState(table) == state) // current snapshot fully readable
+  }
+
+  test("loading a missing table fails clearly") {
+    val t = IceLite.load(spark, SparkTestBase.tempDir("not-a-table"))
+    intercept[IllegalStateException] { t.snapshot }
+  }
+
   test("generator is deterministic and skewed") {
     val cfg = GenConfig(numDocs = 100, numEvents = 1000, seed = 42)
     val a = ChangeGen.events(spark, cfg).select("doc_id", "lsn", "metadata").collect().map(_.toString).sorted
