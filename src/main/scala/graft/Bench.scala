@@ -112,7 +112,12 @@ object Bench {
     val epsHi4 = scaleRun(hi4, warm = false)
     val eff = epsHi4 / (epsLo * 4.0)
 
-    println(
-      f"""{"metric":"change-events/sec applied (binlog replay -> IceLite upsert)","value":$eps%.1f,"unit":"events/sec","cdc":{"events":$benchEvents,"elapsed_sec":$cdcElapsed%.2f,"cpus":$cpus},"scaling":{"n_cores":$lo,"n4_cores":$hi4,"events_per_sec_n":$epsLo%.1f,"events_per_sec_4n":$epsHi4%.1f,"efficiency":$eff%.3f},"queries_total_sec":$total%.2f,"queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      f"""{"metric":"change-events/sec applied (binlog replay -> IceLite upsert)","value":$eps%.1f,"unit":"events/sec","cdc":{"events":$benchEvents,"elapsed_sec":$cdcElapsed%.2f,"cpus":$cpus},"scaling":{"n_cores":$lo,"n4_cores":$hi4,"events_per_sec_n":$epsLo%.1f,"events_per_sec_4n":$epsHi4%.1f,"efficiency":$eff%.3f},"queries_total_sec":$total%.2f,"queries":$qs,"sf":"$sfDir"}"""
+    // File copy of the result line: robust to any log-prefixing wrapper.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json + "\n")
+    catch { case _: Throwable => () }
+    println(json)
   }
 }

@@ -60,7 +60,10 @@ object SparkEntry {
     val changes = derivedChanges(s, dir)
     val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
     Pipeline.replayBatch(s, changes, table, "verify", epochs = 4, lsnMax = lsnMax)
-    table.read().select("doc_id", "tokens", "n_tok", "source")
+    // tokens compared as a joined string: the driver's pandas-based compare
+    // cannot sort/hash raw array columns; token content stays fully checked.
+    table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+      col("n_tok"), col("source"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -255,7 +258,7 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events)
         |SELECT doc_id,
-        |       [CAST(doc_id AS INT), CAST(event_id % 97 AS INT)] AS tokens,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
         |       2 AS n_tok,
         |       event_type AS source
         |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,

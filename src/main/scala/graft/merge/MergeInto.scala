@@ -99,6 +99,11 @@ object MergeInto {
     val dedupedRaw = changes.select(col(key), col("op"), col("after"), col("lsn"))
       .hint("shuffle_hash")
       .join(lastLsn.hint("shuffle_hash"), Seq(key, "lsn"))
+      // An at-least-once source can redeliver the same event WITHIN a batch
+      // (the epoch ledger only guards whole-batch redelivery); identical
+      // (key, lsn) rows would both survive the max-lsn join and write
+      // duplicate keys. Cheap: reuses the (key, lsn) join partitioning.
+      .dropDuplicates(key, "lsn")
       .withColumn(BUCKET, KafkaMurmur2.kafkaPartition(col(key), nBuckets))
 
     // 3. Plan: which data files does this batch touch? Adaptive:
@@ -127,15 +132,17 @@ object MergeInto {
         if (!doPrune) (snap.files.map(_.path).toSet, snap.files)
         else {
           val filesDf = spark.createDataFrame(snap.files.map(f =>
-            Row(f.path, f.bucket, f.minKey, f.maxKey)).asJava2(spark),
+            Row(f.path, f.bucket, f.minKey, f.maxKey, f.fullRange)).asJava2(spark),
             StructType(Seq(
               StructField("path", org.apache.spark.sql.types.StringType, nullable = false),
               StructField("bucket", org.apache.spark.sql.types.IntegerType, nullable = false),
               StructField("minKey", org.apache.spark.sql.types.StringType, nullable = false),
-              StructField("maxKey", org.apache.spark.sql.types.StringType, nullable = false))))
+              StructField("maxKey", org.apache.spark.sql.types.StringType, nullable = false),
+              StructField("fullRange", org.apache.spark.sql.types.BooleanType, nullable = false))))
           val paths = deduped.select(col(key), col(BUCKET))
             .join(broadcast(filesDf),
-              col(BUCKET) === col("bucket") && col(key) >= col("minKey") && col(key) <= col("maxKey"))
+              col(BUCKET) === col("bucket") &&
+                (col("fullRange") || (col(key) >= col("minKey") && col(key) <= col("maxKey"))))
             .select("path").distinct().collect().map(_.getString(0)).toSet
           (paths, snap.files.filter(f => paths.contains(f.path)))
         }
@@ -301,8 +308,14 @@ object MergeInto {
       try {
         val blocks = reader.getFooter.getBlocks.asScala
         var rows = 0L
-        var mn: String = null
-        var mx: String = null
+        // Min/max selected by UNSIGNED BYTE order (the order Spark's
+        // UTF8String comparison — and therefore the prune join — uses).
+        // Java String '<' is UTF-16 code-unit order, which disagrees for
+        // supplementary-plane characters and would let a file that contains
+        // a changed key be wrongly pruned.
+        var mnB: Array[Byte] = null
+        var mxB: Array[Byte] = null
+        var statsMissing = false
         var tomb = 0L
         blocks.foreach { b =>
           rows += b.getRowCount
@@ -311,11 +324,11 @@ object MergeInto {
             if (colName == key) {
               val st = c.getStatistics
               if (st != null && st.hasNonNullValue) {
-                val lo = new String(st.getMinBytes, java.nio.charset.StandardCharsets.UTF_8)
-                val hi = new String(st.getMaxBytes, java.nio.charset.StandardCharsets.UTF_8)
-                if (mn == null || lo < mn) mn = lo
-                if (mx == null || hi > mx) mx = hi
-              }
+                val lo = st.getMinBytes
+                val hi = st.getMaxBytes
+                if (mnB == null || java.util.Arrays.compareUnsigned(lo, mnB) < 0) mnB = lo
+                if (mxB == null || java.util.Arrays.compareUnsigned(hi, mxB) > 0) mxB = hi
+              } else statsMissing = true
             } else if (colName == DELETED) {
               val st = c.getStatistics
               // conservative: flag unless stats prove all-false
@@ -324,8 +337,16 @@ object MergeInto {
             }
           }
         }
-        require(mn != null && mx != null, s"parquet footer missing $key statistics for $p")
-        DataFileMeta(rel, bucket, rows, mn, mx, tomb)
+        if (mnB == null || mxB == null || statsMissing) {
+          // parquet-mr omits binary column stats for long values (above its
+          // truncation/size threshold): fall back to an always-affected file
+          // instead of failing every future merge of this table.
+          DataFileMeta(rel, bucket, rows, "", "", tomb, fullRange = true)
+        } else {
+          val mn = new String(mnB, java.nio.charset.StandardCharsets.UTF_8)
+          val mx = new String(mxB, java.nio.charset.StandardCharsets.UTF_8)
+          DataFileMeta(rel, bucket, rows, mn, mx, tomb)
+        }
       } finally reader.close()
     }
   }

@@ -48,12 +48,12 @@ object TextOps {
       .withColumn("mean_word_len", round(n / nullif(col("n_words").cast(DoubleType), lit(0.0)), 4))
       .withColumn("stopword_ratio",
         round(size(filter(ws, w => w.isin(sw: _*))) / nullif(size(ws).cast(DoubleType), lit(0.0)), 4))
-      .withColumn("quality", round(
-        lit(1.0)
+      .withColumn("quality", round(greatest(least(
+        lit(0.7)
           - least(col("punct_ratio") * 2, lit(0.3))
           - least(col("digit_ratio") * 2, lit(0.3))
           + least(col("stopword_ratio"), lit(0.3))
-          - when(col("n_words") < 5, 0.3).otherwise(0.0), 4))
+          - when(col("n_words") < 5, 0.3).otherwise(0.0), lit(1.0)), lit(0.0)), 4))
   }
 
   /** Positional structural fingerprint: sum_i(i * len(word_i)) mod P —

@@ -35,7 +35,11 @@ final case class DataFileMeta(
     rows: Long,
     minKey: String,
     maxKey: String,
-    tombstones: Long = 0L)
+    tombstones: Long = 0L,
+    /** True when the parquet footer lacked key min/max statistics (parquet-mr
+      * omits binary stats above its truncation threshold): the file must be
+      * treated as intersecting every key range instead of failing the merge. */
+    fullRange: Boolean = false)
 
 final case class CommitStats(
     epochKey: String,
@@ -101,7 +105,8 @@ object IceLite {
     val n = mapper.readTree(Files.readAllBytes(root.resolve("meta").resolve(s"v$version.json")))
     val files = n.path("files").elements().asScala.map { f =>
       DataFileMeta(f.path("path").asText(), f.path("bucket").asInt(), f.path("rows").asLong(),
-        f.path("minKey").asText(), f.path("maxKey").asText(), f.path("tombstones").asLong())
+        f.path("minKey").asText(), f.path("maxKey").asText(), f.path("tombstones").asLong(),
+        f.path("fullRange").asBoolean(false))
     }.toList
     val epochs = n.path("committedEpochs").elements().asScala.map(_.asText()).toList
     val lineage = n.path("lineage").fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
