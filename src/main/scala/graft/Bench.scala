@@ -54,8 +54,12 @@ object Bench {
     val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id",
       numBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt)
     val events = ChangeGen.events(spark, cfg)
+    // Fewer, larger epochs amortize the fixed per-epoch serial fraction
+    // (driver planning, commit) — the 10^10-event design point has epochs
+    // of >= 10^8 events, so the bench models big epochs, not many tiny ones.
+    val epochs = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "2").toInt
     val t0 = System.nanoTime()
-    Pipeline.replayBatch(spark, events, table, "bench", epochs = 5, lsnMax = cfg.numEvents)
+    Pipeline.replayBatch(spark, events, table, "bench", epochs = epochs, lsnMax = cfg.numEvents)
     val elapsed = (System.nanoTime() - t0) / 1e9
     // cleanup best-effort
     try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root)) catch { case _: Throwable => () }

@@ -3,7 +3,7 @@ package graft
 import graft.hashing.KafkaMurmur2
 import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
 import graft.schema.{InferOptions, SchemaRegistry}
-import graft.smt.{JsonDeserialize, JsonDeserializeConfig}
+import graft.smt.{JoseConfig, JoseDecrypt, JsonDeserialize, JsonDeserializeConfig, OutboxConfig, OutboxRoute}
 import graft.stream.{ChangeGen, Pipeline}
 import graft.table.IceLite
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -25,6 +25,14 @@ object SparkEntry {
 
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
+
+  // JOSE fixtures pinned from the reference's public test suite
+  // (`smt/JoseTest.java:22-56`): base64(JWK oct) keys + flattened JWEs whose
+  // plaintexts are {"foo":"bar"} / {"bar":"baz"}.
+  private val joseKey1 = "eyJrdHkiOiJvY3QiLCJraWQiOiJIMmg1WHlIM0dPSHQ4Wm5vTndBOUFoay1FQlJ3cTQxTHo3U01pWDJDLVRJIiwiYWxnIjoiQTI1NkdDTSIsImsiOiJkR2tQRU41YUhaQnFocDY5TmpVWGpjTUJST1R4amZ6Yl9hYldVeUo2ajBBIn0="
+  private val joseKey2 = "eyJrdHkiOiJvY3QiLCJraWQiOiJjbmVkYXRXNEg4SFA4VjFFSVQ3QjJsdHk0TXFsM3FKV3ZPUmk1MFZVdWZvIiwiYWxnIjoiQTI1NkdDTSIsImsiOiJjYmtncEtVZ1c0RFRaS2RkQzAwcHJTSjl5UnZGSGc3OTFOa0V6R2RLTFlZIn0="
+  private val joseJwe1 = """{"protected":"eyJlbmMiOiJBMjU2R0NNIiwiYWxnIjoiZGlyIiwia2lkIjoiSDJoNVh5SDNHT0h0OFpub053QTlBaGstRUJSd3E0MUx6N1NNaVgyQy1USSJ9","iv":"QsJ90lUJoBW05RN3","ciphertext":"4YQYK0F4LoFpP6-P0g","tag":"88OtNkM7CVsOX52rLxgl2Q"}"""
+  private val joseJwe2 = """{"protected":"eyJlbmMiOiJBMjU2R0NNIiwiYWxnIjoiZGlyIiwia2lkIjoiY25lZGF0VzRIOEhQOFYxRUlUN0IybHR5NE1xbDNxSld2T1JpNTBWVXVmbyJ9","iv":"rhGttLfHmwq7beFr","ciphertext":"L4OQkrC1zagy2DLDtw","tag":"9T29uivX5K_O_503UKmicA"}"""
 
   private val derivedPayloadType = StructType(Seq(
     StructField("doc_id", StringType, nullable = false),
@@ -95,12 +103,52 @@ object SparkEntry {
         .select(col("event_type"), get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
         .groupBy("event_type")
         .agg(sum(col("k")).cast(LongType).as("sum_k"), count(lit(1)).as("n"))),
-    "q_route_partition" -> ((s, dir) => {
-      // Outbox-style murmur2 key routing over the events stream (no SQL oracle:
-      // DuckDB has no kafka-murmur2; placement pinned by KafkaMurmur2Spec)
-      T(s, dir, "events")
-        .withColumn("partition", KafkaMurmur2.kafkaPartition(col("user_id").cast(StringType), 16))
-        .groupBy("partition").agg(count(lit(1)).as("n"), countDistinct(col("user_id")).as("users"))
+    "q_outbox_route" -> ((s, dir) => {
+      // Outbox routing (O15, O17-O21, O23-O25) over an events-derived outbox
+      // envelope: per-record topic override with @N suffix + prefix, config
+      // topic fallback, __deleted -> tombstone, payload extraction, explicit
+      // partition_number, JSON-string header promotion (numbers stringified),
+      // null-value drop. Everything CASE/concat SQL for the oracle.
+      val ev = T(s, dir, "events")
+      val value = struct(
+        concat(lit("{\"uid\":"), col("user_id"), lit("}")).as("payload"),
+        when(col("event_type") === "error", lit("true")).otherwise(lit("false")).as("__deleted"),
+        when(col("event_id") % 7 === 0,
+          concat(lit("t"), pmod(col("user_id"), lit(3)).cast(StringType), lit("@4")))
+          .otherwise(lit(null).cast(StringType)).as("topic"),
+        pmod(col("event_id"), lit(16)).cast(IntegerType).as("partition_number"),
+        col("props").as("headers"))
+      val env = ev.select(
+        // record key preserved verbatim through routing; event_id keeps rows
+        // identifiable in the compare
+        col("event_id").cast(StringType).as("key"),
+        // every 13th record is a Debezium null-value tombstone -> dropped (O17)
+        when(col("event_id") % 13 === 0, lit(null)).otherwise(value).as("value"))
+      OutboxRoute(OutboxConfig(topic = Some("events"), topicPrefix = Some("pfx")))(env)
+        .select(col("key"), col("topic"), col("partition"),
+          col("payload"), element_at(col("headers"), "k").as("header_k"),
+          col("tombstone"))
+    }),
+    "q_outbox_partition" -> ((s, dir) => {
+      import s.implicits._
+      // Key-mode murmur2 routing with the reference's pinned placements
+      // (`smt/OutboxTest.java:265-268`: "some-partition-key" -> 1 of 3,
+      // "another-partition-key" -> 2 of 3) + partition_key header echo (O25).
+      val env = Seq(("k1", "some-partition-key"), ("k2", "another-partition-key"))
+        .toDF("key", "pk")
+        .select(col("key"), struct(lit("p").as("payload"), col("pk").as("partition_key")).as("value"))
+      OutboxRoute(OutboxConfig(topic = Some("target"), partitionByKey = true, numPartitions = Some(3)))(env)
+        .select(col("key"), col("topic"), col("partition"),
+          element_at(col("headers"), "partition_key").as("pk_header"))
+    }),
+    "q_jose_decrypt" -> ((s, dir) => {
+      import s.implicits._
+      // Reference-pinned JWE vectors (`smt/JoseTest.java:22-56`) decrypted
+      // with a multi-key config (first key hits jwe1, second jwe2).
+      val df = Seq(("jwe1", joseJwe1.getBytes("UTF-8")), ("jwe2", joseJwe2.getBytes("UTF-8")))
+        .toDF("name", "value")
+      JoseDecrypt(JoseConfig(Seq(joseKey1, joseKey2)))(df)
+        .select(col("name"), col("value").cast(StringType).as("plaintext"))
     }),
     "q_schema_infer" -> ((s, dir) => {
       // batch JSON schema inference + registry over the props column
@@ -187,8 +235,12 @@ object SparkEntry {
         numHashes = 32, bands = 8, shingleWidth = 3, threshold = 0.4)),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text")
-        .filter(col("hamming") <= 8)
-        .select("id_a", "id_b", "hamming")),
+        // hamming <= 3 makes the 4x16-bit banding EXHAUSTIVE (pigeonhole:
+        // <= 3 differing bits cannot touch all 4 bands), so the LSH output
+        // equals "all pairs with hamming <= 3" — which the all-pairs SQL
+        // oracle recomputes from the same md5-derived signatures.
+        .filter(col("hamming") <= 3)
+        .select(col("id_a"), col("id_b"), col("hamming").cast(IntegerType).as("hamming"))),
 
     // ---- training-data pipeline: similarity ----
     "q_embed_topk" -> ((s, dir) => {
@@ -206,8 +258,11 @@ object SparkEntry {
       val emb = T(s, dir, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       // synthetic embeddings are near-orthogonal (cos p99.9 ~ 0.38); a low
-      // threshold keeps the query non-trivial on this corpus
-      Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim, bits = 2, threshold = 0.3)
+      // threshold keeps the query non-trivial on this corpus. 8 bands x
+      // 8 bits: candidate volume O(docs x bands / 256), never quadratic;
+      // the oracle recomputes the md5-derived buckets + exact cosine in SQL.
+      Dedup.embeddingNearDups(emb, "vec_id", "embedding", dim,
+        bands = 8, rowsPerBand = 8, threshold = 0.3)
     }),
 
     // ---- training-data pipeline: text analysis ----
@@ -360,6 +415,102 @@ object SparkEntry {
       """SELECT doc_id,
         |       CAST(COALESCE(list_sum(list_transform(regexp_extract_all(text, '\S+'),
         |            (x, i) -> CAST(i AS BIGINT) * CAST(length(x) AS BIGINT))), 0) % 1000000007 AS BIGINT) AS fp
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "q_schema_infer" ->
+      """SELECT count(*) AS n,
+        |       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
+        |FROM events""".stripMargin,
+    "q_lang_id" ->
+      """WITH w AS (SELECT lang, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |h AS (SELECT lang,
+        |  len(list_filter(ws, x -> x IN ('the','of','and','to','in','is','that','it','was','for','on','are','with','as','his','they','at','be','this','have'))) AS en_h,
+        |  len(list_filter(ws, x -> x IN ('le','la','les','de','des','et','un','une','du','en','est','que','qui','dans','pour','pas','sur','avec','au','il'))) AS fr_h,
+        |  len(list_filter(ws, x -> x IN ('der','die','das','und','ist','in','den','von','zu','mit','sich','des','auf','nicht','es','ein','eine','als','auch','an'))) AS de_h,
+        |  len(list_filter(ws, x -> x IN ('el','la','los','las','de','y','en','un','una','que','es','del','se','por','con','para','su','al','lo','como'))) AS es_h
+        |FROM w)
+        |SELECT lang,
+        |       CASE WHEN greatest(en_h, fr_h, de_h, es_h) <= 0 THEN 'und'
+        |            WHEN en_h >= fr_h AND en_h >= de_h AND en_h >= es_h THEN 'en'
+        |            WHEN fr_h >= de_h AND fr_h >= es_h THEN 'fr'
+        |            WHEN de_h >= es_h THEN 'de'
+        |            ELSE 'es' END AS lang_pred,
+        |       count(*) AS n
+        |FROM h GROUP BY lang, lang_pred""".stripMargin,
+    "q_outbox_route" ->
+      """SELECT CAST(event_id AS VARCHAR) AS key,
+        |       CASE WHEN event_id % 7 = 0 THEN 'pfx.t' || (user_id % 3) ELSE 'pfx.events' END AS topic,
+        |       CAST(event_id % 16 AS INT) AS partition,
+        |       CASE WHEN event_type = 'error' THEN NULL ELSE '{"uid":' || user_id || '}' END AS payload,
+        |       CAST(props->>'$.k' AS VARCHAR) AS header_k,
+        |       event_type = 'error' AS tombstone
+        |FROM events WHERE event_id % 13 <> 0""".stripMargin,
+    "q_outbox_partition" ->
+      """SELECT 'k1' AS key, 'target' AS topic, 1 AS partition, 'some-partition-key' AS pk_header
+        |UNION ALL
+        |SELECT 'k2' AS key, 'target' AS topic, 2 AS partition, 'another-partition-key' AS pk_header""".stripMargin,
+    "q_jose_decrypt" ->
+      """SELECT 'jwe1' AS name, '{"foo":"bar"}' AS plaintext
+        |UNION ALL
+        |SELECT 'jwe2' AS name, '{"bar":"baz"}' AS plaintext""".stripMargin,
+    "q_simhash_pairs" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(regexp_extract_all(lower(text), '\S+'), w ->
+        |    (CASE WHEN md5_number_lower(w) >= 9223372036854775808
+        |          THEN md5_number_lower(w)::HUGEINT - 18446744073709551616
+        |          ELSE md5_number_lower(w)::HUGEINT END)::BIGINT) AS hs
+        |  FROM documents),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0,64), b ->
+        |    CASE WHEN 2 * len(list_filter(hs, x -> ((x >> b) & 1) = 1)) > len(hs) THEN 1 ELSE 0 END) AS bits
+        |  FROM h)
+        |SELECT * FROM (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         CAST(list_sum(list_transform(range(0,64),
+        |              i -> CASE WHEN a.bits[i+1] <> b.bits[i+1] THEN 1 ELSE 0 END)) AS INT) AS hamming
+        |  FROM sig a JOIN sig b ON a.doc_id < b.doc_id)
+        |WHERE hamming <= 3""".stripMargin,
+    "q_embed_dedup" ->
+      """WITH p AS (
+        |  SELECT pid, list_transform(range(0,64), d ->
+        |    md5_number_lower('hp_' || pid || '_' || d)::DOUBLE / 18446744073709551616.0 * 2 - 1) AS comp
+        |  FROM (SELECT unnest(range(0,64)) AS pid)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT e.vec_id, p.pid // 8 AS band,
+        |         sum(CASE WHEN list_sum(list_transform(range(0,64), d -> v[d+1] * comp[d+1])) >= 0
+        |             THEN (1::BIGINT << (p.pid % 8)) ELSE 0 END)::BIGINT AS bucket
+        |  FROM e CROSS JOIN p GROUP BY e.vec_id, p.pid // 8),
+        |cand AS (
+        |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM sig a JOIN sig b ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, cosine FROM (
+        |  SELECT id_a, id_b, round(list_cosine_similarity(ea.v, eb.v), 4) AS cosine
+        |  FROM cand JOIN e ea ON ea.vec_id = id_a JOIN e eb ON eb.vec_id = id_b)
+        |WHERE cosine >= 0.3""".stripMargin,
+    "q_embed_lsh_topk" ->
+      """WITH p AS (
+        |  SELECT pid, list_transform(range(0,64), d ->
+        |    md5_number_lower('hp_' || pid || '_' || d)::DOUBLE / 18446744073709551616.0 * 2 - 1) AS comp
+        |  FROM (SELECT unnest(range(0,4)) AS pid)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT e.vec_id, e.v,
+        |         sum(CASE WHEN list_sum(list_transform(range(0,64), d -> v[d+1] * comp[d+1])) >= 0
+        |             THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT AS bucket
+        |  FROM e CROSS JOIN p GROUP BY e.vec_id, e.v),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket,
+        |         list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank, bucket
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+    "q_multimodal_features" ->
+      """WITH m AS (SELECT unnest(range(0, 500)) AS id)
+        |SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |       count(*) AS n,
+        |       CAST(sum(3 * (12 + (id * 7) % 37)) AS BIGINT) AS total_bytes
+        |FROM m GROUP BY 1""".stripMargin
   )
 }

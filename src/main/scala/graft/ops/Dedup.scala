@@ -85,18 +85,40 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
-  /** Embedding-cosine near-duplicate pairs: random-hyperplane LSH buckets
-    * (see [[Similarity.lshBucket]]) generate candidates; exact cosine in
-    * double verifies. Shuffle volume O(docs), pairwise work bucket-local. */
+  /** Embedding-cosine near-duplicate pairs via MULTI-BAND random-hyperplane
+    * LSH (same banding shape as [[minhashLsh]]): `bands` independent bucket
+    * keys of `rowsPerBand` hyperplane signs each; a pair is a candidate when
+    * ANY band collides. Exact cosine (double) verifies candidates only.
+    *
+    * 100 TB posture: the banding explode carries only (id, band, bucket) —
+    * vectors re-join by id for the (small) candidate set; candidate volume is
+    * O(docs x bands / 2^rowsPerBand) expected, and `maxBucket` drops
+    * degenerate buckets (e.g. the all-zeros vector cloud) that would
+    * otherwise go quadratic. Hyperplanes are md5-derived constants
+    * ([[Similarity.hyperplane]]), so the whole candidate generation is
+    * reproducible in the SQL oracle. */
   def embeddingNearDups(df: DataFrame, idCol: String, vecCol: String,
-                        dim: Int, bits: Int = 8, threshold: Double = 0.95): DataFrame = {
-    val withBucket = df.select(col(idCol).as("id"), col(vecCol).as("v"))
-      .withColumn("bucket", Similarity.lshBucket(col("v"), bits, dim))
-    val a = withBucket.alias("a"); val b = withBucket.alias("b")
-    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cosine", Similarity.cosine(col("a.v"), col("b.v")))
+                        dim: Int, bands: Int = 8, rowsPerBand: Int = 8,
+                        threshold: Double = 0.95, maxBucket: Int = 4096): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val bandBuckets = (0 until bands).map(b =>
+      Similarity.lshBucket(col("v"), rowsPerBand, dim, planeOffset = b * rowsPerBand))
+    val banded = base.select(col("id"),
+      posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
+    val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bn"))
+    val kept = banded.join(sizes.filter(col("__bn") <= maxBucket), Seq("band", "bucket"))
+    val a = kept.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = kept.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b")), Seq("id_b"))
+      .withColumn("cosine", round(Similarity.cosine(col("v_a"), col("v_b")), 4))
       .filter(col("cosine") >= threshold)
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), round(col("cosine"), 4).as("cosine"))
+      .select("id_a", "id_b", "cosine")
   }
 
   /** 64-bit SimHash over word tokens: per-word xxhash64; each bit

@@ -35,14 +35,17 @@ object Multimodal {
     StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
 
   /** Deterministic synthetic media table (no external data): bytes derived
-    * from the id, metadata plausible per modality. */
+    * from the id, metadata plausible per modality. Modality and payload
+    * length are simple functions of the id so the SQL oracle can reproduce
+    * the aggregate shape (`q_multimodal_features`). */
   def syntheticMedia(spark: SparkSession, n: Long, seed: Long = 42L): DataFrame = {
     val base = spark.range(n)
     val modality = element_at(array(lit("image"), lit("audio"), lit("video")),
-      (pmod(xxhash64(lit(seed), col("id")), lit(3L)) + 1).cast(IntegerType))
-    val len = (lit(64) + pmod(xxhash64(lit(seed + 1), col("id")), lit(192L))).cast(IntegerType)
-    // deterministic pseudo-bytes: unbase64 of a repeated hash string prefix
-    val bytes = unbase64(substring(repeat(sha2(concat(lit(seed), col("id")), 256), 3), 1, 64))
+      (pmod(col("id"), lit(3L)) + 1).cast(IntegerType))
+    // payload length 3*(12 + (id*7) % 37) bytes = base64 of 4x that many
+    // chars; deterministic pseudo-bytes from a repeated hash string prefix
+    val b64chars = (lit(4) * (lit(12) + pmod(col("id") * 7, lit(37L)))).cast(IntegerType)
+    val bytes = unbase64(repeat(sha2(concat(lit(seed), col("id")), 256), 3).substr(lit(1), b64chars))
     base.select(
       col("id").as("media_id"),
       modality.as("modality"),

@@ -47,21 +47,42 @@ object Similarity {
       .select("qid", "cid", "sim", "rank")
   }
 
-  /** Deterministic random hyperplane: component d of plane p derived from
-    * xxhash64(p, d), mapped to [-1, 1). */
-  private def hyperplaneSign(vec: Column, plane: Int, dim: Int): Column = {
-    val comps = sequence(lit(0), lit(dim - 1))
+  /** Little-endian uint64 of md5 bytes [8,16) — the same value DuckDB's
+    * `md5_number_lower` returns, so hyperplanes derived from it are
+    * reproducible in plain SQL (the correctness oracle recomputes them). */
+  private[ops] def md5LowerLE(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  /** Unit double in [0,1): unsigned md5LowerLE / 2^64 (both steps exact /
+    * correctly rounded in any IEEE-754 engine). */
+  private[ops] def md5Unit(s: String): Double =
+    new java.math.BigInteger(java.lang.Long.toUnsignedString(md5LowerLE(s)))
+      .doubleValue() / 1.8446744073709552E19
+
+  /** Deterministic hyperplane `p`: component d = md5Unit("hp_{p}_{d}")*2-1.
+    * Computed once on the driver and inlined as a literal array — the per-row
+    * work is one fused multiply-add pass, not a hash per component. */
+  def hyperplane(p: Int, dim: Int): Seq[Double] =
+    (0 until dim).map(d => md5Unit(s"hp_${p}_$d") * 2 - 1)
+
+  private def planeSign(vec: Column, plane: Seq[Double]): Column = {
     val dot = aggregate(
-      zip_with(vec, comps, (x, d) =>
-        x.cast(DoubleType) *
-          (pmod(xxhash64(lit(plane), d), lit(1L << 32)).cast(DoubleType) / lit((1L << 31).toDouble) - 1.0)),
+      zip_with(vec, typedlit(plane), (x, h) => x.cast(DoubleType) * h),
       lit(0.0), (s, x) => s + x)
     when(dot >= 0, 1L).otherwise(0L)
   }
 
-  /** LSH bucket id: `bits` hyperplane signs packed into a long. */
-  def lshBucket(vec: Column, bits: Int, dim: Int): Column =
-    (0 until bits).map(p => hyperplaneSign(vec, p, dim) * (1L << p))
+  /** LSH bucket id: `bits` hyperplane signs packed into a long. `planeOffset`
+    * selects a disjoint plane set (multi-band LSH uses offset b*bits for
+    * band b). */
+  def lshBucket(vec: Column, bits: Int, dim: Int, planeOffset: Int = 0): Column =
+    (0 until bits).map(p => planeSign(vec, hyperplane(planeOffset + p, dim)) * (1L << p))
       .reduce(_ + _)
 
   /** Approximate top-k: candidates bucketed by LSH; each query probes only

@@ -66,9 +66,44 @@ object TextHashKernel {
     h
   }
 
+  private val md5TL = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** md5-derived 64-bit word hash: little-endian int64 of md5 bytes [8,16) —
+    * the signed view of DuckDB's `md5_number_lower`, chosen so the SimHash
+    * signature is reproducible in plain SQL (the correctness oracle
+    * recomputes it); md5's diffusion is also the textbook SimHash choice. */
+  def md5Lower(w: UTF8String): Long = {
+    val md = md5TL.get()
+    md.reset()
+    val d = md.digest(w.getBytes)
+    var h = 0L
+    var i = 15
+    while (i >= 8) { h = (h << 8) | (d(i) & 0xffL); i -= 1 }
+    h
+  }
+
+  /** Lowercased md5 word hashes of whitespace-separated tokens. */
+  def wordHashesMd5(text: UTF8String): Array[Long] = {
+    if (text == null) return Array.empty
+    val s = text.toLowerCase.toString
+    val out = new scala.collection.mutable.ArrayBuffer[Long](64)
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      while (i < n && Character.isWhitespace(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !Character.isWhitespace(s.charAt(i))) i += 1
+      if (i > start) out += md5Lower(UTF8String.fromString(s.substring(start, i)))
+    }
+    out.toArray
+  }
+
   /** 64-bit SimHash over word hashes: bit votes +1/-1, sign collapse. */
   def simhash(text: UTF8String): Long = {
-    val words = wordHashes(text)
+    val words = wordHashesMd5(text)
     val votes = new Array[Int](64)
     var i = 0
     while (i < words.length) {

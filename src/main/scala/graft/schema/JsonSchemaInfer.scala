@@ -66,9 +66,15 @@ object JsonSchemaInfer {
   // ObjectMapper is thread-safe for read; one per JVM.
   private val mapper = new ObjectMapper()
 
-  def parse(json: String): JsonNode =
+  /** Total parse() invocations (LongAdder — negligible under contention).
+    * Lets tests pin the one-parse-per-row contract of the classify path. */
+  val parseCount = new java.util.concurrent.atomic.LongAdder
+
+  def parse(json: String): JsonNode = {
+    parseCount.increment()
     try mapper.readTree(json)
     catch { case e: Exception => throw new JsonParseException(s"""Cannot parse JSON value "$json"""", e) }
+  }
 
   /** Infer schema+value for a JSON string under root key `key` (the column
     * name). Returns None when the whole value infers to nothing (JSON null /

@@ -37,11 +37,22 @@ final case class JsonDeserializeConfig(
     topic: String = "default",
     opts: InferOptions = InferOptions(),
     union: Boolean = true,
-    lenient: Boolean = false)
+    lenient: Boolean = false,
+    /** Opt-in logging of schema-union failures, the analog of the
+      * reference's `log-schema-union-failures` flag
+      * (`smt/DebeziumJsonDeserializer.java:124,229-236`): when a batch
+      * schema class cannot union with any known class, the serialized
+      * (round-trippable) schema is logged and [[JsonDeserialize.unionFailures]]
+      * is incremented. */
+    logUnionFailures: Boolean = false)
 
 final class JsonDeserialize(val cfg: JsonDeserializeConfig, val registry: SchemaRegistry)
     extends SmtStage {
   val name = "json-deserialize"
+
+  /** Count of union failures (new incompatible classes registered) across
+    * batches — the metric surface for `log-schema-union-failures`. */
+  val unionFailures = new java.util.concurrent.atomic.AtomicLong()
 
   def apply(df: DataFrame): DataFrame =
     cfg.columns.foldLeft(df)((d, c) => applyColumn(d, c))
@@ -69,11 +80,26 @@ final class JsonDeserialize(val cfg: JsonDeserializeConfig, val registry: Schema
 
     // Cross-batch registry union (driver-side; registry persists in the
     // sink table's snapshot — fixes the reference's restart amnesia).
+    // A batch class that fails to union with every known class registers a
+    // NEW class — that is the reference's "schema union failure"
+    // (`DebeziumJsonDeserializer.java:229-236`), counted and (opt-in) logged
+    // with the round-trippable serialized schema.
     val classes: List[JType] =
       if (cfg.union) {
-        val merged = SchemaUnion.mergeLists(registry.get(cfg.topic, column), batchClasses, cfg.opts.optionalStructFields)
-        registry.put(cfg.topic, column, merged)
-        merged
+        var acc = registry.get(cfg.topic, column)
+        batchClasses.foreach { bc =>
+          val (updated, idx) = SchemaUnion.unionIntoList(acc, bc, cfg.opts.optionalStructFields)
+          if (idx == acc.size && acc.nonEmpty) {
+            unionFailures.incrementAndGet()
+            if (cfg.logUnionFailures)
+              System.err.println(
+                s"[json-deserialize] topic=${cfg.topic} field=$column: inferred schema " +
+                  s"unions with no known schema, registering new class: ${JType.serialize(bc)}")
+          }
+          acc = updated
+        }
+        registry.put(cfg.topic, column, acc)
+        acc
       } else batchClasses
 
     if (classes.isEmpty) {
@@ -87,23 +113,32 @@ final class JsonDeserialize(val cfg: JsonDeserializeConfig, val registry: Schema
       df.withColumn(column, parseAs(col(column), classes.head))
     } else {
       // Rare fan-out: classify each row to its compatibility class, emit
-      // one typed column per class.
-      val serialized = JType.serializeMany(classes)
+      // one typed column per class. Fast path first (O13 as designed,
+      // `json/SchemaMapper.java:19-66` via `DebeziumJsonDeserializer.java:195-212`):
+      // strict-map the parsed node onto each known class — ONE JSON parse
+      // per row and no per-row registry deserialization (the class list is
+      // a serializable closure capture); a miss falls back to infer + a
+      // union-compat test against the same captured list.
+      val known: List[JType] = classes
       val opts = cfg.opts
       val lenient = cfg.lenient
+      val colName = column
       val classify = udf { (s: String) =>
         if (s == null || s.isEmpty) -1
         else try {
-          val inferred = JsonSchemaInfer.inferSchemaOnly(s, column, opts)
-          inferred match {
+          val node = JsonSchemaInfer.parse(s)
+          val fast = known.indexWhere { k =>
+            try { StrictMapper.mapJsonToSchema(k, node, opts); true }
+            catch { case _: Exception => false }
+          }
+          if (fast >= 0) fast
+          else JsonSchemaInfer.infer(node, colName, opts) match {
             case None => -1
-            case Some(t) =>
-              val known = JType.deserializeMany(serialized)
-              val idx = known.indexWhere { k =>
+            case Some((t, _)) =>
+              known.indexWhere { k =>
                 try { SchemaUnion.union2(k, t, opts.optionalStructFields); true }
                 catch { case _: IllegalArgumentException => false }
               }
-              idx
           }
         } catch { case _: JsonParseException if lenient => -1 }
       }

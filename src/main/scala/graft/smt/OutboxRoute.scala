@@ -43,6 +43,15 @@ final case class OutboxRoute(cfg: OutboxConfig) extends SmtStage {
     def valueField(n: String): Option[Column] =
       if (valueType.fieldNames.contains(n)) Some(col(s"value.$n")) else None
 
+    // A non-string topic field is a data error, not something to cast around
+    // (`Outbox.java:107-109` throws DataException). Analysis-time here: the
+    // whole column has one type, so the per-record check collapses to one.
+    valueField("topic").foreach { _ =>
+      val dt = valueType("topic").dataType
+      if (dt != StringType) throw new IllegalArgumentException(
+        s"The topic field in the value must be a string, got ${dt.catalogString}.")
+    }
+
     // Tombstone semantics: null value dropped (`Outbox.java:79-82`);
     // __deleted == "true" or null payload => tombstone (`:94-101`).
     val dropped = df.filter(col("value").isNotNull)
@@ -131,11 +140,26 @@ final case class OutboxRoute(cfg: OutboxConfig) extends SmtStage {
 
 object OutboxRoute {
   import org.apache.spark.sql.functions._
+
+  /** The value-schema name Debezium stamps on heartbeat records
+    * (`smt/Outbox.java:84-88`). */
+  val HeartbeatSchemaName = "io.debezium.connector.common.Heartbeat"
+
+  /** Default column carrying the Connect value-schema name in the engine's
+    * envelope (Spark types are anonymous, so the name rides as data). */
+  val SchemaNameColumn = "value_schema_name"
+
   /** Signal/heartbeat passthrough predicate (`smt/Outbox.java:73-77,84-88`):
-    * split these rows off before routing and re-union them unchanged. */
-  def isPassthrough(heartbeatTopics: Set[String] = Set.empty): Column = {
+    * split these rows off before routing and re-union them unchanged.
+    * Heartbeats are matched by VALUE SCHEMA NAME — the reference checks
+    * `valueSchema.name().equals("io.debezium.connector.common.Heartbeat")`,
+    * not the topic — carried in `schemaNameCol` when the envelope has one. */
+  def isPassthrough(df: DataFrame, schemaNameCol: String = SchemaNameColumn): Column = {
     val sig = lower(col("topic")).contains("dbz_signal")
-    if (heartbeatTopics.isEmpty) sig
-    else sig || col("topic").isin(heartbeatTopics.toSeq: _*)
+    if (df.columns.contains(schemaNameCol)) sig || (col(schemaNameCol) === HeartbeatSchemaName)
+    else sig
   }
+
+  /** Topic-only variant for envelopes without a schema-name column. */
+  def isPassthrough(): Column = lower(col("topic")).contains("dbz_signal")
 }

@@ -34,6 +34,16 @@ class OpsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b) => Set(a, b).contains(3L) && Set(a, b).intersect(Set(1L, 2L, 4L)).nonEmpty })
   }
 
+  test("md5-derived hashes match the cross-engine md5_number_lower pin") {
+    // DuckDB: SELECT md5_number_lower('abc') = 8250560606382298838 — the
+    // little-endian uint64 of md5 bytes [8,16). Both oracle-reproducible
+    // kernels (simhash word hash, LSH hyperplanes) derive from it.
+    val pin = 8250560606382298838L
+    assert(TextHashKernel.md5Lower(org.apache.spark.unsafe.types.UTF8String.fromString("abc")) == pin)
+    assert(Similarity.md5LowerLE("abc") == pin)
+    assert(Similarity.md5Unit("abc") == pin.toDouble / 1.8446744073709552E19)
+  }
+
   test("simhash is deterministic and exact dups have hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](4).longValue)).toMap
@@ -77,7 +87,8 @@ class OpsSpec extends AnyFunSuite {
     val base = (0 until 30).map(i => (i.toLong, Array.tabulate(8)(d => pseudo2(i, d))))
     val plusDup = base :+ (200L, base(7)._2.clone())
     val vecs = plusDup.toDF("vec_id", "embedding")
-    val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", dim = 8, bits = 4, threshold = 0.999)
+    val dups = Dedup.embeddingNearDups(vecs, "vec_id", "embedding", dim = 8,
+      bands = 4, rowsPerBand = 4, threshold = 0.999)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(dups.contains((7L, 200L)))
   }

@@ -69,6 +69,43 @@ class JsonDeserializeSpec extends AnyFunSuite {
     assert(rows(1).isNullAt(rows(1).fieldIndex("json")) && !rows(1).isNullAt(rows(1).fieldIndex("json__v1")))
   }
 
+  test("two-class classify uses the strict fast path: one parse per row") {
+    // DebeziumJsonDeserializer.java:195-212 / SchemaMapper.java:19-66 — the
+    // classify path must parse each row ONCE and strict-map it onto the
+    // closure-captured class list, never re-deserialize the registry per row.
+    val df = Seq(
+      ("1", """{"foo": "string"}"""),
+      ("2", """{"foo": ["array"]}"""),
+      ("3", """{"foo": "other"}"""),
+      ("4", """{"foo": ["more"]}""")).toDF("id", "json")
+    val s = stage()
+    val before = graft.schema.JsonSchemaInfer.parseCount.sum()
+    val out = s(df)
+    val rows = out.orderBy("id").collect()
+    val parses = graft.schema.JsonSchemaInfer.parseCount.sum() - before
+    // 4 rows x (1 parse in the inference aggregate + 1 parse in classify);
+    // a per-row fallback re-infer would add more.
+    assert(parses <= 8, s"expected <= 2 parses per row, got $parses for 4 rows")
+    assert(rows(0).isNullAt(rows(0).fieldIndex("json__v1")) && !rows(1).isNullAt(rows(1).fieldIndex("json__v1")))
+    assert(!rows(2).isNullAt(rows(2).fieldIndex("json")) && rows(2).isNullAt(rows(2).fieldIndex("json__v1")))
+  }
+
+  test("union failures are counted and opt-in logged") {
+    // DebeziumJsonDeserializer.java:124,229-236 — a schema that unions with
+    // no known class registers a new class; the failure count is surfaced.
+    val reg = new SchemaRegistry(true)
+    val s = new JsonDeserialize(JsonDeserializeConfig(
+      Seq("json"), "t", InferOptions(optionalStructFields = true),
+      union = true, lenient = false, logUnionFailures = true), reg)
+    s(Seq(("1", """{"foo": "string"}""")).toDF("id", "json")).collect()
+    assert(s.unionFailures.get() == 0L) // first class of an empty registry is not a failure
+    s(Seq(("2", """{"foo": 42}""")).toDF("id", "json")).collect()
+    assert(s.unionFailures.get() == 1L) // STRING vs INT32 cannot union -> new class
+    s(Seq(("3", """{"foo": "more text"}""")).toDF("id", "json")).collect()
+    assert(s.unionFailures.get() == 1L) // unions with class 0, no new failure
+    assert(reg.get("t", "json").size == 2)
+  }
+
   test("root literals parse via cast (boolean/int classes)") {
     val df = Seq(("1", "true"), ("2", "500"), ("3", "false"), ("4", "1000")).toDF("id", "json")
     val out = stage()(df)

@@ -52,6 +52,35 @@ class OutboxRouteSpec extends AnyFunSuite {
     assert(normal.filter(OutboxRoute.isPassthrough()).count() == 0)
   }
 
+  // OutboxTest.java:104-124 — heartbeat passthrough matches the VALUE SCHEMA
+  // NAME io.debezium.connector.common.Heartbeat (`Outbox.java:84-88`), not a
+  // configured topic set; the name rides in a schema-name column.
+  test("heartbeat rows pass through by value schema name") {
+    val schema = StructType(Seq(
+      StructField("topic", StringType),
+      StructField("value_schema_name", StringType),
+      StructField("key", StringType)))
+    val rows = Seq(
+      Row("any.topic", OutboxRoute.HeartbeatSchemaName, "hb"),
+      Row("any.topic", "some.other.Schema", "normal"),
+      Row("x.dbz_signal", null, "sig"))
+    val df = spark.createDataFrame(rows.asJava, schema)
+    val pass = df.filter(OutboxRoute.isPassthrough(df)).select("key").collect().map(_.getString(0)).toSet
+    assert(pass == Set("hb", "sig"))
+  }
+
+  // Outbox.java:107-109 — a non-string topic field is a data error
+  test("non-string topic field in the value throws") {
+    val badSchema = StructType(Seq(
+      StructField("payload", StringType),
+      StructField("topic", IntegerType)))
+    val df = mkDf(badSchema, Seq(Row("p", 42)))
+    val e = intercept[IllegalArgumentException] {
+      OutboxRoute(OutboxConfig(topic = Some("t")))(df)
+    }
+    assert(e.getMessage.contains("must be a string"))
+  }
+
   // OutboxTest.java:126-151 — struct headers promoted
   test("struct headers are promoted to string headers") {
     val hSchema = StructType(Seq(StructField("agency_id", StringType)))
