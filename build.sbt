@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // local[N] runs the whole pipeline in one JVM: size the heap like the sum
+  // of executors it stands in for (a 1000-executor cluster is not heap-bound
+  // at 8g/32 threads; the bench must not be either).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split(" ").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)

@@ -89,6 +89,9 @@ object MergeInto {
     // Physical file schema = payload + LSN high-water mark + tombstone flag.
     val dataSchema = dataSchemaOf(newSchema)
 
+    if (snap.writeMode == "mor")
+      return runMor(table, changes, epochKey, registryJson, snap, afterSchema, newSchema, mark)
+
     // 2. Intra-batch dedup: last write per key by lsn. Deliberately NOT
     // max_by(struct(...)): a complex aggregation buffer forces SortAggregate
     // (two full sorts of the batch, profiled as the scaling bottleneck).
@@ -237,6 +240,79 @@ object MergeInto {
     } finally {
       deduped.unpersist()
     }
+  }
+
+  /**
+   * Merge-on-read: the change batch appends as DELTA files — no target read,
+   * no rewrite; readers resolve the winner per key by the __lsn high-water
+   * mark ([[graft.table.IceLiteTable.resolveMor]]). Cuts COW's write
+   * amplification for update-heavy epochs (write volume = O(batch), never
+   * O(affected files)); buckets whose file count crosses
+   * `mor.compact.threshold` (table property, default 16) compact inline to
+   * bound read amplification. Same dedup, exactly-once ledger, evolution and
+   * stale semantics as COW (stale changes are simply out-ranked at read).
+   */
+  private def runMor(table: IceLiteTable, changes: DataFrame, epochKey: String,
+                     registryJson: Option[String], snap: Snapshot,
+                     afterSchema: StructType, newSchema: StructType,
+                     mark: String => Unit): CommitStats = {
+    val key = snap.keyColumn
+    val nBuckets = snap.numBuckets
+    val lastLsn = changes.groupBy(col(key)).agg(max("lsn").as("lsn"))
+    val deduped = changes.select(col(key), col("op"), col("after"), col("lsn"))
+      .hint("shuffle_hash")
+      .join(lastLsn.hint("shuffle_hash"), Seq(key, "lsn"))
+      .dropDuplicates(key, "lsn")
+    val isDelete = col("op") === "d"
+    val outCols = newSchema.fieldNames.toSeq.map { cn =>
+      val v =
+        if (cn == key) col(key)
+        else if (afterSchema.fieldNames.contains(cn))
+          when(isDelete, lit(null).cast(newSchema(cn).dataType)).otherwise(col(s"after.$cn"))
+        else lit(null).cast(newSchema(cn).dataType)
+      v.as(cn)
+    }
+    val obs = org.apache.spark.sql.Observation()
+    val rows = deduped.select(outCols ++ Seq(
+      col("lsn").as(LSN), isDelete.as(DELETED),
+      KafkaMurmur2.kafkaPartition(col(key), nBuckets).as(BUCKET)): _*)
+      .observe(obs,
+        count(when(!col(DELETED), 1)).as("upsert"),
+        count(when(col(DELETED), 1)).as("delete"))
+    val version = snap.version + 1
+    val newFiles = writeDataFiles(table, snap.copy(schemaJson = newSchema.json), rows, version)
+    mark("mor delta write + footer stats")
+    val counts = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    // MOR cannot tell insert from update without reading the base — the
+    // distinction is deferred to read/compaction; report upserts as inserts.
+    val stats = CommitStats(
+      epochKey,
+      inserted = counts.getOrElse("upsert", 0L),
+      updated = 0L,
+      deleted = counts.getOrElse("delete", 0L),
+      carried = 0L, stale = 0L,
+      rewrittenFiles = 0,
+      touchedBuckets = newFiles.map(_.bucket).distinct.size)
+    table.commit(snap.copy(
+      version = version,
+      schemaJson = newSchema.json,
+      files = snap.files ++ newFiles,
+      committedEpochs = snap.committedEpochs :+ epochKey,
+      registryJson = registryJson.getOrElse(snap.registryJson),
+      lineage = updateLineage(snap.lineage, newFiles, stats),
+      parentVersion = snap.version,
+      stats = Some(stats)))
+    mark("mor commit")
+    // Inline compaction bounds read amplification: any bucket whose file
+    // count crossed the threshold is rewritten to its resolved state.
+    val threshold = snap.properties.getOrElse("mor.compact.threshold", "16").toInt
+    val crowded = table.snapshot.files.groupBy(_.bucket)
+      .collect { case (b, fs) if fs.size > threshold => b }.toSet
+    if (crowded.nonEmpty) {
+      table.compactBuckets(crowded)
+      mark(s"mor compaction (${crowded.size} buckets)")
+    }
+    stats
   }
 
   /** Write data-schema rows bucket-partitioned and key-sorted; return per-file

@@ -61,8 +61,11 @@ final case class Snapshot(
     registryJson: String,
     lineage: Map[String, Long],
     parentVersion: Long,
-    stats: Option[CommitStats]) {
+    stats: Option[CommitStats],
+    /** Table properties, e.g. `write.mode` = cow (default) | mor. */
+    properties: Map[String, String] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
+  def writeMode: String = properties.getOrElse("write.mode", "cow")
 }
 
 object IceLite {
@@ -73,12 +76,14 @@ object IceLite {
   }
 
   def create(spark: SparkSession, root: String, schema: StructType, keyColumn: String,
-             numBuckets: Int = 16): IceLiteTable = {
+             numBuckets: Int = 16, properties: Map[String, String] = Map.empty): IceLiteTable = {
     val rootP = Paths.get(root)
     Files.createDirectories(rootP.resolve("data"))
     Files.createDirectories(rootP.resolve("meta"))
     require(schema.fieldNames.contains(keyColumn), s"key column $keyColumn missing from schema")
-    val snap = Snapshot(0L, schema.json, keyColumn, numBuckets, Nil, Nil, "", Map.empty, -1L, None)
+    val mode = properties.getOrElse("write.mode", "cow")
+    require(mode == "cow" || mode == "mor", s"unknown write.mode: $mode")
+    val snap = Snapshot(0L, schema.json, keyColumn, numBuckets, Nil, Nil, "", Map.empty, -1L, None, properties)
     writeSnapshot(rootP, snap)
     new IceLiteTable(spark, root)
   }
@@ -115,9 +120,10 @@ object IceLite {
         s.path("deleted").asLong(), s.path("carried").asLong(), s.path("stale").asLong(),
         s.path("rewrittenFiles").asInt(), s.path("touchedBuckets").asInt())
     }
+    val props = n.path("properties").fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     Snapshot(n.path("version").asLong(), n.path("schemaJson").asText(), n.path("keyColumn").asText(),
       n.path("numBuckets").asInt(), files, epochs, n.path("registryJson").asText(),
-      lineage, n.path("parentVersion").asLong(), stats)
+      lineage, n.path("parentVersion").asLong(), stats, props)
   }
 
   /** Atomic commit: write to temp, atomically move into place. A concurrent
@@ -128,6 +134,18 @@ object IceLite {
     Files.write(tmp, mapper.writeValueAsBytes(snap))
     Files.move(tmp, meta.resolve(s"v${snap.version}.json"),
       StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object IceLiteTable {
+  /** MOR read-side resolve: one winner row per key by the __lsn high-water
+    * mark (hash agg + equi-join — the same no-sort shape as the merge's
+    * intra-batch dedup; duplicate (key, lsn) redeliveries collapse). */
+  private[graft] def resolveMor(df: DataFrame, key: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.merge.MergeInto.LSN
+    val last = df.groupBy(col(key)).agg(max(LSN).as(LSN))
+    df.join(last, Seq(key, LSN)).dropDuplicates(key, LSN)
   }
 }
 
@@ -158,7 +176,9 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
 
   private def readSnap(s: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions._
-    readFiles(s.copy(schemaJson = graft.merge.MergeInto.dataSchemaOf(s.schema).json), s.files)
+    val raw = readFiles(s.copy(schemaJson = graft.merge.MergeInto.dataSchemaOf(s.schema).json), s.files)
+    val resolved = if (s.writeMode == "mor") IceLiteTable.resolveMor(raw, s.keyColumn) else raw
+    resolved
       .filter(!coalesce(col(graft.merge.MergeInto.DELETED), lit(false)))
       .select(s.schema.fieldNames.map(col).toSeq: _*)
   }
@@ -179,13 +199,39 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
 
   private[graft] def commit(newSnap: Snapshot): Unit = IceLite.writeSnapshot(rootP, newSnap)
 
+  /** MOR: rewrite `buckets` to their resolved state (one winner row per
+    * key), dropping resolved tombstones below `lsnWatermark`. O(files of the
+    * chosen buckets). Returns the number of files replaced. */
+  def compactBuckets(buckets: Set[Int], lsnWatermark: Long = Long.MinValue): Int = {
+    import org.apache.spark.sql.functions._
+    import graft.merge.MergeInto.{DELETED, LSN}
+    val snap = snapshot
+    val affected = snap.files.filter(f => buckets.contains(f.bucket))
+    if (affected.isEmpty) return 0
+    val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema)
+    val resolved = IceLiteTable.resolveMor(
+      readFiles(snap.copy(schemaJson = dataSchema.json), affected), snap.keyColumn)
+      .filter(!(coalesce(col(DELETED), lit(false)) && col(LSN) < lsnWatermark))
+    val newFiles = graft.merge.MergeInto.writeDataFiles(this, snap, resolved, snap.version + 1)
+    commit(snap.copy(
+      version = snap.version + 1,
+      files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newFiles,
+      parentVersion = snap.version))
+    affected.size
+  }
+
   /** Physically drop tombstone rows older than `lsnWatermark` (the stream's
     * low-water mark: no change below it can still arrive). Rewrites only
-    * files that contain tombstones — O(tombstoned files). */
+    * files that contain tombstones — O(tombstoned files). In MOR mode a
+    * tombstone can only vanish together with every older version of its key,
+    * so the whole bucket compacts instead (same big-O for the common case of
+    * tombstones spread across buckets). */
   def compactTombstones(lsnWatermark: Long): Int = {
     import org.apache.spark.sql.functions._
     import graft.merge.MergeInto.{DELETED, LSN}
     val snap = snapshot
+    if (snap.writeMode == "mor")
+      return compactBuckets(snap.files.filter(_.tombstones > 0).map(_.bucket).toSet, lsnWatermark)
     val affected = snap.files.filter(_.tombstones > 0)
     if (affected.isEmpty) return 0
     val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema)

@@ -146,6 +146,51 @@ class ReplaySpec extends AnyFunSuite {
     assert(tableState(table) == state)
   }
 
+  test("merge-on-read replay matches the oracle fold with token-array equality") {
+    val cfg = GenConfig(numDocs = 300, numEvents = 5000, seed = 7, withMetadata = false)
+    val root = SparkTestBase.tempDir("icelite-mor")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id",
+      numBuckets = 8, properties = Map("write.mode" -> "mor", "mor.compact.threshold" -> "4"))
+
+    val events = ChangeGen.events(spark, cfg)
+    Pipeline.replayBatch(spark, events, table, "t1", epochs = 5, lsnMax = cfg.numEvents)
+
+    val expected = collectOracle(cfg)
+    val actual = tableState(table)
+    assert(actual.keySet == expected.keySet)
+    expected.foreach { case (k, (toks, n, src)) =>
+      val (aToks, aN, aSrc) = actual(k)
+      assert(aToks == toks, s"token mismatch for $k")
+      assert(aN == n && aSrc == src)
+    }
+    // delta writes: merges never rewrite files (compaction does)
+    assert(table.snapshot.files.nonEmpty)
+
+    // exactly-once in MOR: re-delivering an epoch appends nothing
+    val v = table.snapshot.version
+    val state = tableState(table)
+    table.merge(events.limit(100), "t1/0")
+    assert(table.snapshot.version == v && tableState(table) == state)
+
+    // full compaction preserves state and drops resolved tombstones
+    table.compactBuckets((0 until 8).toSet, lsnWatermark = Long.MaxValue)
+    assert(tableState(table) == state)
+    assert(table.snapshot.files.map(_.tombstones).sum == 0)
+    // post-compaction each bucket holds exactly its resolved rows
+    assert(table.snapshot.files.groupBy(_.bucket).forall(_._2.size <= 2))
+  }
+
+  test("merge-on-read out-of-order replay is out-ranked at read") {
+    val cfg = GenConfig(numDocs = 60, numEvents = 800, seed = 17, withMetadata = false)
+    val root = SparkTestBase.tempDir("icelite-mor-stale")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id",
+      numBuckets = 4, properties = Map("write.mode" -> "mor"))
+    table.merge(ChangeGen.events(spark, cfg), "s/0")
+    val state1 = tableState(table)
+    table.merge(ChangeGen.events(spark, cfg.copy(numEvents = 100)), "s/1")
+    assert(tableState(table) == state1) // older lsn rows lose the read-side argmax
+  }
+
   test("time travel reads older snapshot") {
     val root = SparkTestBase.tempDir("icelite-tt")
     val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
