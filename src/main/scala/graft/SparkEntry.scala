@@ -231,8 +231,11 @@ object SparkEntry {
             size(array_union(col("w_a"), col("w_b"))).cast(DoubleType), 4).as("jaccard"))
     }),
     "q_minhash_dedup" -> ((s, dir) =>
+      // md5 kernel: same banding algorithm as the default xxhash64 path but
+      // every hash is SQL-reproducible, so the full LSH candidate generation
+      // + exact-Jaccard verification has a DuckDB oracle (ops/Md5MinHash.scala)
       Dedup.minhashLsh(T(s, dir, "documents"), "doc_id", "text",
-        numHashes = 32, bands = 8, shingleWidth = 3, threshold = 0.4)),
+        numHashes = 32, bands = 8, shingleWidth = 3, threshold = 0.4, hashKernel = "md5")),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text")
         // hamming <= 3 makes the 4x16-bit banding EXHAUSTIVE (pigeonhole:
@@ -506,6 +509,41 @@ object SparkEntry {
         |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank, bucket
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
+    "q_minhash_dedup" ->
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |         ELSE [array_to_string(ws, ' ')] END,
+        |    s -> (CASE WHEN md5_number_lower(s) >= 9223372036854775808
+        |               THEN md5_number_lower(s)::HUGEINT - 18446744073709551616
+        |               ELSE md5_number_lower(s)::HUGEINT END)::BIGINT))) AS hs
+        |  FROM w),
+        |coef AS (
+        |  SELECT
+        |    list_transform(range(0,32), j -> (((CASE WHEN md5_number_lower('mh_a_' || j) >= 9223372036854775808
+        |          THEN md5_number_lower('mh_a_' || j)::HUGEINT - 18446744073709551616
+        |          ELSE md5_number_lower('mh_a_' || j)::HUGEINT END % 2147483646) + 2147483646) % 2147483646 + 1)::BIGINT) AS a,
+        |    list_transform(range(0,32), j -> (((CASE WHEN md5_number_lower('mh_b_' || j) >= 9223372036854775808
+        |          THEN md5_number_lower('mh_b_' || j)::HUGEINT - 18446744073709551616
+        |          ELSE md5_number_lower('mh_b_' || j)::HUGEINT END % 2147483647) + 2147483647) % 2147483647)::BIGINT) AS b),
+        |sig AS (
+        |  SELECT doc_id, hs, list_transform(range(0,32), j ->
+        |    list_min(list_transform(hs, h -> (a[j+1] * (((h % 2147483647) + 2147483647) % 2147483647) + b[j+1]) % 2147483647))) AS sg
+        |  FROM sh CROSS JOIN coef),
+        |banded AS (
+        |  SELECT doc_id, t.band,
+        |    md5_number_lower(array_to_string(sg[band*4+1 : band*4+4], ',')) AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0,8)) AS band) t),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard FROM (
+        |  SELECT id_a, id_b,
+        |    round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.hs, sb.hs))) AS DOUBLE), 4) AS jaccard
+        |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |WHERE jaccard >= 0.4""".stripMargin,
     "q_multimodal_features" ->
       """WITH m AS (SELECT unnest(range(0, 500)) AS id)
         |SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,

@@ -56,19 +56,25 @@ object Dedup {
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
-                 threshold: Double = 0.5): DataFrame = {
+                 threshold: Double = 0.5, hashKernel: String = "xx"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // Shingles as HASHES (native ShingleHashesExpr): one tokenize per row,
     // no shingle strings ever materialize; Jaccard over hash sets equals
     // Jaccard over shingle sets up to negligible 64-bit collisions.
+    // hashKernel "xx" (default) = xxhash64 folds, the fast path;
+    // "md5" = [[Md5MinHash]], same algorithm with SQL-reproducible hashes
+    // (the correctness-oracle path).
     val base = df.select(col(idCol).as("id"),
-      TextHashExprs.shingleHashes(col(textCol), shingleWidth).as("sh"))
+      (if (hashKernel == "md5") Md5MinHash.shingleHashes(col(textCol), shingleWidth)
+       else TextHashExprs.shingleHashes(col(textCol), shingleWidth)).as("sh"))
     // Band keys are one native expression per row; the shingle arrays do
     // NOT ride through the banding explode or the candidate self-join —
     // only (id, band, bucket) shuffles there. Shingles re-join by id for
     // the exact-Jaccard verification of the (small) candidate set.
-    val banded = base.select(col("id"),
-      posexplode(MinHashSigExpr.minhashBands(col("sh"), numHashes, bands)).as(Seq("band", "bucket")))
+    val bandCol =
+      if (hashKernel == "md5") Md5MinHash.minhashBands(col("sh"), numHashes, bands)
+      else MinHashSigExpr.minhashBands(col("sh"), numHashes, bands)
+    val banded = base.select(col("id"), posexplode(bandCol).as(Seq("band", "bucket")))
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

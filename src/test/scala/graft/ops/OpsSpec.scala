@@ -44,6 +44,15 @@ class OpsSpec extends AnyFunSuite {
     assert(Similarity.md5Unit("abc") == pin.toDouble / 1.8446744073709552E19)
   }
 
+  test("md5 minhash kernel finds the same near-dup pairs as the xx kernel") {
+    def pairs(kernel: String) = Dedup.minhashLsh(docs, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4, hashKernel = kernel)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val xx = pairs("xx"); val md5 = pairs("md5")
+    assert(md5.contains((1L, 4L))) // exact dup always collides
+    assert(xx == md5) // same algorithm, different hash primitive
+  }
+
   test("simhash is deterministic and exact dups have hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](4).longValue)).toMap
