@@ -92,22 +92,20 @@ object MergeInto {
     if (snap.writeMode == "mor")
       return runMor(table, changes, epochKey, registryJson, snap, afterSchema, newSchema, mark)
 
-    // 2. Intra-batch dedup: last write per key by lsn. Deliberately NOT
-    // max_by(struct(...)): a complex aggregation buffer forces SortAggregate
-    // (two full sorts of the batch, profiled as the scaling bottleneck).
-    // max(lsn) hash-aggregates (codegen'd, map-side combined — hot keys
-    // collapse before the shuffle), then an equi-join on (key, lsn) fetches
-    // the winning payload. lsn is unique per key by contract.
-    val lastLsn = changes.groupBy(col(key)).agg(max("lsn").as("lsn"))
-    val dedupedRaw = changes.select(col(key), col("op"), col("after"), col("lsn"))
-      .hint("shuffle_hash")
-      .join(lastLsn.hint("shuffle_hash"), Seq(key, "lsn"))
-      // An at-least-once source can redeliver the same event WITHIN a batch
-      // (the epoch ledger only guards whole-batch redelivery); identical
-      // (key, lsn) rows would both survive the max-lsn join and write
-      // duplicate keys. Cheap: reuses the (key, lsn) join partitioning.
-      .dropDuplicates(key, "lsn")
-      .withColumn(BUCKET, KafkaMurmur2.kafkaPartition(col(key), nBuckets))
+    // 2. Intra-batch dedup: last write per key by lsn, designed around ONE
+    // full-data shuffle. The batch repartitions by BUCKET once; everything
+    // downstream — the max-lsn hash aggregate, the winning-payload join, the
+    // in-batch-redelivery dropDuplicates, the COW merge join, and the final
+    // bucket-partitioned write — reuses that clustering (bucket = f(key), so
+    // HashPartitioning(bucket) satisfies every (bucket, key, ...) clustering
+    // via the subset rule; the co-partition knob below re-enables subset
+    // reuse for joins, which Spark 3.3+ disables by default).
+    // Deliberately NOT max_by(struct(...)): a complex aggregation buffer
+    // forces SortAggregate (two full sorts of the batch, profiled as the
+    // scaling bottleneck). max(lsn) hash-aggregates (codegen'd, map-side
+    // combined — hot keys collapse before the shuffle).
+    spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val dedupedRaw = dedupeBatch(changes, key, nBuckets)
 
     // 3. Plan: which data files does this batch touch? Adaptive:
     //  - a young/compact table (few files per bucket) is near-fully touched
@@ -159,7 +157,11 @@ object MergeInto {
       // sorting both inputs; sort-merge is more robust under tight memory.
       val useShj = spark.conf.getOption("graft.merge.shuffleHashJoin").forall(_ == "true")
       val c = (if (useShj) deduped.hint("shuffle_hash") else deduped).alias("c")
-      val joined = t.join(c, t(key) === c(key), "full_outer")
+      // Equi-join on (bucket, key): bucket = f(key) adds nothing semantically
+      // but lets the changes side reuse its bucket clustering (no re-shuffle;
+      // only the affected target rows shuffle, aligned to the batch's
+      // partitioning).
+      val joined = t.join(c, t(BUCKET) === c(BUCKET) && t(key) === c(key), "full_outer")
 
       val isDelete = c("op") === "d"
       val matched = t(key).isNotNull && c(key).isNotNull
@@ -194,7 +196,7 @@ object MergeInto {
           when(keepTarget, t(LSN)).otherwise(c("lsn")).as(LSN),
           when(keepTarget, wasTombstone).otherwise(isDel).as(DELETED),
           col(ACTION),
-          KafkaMurmur2.kafkaPartition(keyOut, nBuckets).as(BUCKET)): _*)
+          coalesce(t(BUCKET), c(BUCKET)).as(BUCKET)): _*)
 
       // 5. Write surviving rows of touched buckets, key-sorted, bounded
       // files. Action counts piggyback on the write job via observe() —
@@ -208,7 +210,7 @@ object MergeInto {
         count(when(col(ACTION) === "stale", 1)).as("stale"))
       val version = snap.version + 1
       val newFiles: List[DataFileMeta] =
-        writeDataFiles(table, snap, observed.drop(ACTION), version)
+        writeDataFiles(table, snap, observed.drop(ACTION), version, bucketClustered = true)
       mark("merge join + write + footer stats")
       val actionCounts: Map[String, Long] =
         obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
@@ -243,6 +245,46 @@ object MergeInto {
   }
 
   /**
+   * Intra-batch last-write-wins dedup around ONE full-data shuffle, with
+   * hash aggregates only (no sorts, no complex aggregation buffers):
+   *
+   *   1. cluster the batch by BUCKET (the single shuffle — everything
+   *      downstream reuses it via the subset clustering rule);
+   *   2. winner lsn per key: groupBy(bucket, key).max(lsn) — codegen'd
+   *      HashAggregate, map-side combined (hot keys collapse pre-shuffle);
+   *   3. in-batch redelivery guard: an at-least-once source can deliver the
+   *      same (key, lsn) event twice WITHIN a batch (the epoch ledger only
+   *      guards whole-batch redelivery). dropDuplicates would plan a
+   *      SortAggregate over first(after) (full in-partition sorts of the
+   *      batch — the profiled scaling bottleneck round 1 removed), so
+   *      instead a unique physical row id breaks the tie:
+   *      groupBy(bucket, key, lsn).max(uid) stays a primitive-buffer
+   *      HashAggregate, and the equi-join on (bucket, key, lsn, uid) keeps
+   *      exactly one of N identical duplicates.
+   *
+   * Output carries (key, op, after, lsn, BUCKET), physically clustered by
+   * BUCKET.
+   */
+  private def dedupeBatch(changes: DataFrame, key: String, nBuckets: Int): DataFrame = {
+    // uid is assigned BEFORE the shuffle: recomputed branches of this plan
+    // re-read the (deterministic) source in the same partition order, so
+    // every branch sees identical uids; after a shuffle the intra-partition
+    // order — and therefore the ids — would differ between evaluations.
+    val clustered = changes.select(col(key), col("op"), col("after"), col("lsn"))
+      .withColumn("__uid", monotonically_increasing_id())
+      .withColumn(BUCKET, KafkaMurmur2.kafkaPartition(col(key), nBuckets))
+      .repartition(col(BUCKET))
+    val lastLsn = clustered.groupBy(col(BUCKET), col(key)).agg(max("lsn").as("lsn"))
+    val winners = clustered.groupBy(col(BUCKET), col(key), col("lsn")).agg(max("__uid").as("__uid"))
+      .hint("shuffle_hash")
+      .join(lastLsn.hint("shuffle_hash"), Seq(BUCKET, key, "lsn"))
+    clustered
+      .hint("shuffle_hash")
+      .join(winners.hint("shuffle_hash"), Seq(BUCKET, key, "lsn", "__uid"))
+      .drop("__uid")
+  }
+
+  /**
    * Merge-on-read: the change batch appends as DELTA files — no target read,
    * no rewrite; readers resolve the winner per key by the __lsn high-water
    * mark ([[graft.table.IceLiteTable.resolveMor]]). Cuts COW's write
@@ -258,11 +300,10 @@ object MergeInto {
                      mark: String => Unit): CommitStats = {
     val key = snap.keyColumn
     val nBuckets = snap.numBuckets
-    val lastLsn = changes.groupBy(col(key)).agg(max("lsn").as("lsn"))
-    val deduped = changes.select(col(key), col("op"), col("after"), col("lsn"))
-      .hint("shuffle_hash")
-      .join(lastLsn.hint("shuffle_hash"), Seq(key, "lsn"))
-      .dropDuplicates(key, "lsn")
+    // Same one-shuffle shape as the COW path: cluster by bucket once, then
+    // dedup + write reuse the clustering.
+    table.spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+    val deduped = dedupeBatch(changes, key, nBuckets)
     val isDelete = col("op") === "d"
     val outCols = newSchema.fieldNames.toSeq.map { cn =>
       val v =
@@ -274,13 +315,13 @@ object MergeInto {
     }
     val obs = org.apache.spark.sql.Observation()
     val rows = deduped.select(outCols ++ Seq(
-      col("lsn").as(LSN), isDelete.as(DELETED),
-      KafkaMurmur2.kafkaPartition(col(key), nBuckets).as(BUCKET)): _*)
+      col("lsn").as(LSN), isDelete.as(DELETED), col(BUCKET)): _*)
       .observe(obs,
         count(when(!col(DELETED), 1)).as("upsert"),
         count(when(col(DELETED), 1)).as("delete"))
     val version = snap.version + 1
-    val newFiles = writeDataFiles(table, snap.copy(schemaJson = newSchema.json), rows, version)
+    val newFiles = writeDataFiles(table, snap.copy(schemaJson = newSchema.json), rows, version,
+      bucketClustered = true)
     mark("mor delta write + footer stats")
     val counts = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
     // MOR cannot tell insert from update without reading the base — the
@@ -320,7 +361,8 @@ object MergeInto {
     * O(changed data)). `df` must carry the table's payload + internal columns;
     * the bucket is (re)computed from the key. */
   private[graft] def writeDataFiles(table: IceLiteTable, snap: Snapshot,
-                                    df: DataFrame, version: Long): List[DataFileMeta] = {
+                                    df: DataFrame, version: Long,
+                                    bucketClustered: Boolean = false): List[DataFileMeta] = {
     val spark = table.spark
     val key = snap.keyColumn
     val commitId = UUID.randomUUID().toString.take(8)
@@ -328,8 +370,12 @@ object MergeInto {
     val withBucket =
       if (df.columns.contains(BUCKET)) df
       else df.withColumn(BUCKET, KafkaMurmur2.kafkaPartition(col(key), snap.numBuckets))
-    withBucket
-      .repartition(col(BUCKET))
+    // bucketClustered: the caller guarantees rows are already physically
+    // clustered by BUCKET (e.g. the output of the co-partitioned merge
+    // join) — skipping the repartition saves a full shuffle of the write
+    // set; the dynamic-partition writer is correct under ANY distribution
+    // (a non-clustered input only costs extra files per bucket).
+    (if (bucketClustered) withBucket else withBucket.repartition(col(BUCKET)))
       .sortWithinPartitions(col(BUCKET), col(key))
       .write
       .option("maxRecordsPerFile", maxRecordsPerFile(spark))

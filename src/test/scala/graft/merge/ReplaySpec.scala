@@ -69,6 +69,19 @@ class ReplaySpec extends AnyFunSuite {
     assert(s1.inserted > 0)
   }
 
+  test("duplicated (key, lsn) events within one batch write a single row") {
+    val cfg = GenConfig(numDocs = 40, numEvents = 400, seed = 29, withMetadata = false)
+    val root = SparkTestBase.tempDir("icelite-dup")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val events = ChangeGen.events(spark, cfg)
+    table.merge(events.unionAll(events).unionAll(events.limit(50)), "s/0")
+    val dupKeys = table.read().groupBy("doc_id").count().filter(col("count") > 1).count()
+    assert(dupKeys == 0)
+    // and the state still matches the oracle fold
+    val expected = collectOracle(cfg)
+    assert(tableState(table) == expected)
+  }
+
   test("copy-on-write touches only affected buckets/files") {
     val cfg = GenConfig(numDocs = 200, numEvents = 2000, seed = 3, withMetadata = false)
     val root = SparkTestBase.tempDir("icelite-cow")
