@@ -17,7 +17,13 @@ object Bench {
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off for the bench session: the merge pipeline sets its shuffle
+      // partitioning explicitly (bucket clustering), and AQE's per-stage
+      // re-plan barriers measured ~2s/epoch of driver gaps at high
+      // parallelism on these short stages (hi-leg throughput +40% with AQE
+      // off). At true 100 TB scale with long stages, AQE's skew splitting
+      // outweighs barrier costs — flip SPARK_GRAFT_AQE=true.
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       // Serialized sort shuffle instead of bypass-merge: the bypass writer

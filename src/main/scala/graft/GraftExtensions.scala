@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(kafkaMurmur2Descriptor)
     ext.injectFunction(kafkaPartitionDescriptor)
     ext.injectFunction(tokenGenDescriptor)
+    // SQL `MERGE INTO icelite.`<path>` USING (<query>) EPOCH '<key>'`
+    ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
 }
 

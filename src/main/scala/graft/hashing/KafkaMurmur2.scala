@@ -71,6 +71,38 @@ object KafkaMurmur2 {
     pmod(murmur2(c).bitwiseAND(lit(0x7fffffff)), lit(numPartitions)).cast(IntegerType)
   }
 
+  /**
+   * Shuffle-packed bucket label for a key: same placement as
+   * [[kafkaPartition]], but each bucket id b is renamed to a label v chosen
+   * so Spark's own hash partitioner (pmod(murmur3(v, 42), P)) assigns the n
+   * labels PERFECTLY EVENLY to any power-of-two partition count P <= n
+   * (v satisfies pmod(murmur3(v), n) == b, so pmod(murmur3(v), P) == b mod
+   * P for P | n). Without this, hashing n bucket values into P ~ n shuffle
+   * partitions leaves ~1/e of the cores idle (balls-in-bins), which
+   * measured as a 28% packing loss in the merge stages.
+   */
+  def bucketLabel(c: Column, numBuckets: Int): Column = {
+    import org.apache.spark.sql.functions._
+    element_at(typedlit(labels(numBuckets).toSeq), kafkaPartition(c, numBuckets) + 1)
+  }
+
+  private val labelCache = new java.util.concurrent.ConcurrentHashMap[Int, Array[Int]]()
+
+  /** labels(n)(b) = smallest v >= 0 with pmod(murmur3_int(v, 42), n) == b. */
+  def labels(n: Int): Array[Int] = labelCache.computeIfAbsent(n, _ => {
+    val out = new Array[Int](n)
+    val found = new Array[Boolean](n)
+    var remaining = n
+    var v = 0
+    while (remaining > 0) {
+      val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+      val b = ((h % n) + n) % n
+      if (!found(b)) { found(b) = true; out(b) = v; remaining -= 1 }
+      v += 1
+    }
+    out
+  })
+
   private def castToBinary(c: Column): Column = {
     import org.apache.spark.sql.functions._
     c.cast(org.apache.spark.sql.types.StringType).cast(BinaryType)

@@ -151,7 +151,7 @@ object MergeInto {
 
       // 4. COW merge: affected target rows FULL OUTER JOIN deduped changes.
       val target = table.readFiles(snap.copy(schemaJson = dataSchema.json), affectedFiles)
-        .withColumn(BUCKET, KafkaMurmur2.kafkaPartition(col(key), nBuckets))
+        .withColumn(BUCKET, KafkaMurmur2.bucketLabel(col(key), nBuckets))
       val t = target.alias("t")
       // Join strategy for the COW merge is tunable: shuffled-hash avoids
       // sorting both inputs; sort-merge is more robust under tight memory.
@@ -272,7 +272,7 @@ object MergeInto {
     // order — and therefore the ids — would differ between evaluations.
     val clustered = changes.select(col(key), col("op"), col("after"), col("lsn"))
       .withColumn("__uid", monotonically_increasing_id())
-      .withColumn(BUCKET, KafkaMurmur2.kafkaPartition(col(key), nBuckets))
+      .withColumn(BUCKET, KafkaMurmur2.bucketLabel(col(key), nBuckets))
       .repartition(col(BUCKET))
     val lastLsn = clustered.groupBy(col(BUCKET), col(key)).agg(max("lsn").as("lsn"))
     val winners = clustered.groupBy(col(BUCKET), col(key), col("lsn")).agg(max("__uid").as("__uid"))
@@ -369,7 +369,7 @@ object MergeInto {
     val outDir = s"${table.root}/data/c$version-$commitId"
     val withBucket =
       if (df.columns.contains(BUCKET)) df
-      else df.withColumn(BUCKET, KafkaMurmur2.kafkaPartition(col(key), snap.numBuckets))
+      else df.withColumn(BUCKET, KafkaMurmur2.bucketLabel(col(key), snap.numBuckets))
     // bucketClustered: the caller guarantees rows are already physically
     // clustered by BUCKET (e.g. the output of the co-partitioned merge
     // join) — skipping the repartition saves a full shuffle of the write

@@ -12,6 +12,13 @@ object Exprs {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Analyze + wrap a logical plan as a DataFrame (classic.Dataset.ofRows is
+    * `private[sql]` in Spark 4). */
+  def ofRows(spark: org.apache.spark.sql.SparkSession,
+             plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
+
   /** Structural type equality ignoring nullability at every level. */
   def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
                                 b: org.apache.spark.sql.types.DataType): Boolean =

@@ -1,0 +1,73 @@
+package graft.sql
+
+import graft.table.IceLite
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{DataType, LongType, StringType, StructType}
+
+/**
+ * SQL `MERGE INTO` surface for IceLite tables — the statement-level analog
+ * of the typed `table.merge(...)` API, injected via
+ * `SparkSessionExtensions.injectParser` (see [[graft.GraftExtensions]]).
+ *
+ * Grammar (deliberately scoped to the engine's merge contract — the change
+ * source must produce `(key, op, lsn, after)` columns, exactly like the
+ * DataFrame API):
+ *
+ * {{{
+ *   MERGE INTO icelite.`/path/to/table` USING (<query>) EPOCH '<stream/epoch>'
+ * }}}
+ *
+ * Everything else passes through to the delegate parser untouched. Returns
+ * one row of commit stats; a re-delivered epoch key is the usual
+ * exactly-once no-op.
+ */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  private val mergePattern =
+    """(?is)^\s*MERGE\s+INTO\s+icelite\s*\.\s*`([^`]+)`\s+USING\s*\((.+)\)\s+EPOCH\s+'([^']+)'\s*;?\s*$""".r
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case mergePattern(root, sourceSql, epochKey) =>
+      MergeIntoIceLiteCommand(root, delegate.parsePlan(sourceSql), epochKey)
+    case _ => delegate.parsePlan(sqlText)
+  }
+
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression = delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier = delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier = delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] = delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType = delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType = delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType = delegate.parseRoutineParam(sqlText)
+}
+
+/**
+ * Eagerly-executed command: analyze the source query, run the MERGE, return
+ * the commit stats. The source plan rides as a constructor argument (not a
+ * child) and is analyzed through `Dataset.ofRows` at execution, which keeps
+ * the command itself a leaf for the analyzer.
+ */
+case class MergeIntoIceLiteCommand(root: String, source: LogicalPlan, epochKey: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("epoch", StringType, nullable = false)(),
+    AttributeReference("inserted", LongType, nullable = false)(),
+    AttributeReference("updated", LongType, nullable = false)(),
+    AttributeReference("deleted", LongType, nullable = false)(),
+    AttributeReference("carried", LongType, nullable = false)(),
+    AttributeReference("stale", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val table = IceLite.load(sparkSession, root)
+    val changes = org.apache.spark.sql.graftbridge.Exprs.ofRows(sparkSession, source)
+    val stats = table.merge(changes, epochKey)
+    Seq(Row(stats.epochKey, stats.inserted, stats.updated, stats.deleted, stats.carried, stats.stale))
+  }
+}

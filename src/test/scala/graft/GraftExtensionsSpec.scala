@@ -16,6 +16,36 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(rows.getInt(0) == 1 && rows.getInt(1) == 2 && rows.getInt(2) == 2)
   }
 
+  test("SQL MERGE INTO icelite runs the merge with exactly-once epochs") {
+    import graft.stream.{ChangeGen, GenConfig}
+    import graft.table.IceLite
+    val root = SparkTestBase.tempDir("sql-merge")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    ChangeGen.events(spark, GenConfig(numDocs = 20, numEvents = 100, seed = 3, withMetadata = false))
+      .createOrReplaceTempView("chg_ext")
+    val parser = new graft.sql.GraftSqlParser(spark.sessionState.sqlParser)
+    def mergeSql() = org.apache.spark.sql.graftbridge.Exprs.ofRows(spark, parser.parsePlan(
+      s"MERGE INTO icelite.`$root` USING (SELECT doc_id, op, lsn, after FROM chg_ext) EPOCH 'sq/0'")).head()
+    val first = mergeSql()
+    assert(first.getLong(1) > 0) // inserted
+    assert(table.read().count() > 0)
+    val again = mergeSql()
+    assert(again.getLong(1) == 0 && again.getLong(3) == 0) // re-delivery no-op
+    // non-MERGE SQL still parses through the delegate
+    assert(parser.parsePlan("SELECT 1").isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+  }
+
+  test("bucket labels pack perfectly into any power-of-two partition count") {
+    val ls = graft.hashing.KafkaMurmur2.labels(64)
+    for (p <- Seq(2, 4, 8, 16, 32, 64)) {
+      val bins = ls.map(v => {
+        val h = org.apache.spark.unsafe.hash.Murmur3_x86_32.hashInt(v, 42)
+        ((h % p) + p) % p
+      }).groupBy(identity).map(_._2.length)
+      assert(bins.size == p && bins.forall(_ == 64 / p), s"uneven packing at P=$p")
+    }
+  }
+
   test("kafka_murmur2 and token_gen are SQL-callable and codegen-compatible") {
     GraftExtensions.register(spark)
     val r = spark.sql(

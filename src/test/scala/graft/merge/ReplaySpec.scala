@@ -186,7 +186,7 @@ class ReplaySpec extends AnyFunSuite {
     assert(table.snapshot.version == v && tableState(table) == state)
 
     // full compaction preserves state and drops resolved tombstones
-    table.compactBuckets((0 until 8).toSet, lsnWatermark = Long.MaxValue)
+    table.compactBuckets(table.snapshot.files.map(_.bucket).toSet, lsnWatermark = Long.MaxValue)
     assert(tableState(table) == state)
     assert(table.snapshot.files.map(_.tombstones).sum == 0)
     // post-compaction each bucket holds exactly its resolved rows
