@@ -31,7 +31,11 @@ object Similarity {
 
   /** Exact top-k neighbours for each query row. The query side is
     * broadcast — candidates stream through one stage with no shuffle of the
-    * (huge) candidate table; only the per-query top-k rank shuffles. */
+    * (huge) candidate table; ranking is a bounded-heap aggregate
+    * ([[TopKAgg]]) whose partial (map-side) phase caps every partition's
+    * contribution at k rows per query, so the only shuffle is O(partitions
+    * x k x |queries|) — a window row_number() would shuffle ALL N x |q|
+    * scored rows. */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int,
                      qId: String = "vec_id", cId: String = "vec_id",
                      qVec: String = "embedding", cVec: String = "embedding"): DataFrame = {
@@ -40,12 +44,18 @@ object Similarity {
     val scored = c.crossJoin(broadcast(q))
       .filter(col("cid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("qid", "cid", "sim", "rank")
+    rankTopK(scored, Seq("qid"), k)
   }
+
+  /** Bounded-heap ranking: groupBy(groupCols).top_k -> one row per (group,
+    * candidate) with rank 1..k (score desc, id asc — same order as the
+    * window formulation). */
+  private def rankTopK(scored: DataFrame, groupCols: Seq[String], k: Int): DataFrame =
+    scored.groupBy(groupCols.map(col): _*)
+      .agg(TopKAgg.topK(col("sim"), col("cid").cast(LongType), k).as("top"))
+      .select(groupCols.map(col) :+ posexplode(col("top")).as(Seq("pos", "e")): _*)
+      .select(groupCols.map(col) ++ Seq(col("e.id").as("cid"), col("e.score").as("sim"),
+        (col("pos") + 1).cast(IntegerType).as("rank")): _*)
 
   /** Little-endian uint64 of md5 bytes [8,16) — the same value DuckDB's
     * `md5_number_lower` returns, so hyperplanes derived from it are
@@ -98,10 +108,7 @@ object Similarity {
     val scored = c.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))
       .withColumn("sim", cosine(col("qv"), col("cv")))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("qid")).orderBy(col("sim").desc, col("cid"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    rankTopK(scored, Seq("qid", "bucket"), k)
       .select("qid", "cid", "sim", "rank", "bucket")
   }
 }
