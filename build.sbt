@@ -30,8 +30,14 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[N] runs the whole pipeline in one JVM: size the heap like the sum
-  // of executors it stands in for (a 1000-executor cluster is not heap-bound
-  // at 8g/32 threads; the bench must not be either).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
+  // Fixed, pre-touched heap with transparent huge pages. The sandbox VM
+  // faults anonymous memory at ~1.4s/GB of KERNEL time on first touch
+  // (measured; hypervisor-assisted paging), so a lazily-growing heap makes
+  // G1 evacuate into cold regions — measured 1.3s young-GC pauses and a
+  // 12x throughput loss. Pre-touching once per JVM + 2MB pages turns heap
+  // reuse into warm-page work at real memory speed.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "20g")}",
+  "-XX:+UseTransparentHugePages",
+  "-XX:+AlwaysPreTouch",
 ) ++ sys.env.get("SPARK_GRAFT_JAVA_OPTS").map(_.split(" ").filter(_.nonEmpty).toSeq).getOrElse(Seq.empty)

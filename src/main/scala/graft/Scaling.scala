@@ -15,7 +15,7 @@ object Scaling {
   def main(args: Array[String]): Unit = {
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", (lo * 4).toString).toInt
-    val events = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "8000000").toLong
+    val events = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "16000000").toLong
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "7").toInt
     val budget = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "480").toInt
 

@@ -62,7 +62,8 @@ object MergeInto {
     val spark = table.spark
     val key = snap.keyColumn
     val nBuckets = snap.numBuckets
-    val verbose = spark.conf.getOption("graft.merge.verboseTiming").contains("true")
+    val verbose = spark.conf.getOption("graft.merge.verboseTiming").contains("true") ||
+      sys.env.get("SPARK_GRAFT_MERGE_VERBOSE").contains("true")
     var tMark = System.nanoTime()
     def mark(phase: String): Unit = if (verbose) {
       val now = System.nanoTime()
@@ -72,7 +73,14 @@ object MergeInto {
 
     // Empty batch: commit only the epoch marker (without this, the
     // no-prune planning mode would rewrite every file to apply nothing).
-    if (changes.isEmpty) {
+    // initialNumPartitions: isEmpty plans executeTake(1), whose default
+    // 1 -> 4x escalation scans an lsn-sliced batch's empty prefix partitions
+    // in 3-4 SEQUENTIAL job rounds (~0.4s of serial driver time per epoch,
+    // profiled); one all-partition round is a single cheap parallel job.
+    spark.conf.set("spark.sql.limit.initialNumPartitions", "10000")
+    val empt = changes.isEmpty
+    mark("isEmpty check")
+    if (empt) {
       table.commit(snap.copy(
         version = snap.version + 1,
         committedEpochs = snap.committedEpochs :+ epochKey,
@@ -92,18 +100,16 @@ object MergeInto {
     if (snap.writeMode == "mor")
       return runMor(table, changes, epochKey, registryJson, snap, afterSchema, newSchema, mark)
 
-    // 2. Intra-batch dedup: last write per key by lsn, designed around ONE
-    // full-data shuffle. The batch repartitions by BUCKET once; everything
-    // downstream — the max-lsn hash aggregate, the winning-payload join, the
-    // in-batch-redelivery dropDuplicates, the COW merge join, and the final
-    // bucket-partitioned write — reuses that clustering (bucket = f(key), so
-    // HashPartitioning(bucket) satisfies every (bucket, key, ...) clustering
-    // via the subset rule; the co-partition knob below re-enables subset
-    // reuse for joins, which Spark 3.3+ disables by default).
-    // Deliberately NOT max_by(struct(...)): a complex aggregation buffer
-    // forces SortAggregate (two full sorts of the batch, profiled as the
-    // scaling bottleneck). max(lsn) hash-aggregates (codegen'd, map-side
-    // combined — hot keys collapse before the shuffle).
+    // 2. Intra-batch dedup: last write per key by lsn, ONE ObjectHashAggregate
+    // with map-side partial combine (see dedupeBatch). The winner set then
+    // clusters by BUCKET; the COW merge join and the bucket-partitioned write
+    // reuse that clustering (bucket = f(key), so HashPartitioning(bucket)
+    // satisfies every (bucket, key, ...) clustering via the subset rule; the
+    // co-partition knob below re-enables subset reuse for joins, which
+    // Spark 3.3+ disables by default).
+    // Deliberately NOT max_by(struct(...)): a complex DECLARATIVE aggregation
+    // buffer forces SortAggregate (two full sorts of the batch); the typed
+    // imperative LWW buffer keeps the hash-aggregate shape.
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
     val dedupedRaw = dedupeBatch(changes, key, nBuckets)
 
@@ -210,8 +216,9 @@ object MergeInto {
         count(when(col(ACTION) === "stale", 1)).as("stale"))
       val version = snap.version + 1
       val newFiles: List[DataFileMeta] =
-        writeDataFiles(table, snap, observed.drop(ACTION), version, bucketClustered = true)
-      mark("merge join + write + footer stats")
+        writeDataFiles(table, snap, observed.drop(ACTION), version, bucketClustered = true,
+          mark = mark)
+      mark("footer stats")
       val actionCounts: Map[String, Long] =
         obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
 
@@ -245,43 +252,49 @@ object MergeInto {
   }
 
   /**
-   * Intra-batch last-write-wins dedup around ONE full-data shuffle, with
-   * hash aggregates only (no sorts, no complex aggregation buffers):
+   * Intra-batch last-write-wins dedup around ONE full-data shuffle and ONE
+   * read of it: cluster by BUCKET, then
+   * groupBy(bucket, key).last_write_wins(struct(lsn, op, after)) — a
+   * [[LastWriteWinsAgg]] through ObjectHashAggregate. HashPartitioning
+   * (bucket) satisfies the agg's (bucket, key) clustering (subset rule), so
+   * partial+final fuse into the post-shuffle stage: the shuffled batch is
+   * read once and collapsed to winners in a single hash pass. In-batch
+   * (key, lsn) redeliveries collapse in the same pass (ties keep first-seen;
+   * duplicate deliveries are byte-identical by the CDC contract).
    *
-   *   1. cluster the batch by BUCKET (the single shuffle — everything
-   *      downstream reuses it via the subset clustering rule);
-   *   2. winner lsn per key: groupBy(bucket, key).max(lsn) — codegen'd
-   *      HashAggregate, map-side combined (hot keys collapse pre-shuffle);
-   *   3. in-batch redelivery guard: an at-least-once source can deliver the
-   *      same (key, lsn) event twice WITHIN a batch (the epoch ledger only
-   *      guards whole-batch redelivery). dropDuplicates would plan a
-   *      SortAggregate over first(after) (full in-partition sorts of the
-   *      batch — the profiled scaling bottleneck round 1 removed), so
-   *      instead a unique physical row id breaks the tie:
-   *      groupBy(bucket, key, lsn).max(uid) stays a primitive-buffer
-   *      HashAggregate, and the equi-join on (bucket, key, lsn, uid) keeps
-   *      exactly one of N identical duplicates.
+   * Two shapes deliberately rejected:
+   *  - max-lsn hash agg + two self-equi-joins over a reused full-batch
+   *    exchange (round 1): reads the shuffled batch THREE times and plans
+   *    three exchanges — dominated per-epoch Catalyst time and shuffle I/O;
+   *  - pre-shuffle partial aggregation (groupBy before the repartition):
+   *    a CDC batch spreads each key's events across ALL input partitions,
+   *    so per-partition duplication is ~1.1x and the map-side pass is pure
+   *    overhead (measured 2x slower at width 32) — partial agg pays only
+   *    when keys repeat within a partition.
    *
    * Output carries (key, op, after, lsn, BUCKET), physically clustered by
-   * BUCKET.
+   * BUCKET; the merge join and bucket-partitioned write reuse the
+   * clustering.
    */
   private def dedupeBatch(changes: DataFrame, key: String, nBuckets: Int): DataFrame = {
-    // uid is assigned BEFORE the shuffle: recomputed branches of this plan
-    // re-read the (deterministic) source in the same partition order, so
-    // every branch sees identical uids; after a shuffle the intra-partition
-    // order — and therefore the ids — would differ between evaluations.
-    val clustered = changes.select(col(key), col("op"), col("after"), col("lsn"))
-      .withColumn("__uid", monotonically_increasing_id())
+    // Sort-based fallback would turn the one-pass hash collapse into a full
+    // sort; the default threshold (128 in-memory groups) is sized for
+    // collect_list-style aggregates, not a ~300-byte LWW buffer. 2M groups
+    // x ~330B ~ 650MB worst-case per task; actual epochs see ~100k-1M
+    // groups/partition. Size shuffle partitions so groups/partition stays
+    // under this at the target scale.
+    val spark = changes.sparkSession
+    spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+      spark.conf.getOption("graft.merge.aggFallbackThreshold").getOrElse("2000000"))
+    changes
+      .select(col(key), col("op"), col("after"),
+        col("lsn").cast(org.apache.spark.sql.types.LongType).as("lsn"))
       .withColumn(BUCKET, KafkaMurmur2.bucketLabel(col(key), nBuckets))
       .repartition(col(BUCKET))
-    val lastLsn = clustered.groupBy(col(BUCKET), col(key)).agg(max("lsn").as("lsn"))
-    val winners = clustered.groupBy(col(BUCKET), col(key), col("lsn")).agg(max("__uid").as("__uid"))
-      .hint("shuffle_hash")
-      .join(lastLsn.hint("shuffle_hash"), Seq(BUCKET, key, "lsn"))
-    clustered
-      .hint("shuffle_hash")
-      .join(winners.hint("shuffle_hash"), Seq(BUCKET, key, "lsn", "__uid"))
-      .drop("__uid")
+      .groupBy(col(BUCKET), col(key))
+      .agg(LastWriteWinsAgg.lww(struct(col("lsn"), col("op"), col("after"))).as("__w"))
+      .select(col(key), col("__w.op").as("op"), col("__w.after").as("after"),
+        col("__w.lsn").as("lsn"), col(BUCKET))
   }
 
   /**
@@ -362,7 +375,8 @@ object MergeInto {
     * the bucket is (re)computed from the key. */
   private[graft] def writeDataFiles(table: IceLiteTable, snap: Snapshot,
                                     df: DataFrame, version: Long,
-                                    bucketClustered: Boolean = false): List[DataFileMeta] = {
+                                    bucketClustered: Boolean = false,
+                                    mark: String => Unit = _ => ()): List[DataFileMeta] = {
     val spark = table.spark
     val key = snap.keyColumn
     val commitId = UUID.randomUUID().toString.take(8)
@@ -386,6 +400,7 @@ object MergeInto {
         spark.conf.getOption("graft.merge.parquet.dictionary").getOrElse("false"))
       .partitionBy(BUCKET)
       .parquet(outDir)
+    mark("merge join + write job")
     // Per-file stats from parquet footers, driver-side — O(files) metadata
     // reads, no extra Spark job (the Iceberg planning model).
     footerStats(spark, table.root, outDir, key)
@@ -407,7 +422,7 @@ object MergeInto {
       .toList
     // footer reads are independent metadata fetches; do them concurrently
     // (they are on the driver's serial path between epochs)
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(16, math.max(1, files.size)))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(32, math.max(1, files.size)))
     implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.fromExecutor(pool)
     val futures = files.map { p => scala.concurrent.Future(footerStatOne(conf, tableRoot, key, p)) }
     try scala.concurrent.Await.result(scala.concurrent.Future.sequence(futures),
