@@ -36,6 +36,10 @@ object Bench {
       // less serial kernel work, better N->4N efficiency.
       .config("spark.io.compression.codec", "zstd")
       .config("spark.shuffle.file.buffer", "1m")
+      // Task-side output commit (v2): v1 moves every produced file on the
+      // DRIVER at job end — a serial rename pass per epoch that grows with
+      // file count and sits squarely on the scaling-critical path.
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
     // Shuffle/spill to tmpfs when available (models per-executor local SSDs;
     // the sandbox's single root disk does not scale with cores).
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))

@@ -14,6 +14,29 @@ object Probe {
     val warm = if (args.length > 3) args(3).toLong else math.max(events / 4, 500000L)
     val spark = Bench.mkSession(32)
     spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    // Per-stage task-skew telemetry: median/max task time + GC share tell
+    // whether parallel-section loss is stragglers, GC, or bandwidth.
+    if (sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("true"))
+      spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+        private val tasks = new java.util.concurrent.ConcurrentHashMap[Int, java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]]()
+        override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+          val m = e.taskMetrics
+          if (m != null)
+            tasks.computeIfAbsent(e.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue())
+              .add((m.executorRunTime, m.jvmGCTime))
+        }
+        override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+          val q = tasks.remove(e.stageInfo.stageId)
+          if (q != null && !q.isEmpty) {
+            import scala.jdk.CollectionConverters._
+            val ts = q.asScala.toSeq.sortBy(_._1)
+            val run = ts.map(_._1)
+            val gc = ts.map(_._2).sum
+            val wall = e.stageInfo.completionTime.getOrElse(0L) - e.stageInfo.submissionTime.getOrElse(0L)
+            System.err.println(f"[stage ${e.stageInfo.stageId}%3d] ${e.stageInfo.name.takeWhile(_ != '\n').take(40)}%-40s tasks=${run.size}%3d wall=${wall / 1e3}%6.2fs sumRun=${run.sum / 1e3}%7.2fs med=${run(run.size / 2) / 1e3}%6.2fs max=${run.last / 1e3}%6.2fs gcSum=${gc / 1e3}%5.2fs")
+          }
+        }
+      })
     if (warm > 0) {
       System.err.println(s"[probe] warmup $warm events x2")
       Bench.cdcReplay(spark, warm, width)

@@ -71,24 +71,13 @@ object MergeInto {
       tMark = now
     }
 
-    // Empty batch: commit only the epoch marker (without this, the
-    // no-prune planning mode would rewrite every file to apply nothing).
-    // initialNumPartitions: isEmpty plans executeTake(1), whose default
-    // 1 -> 4x escalation scans an lsn-sliced batch's empty prefix partitions
-    // in 3-4 SEQUENTIAL job rounds (~0.4s of serial driver time per epoch,
-    // profiled); one all-partition round is a single cheap parallel job.
-    spark.conf.set("spark.sql.limit.initialNumPartitions", "10000")
-    val empt = changes.isEmpty
-    mark("isEmpty check")
-    if (empt) {
-      table.commit(snap.copy(
-        version = snap.version + 1,
-        committedEpochs = snap.committedEpochs :+ epochKey,
-        registryJson = registryJson.getOrElse(snap.registryJson),
-        parentVersion = snap.version,
-        stats = Some(CommitStats(epochKey, 0, 0, 0, 0, 0, 0, 0))))
-      return CommitStats(epochKey, 0, 0, 0, 0, 0, 0, 0)
-    }
+    // NOTE deliberately NO up-front emptiness job: a pre-check isEmpty scan
+    // cost 0.3-0.9s of serial driver time per epoch (profiled — executeTake
+    // over the batch's lsn-filtered empty prefix partitions). Emptiness is
+    // instead detected post-hoc from the write job's observed action counts:
+    // a no-op epoch commits only the marker and abandons any identically
+    // rewritten files as vacuum-able orphans (bounded: no-op epochs only
+    // reach the rewrite in no-prune mode, i.e. on young/small tables).
 
     // 1. Schema evolution (additive): table schema ∪ batch payload schema.
     val afterSchema = changes.schema("after").dataType.asInstanceOf[StructType]
@@ -221,6 +210,24 @@ object MergeInto {
       mark("footer stats")
       val actionCounts: Map[String, Long] =
         obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+
+      // No-op epoch (empty batch, or every change stale): the table state is
+      // unchanged, so commit only the epoch marker — keep the old files and
+      // schema, abandon the identical rewrite to vacuum().
+      val applied = Seq("insert", "update", "delete").map(actionCounts.getOrElse(_, 0L)).sum
+      if (applied == 0L) {
+        val s0 = CommitStats(epochKey, 0, 0, 0,
+          carried = actionCounts.getOrElse("carry", 0L),
+          stale = actionCounts.getOrElse("stale", 0L), 0, 0)
+        table.commit(snap.copy(
+          version = version,
+          committedEpochs = snap.committedEpochs :+ epochKey,
+          registryJson = registryJson.getOrElse(snap.registryJson),
+          parentVersion = snap.version,
+          stats = Some(s0)))
+        mark("commit (no-op epoch)")
+        return s0
+      }
 
       val stats = CommitStats(
         epochKey,

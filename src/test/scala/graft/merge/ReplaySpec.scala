@@ -91,8 +91,11 @@ class ReplaySpec extends AnyFunSuite {
     table.merge(ChangeGen.events(spark, cfg), "s/0")
     val before = table.snapshot.files.map(f => f.path -> f).toMap
 
-    // a single-key update must rewrite only that key's bucket
+    // a single-key update must rewrite only that key's bucket (lsn bumped
+    // above the table's high-water mark so the change actually applies —
+    // a stale change now commits marker-only without rewriting anything)
     val oneKey = ChangeGen.events(spark, cfg).filter(col("op") =!= "d").limit(1)
+      .withColumn("lsn", col("lsn") + 1000000L)
     val stats = table.merge(oneKey, "s/1")
     assert(stats.touchedBuckets == 1)
     val after = table.snapshot.files
@@ -230,6 +233,31 @@ class ReplaySpec extends AnyFunSuite {
   test("loading a missing table fails clearly") {
     val t = IceLite.load(spark, SparkTestBase.tempDir("not-a-table"))
     intercept[IllegalStateException] { t.snapshot }
+  }
+
+  test("empty and all-stale batches commit only the epoch marker") {
+    val cfg = GenConfig(numDocs = 40, numEvents = 400, seed = 13, withMetadata = false)
+    val root = SparkTestBase.tempDir("icelite-noop")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val batch = ChangeGen.events(spark, cfg).select(col("doc_id"), col("op"), col("lsn"), col("after"))
+    table.merge(batch, "e0")
+    val snap1 = table.snapshot
+    val state = tableState(table)
+
+    // empty batch: version bumps, epoch recorded, data files untouched
+    val s0 = table.merge(batch.filter(lit(false)), "e-empty")
+    assert(s0.inserted == 0 && s0.deleted == 0)
+    val snap2 = table.snapshot
+    assert(snap2.version == snap1.version + 1)
+    assert(snap2.committedEpochs.contains("e-empty"))
+    assert(snap2.files.map(_.path) == snap1.files.map(_.path))
+
+    // all-stale batch (lsn below every stored row): marker-only commit too
+    val stale = batch.filter(col("op") =!= "d").withColumn("lsn", col("lsn") - 10000L)
+    val s1 = table.merge(stale, "e-stale")
+    assert(s1.inserted == 0 && s1.updated == 0 && s1.deleted == 0 && s1.stale > 0)
+    assert(table.snapshot.files.map(_.path) == snap1.files.map(_.path))
+    assert(tableState(table) == state)
   }
 
   test("generator is deterministic and skewed") {
