@@ -34,7 +34,9 @@ object Bench {
       // costs non-scaling kernel fault/zero time (~1.4s/GB measured), so
       // trading scaling CPU (compression) for kernel bytes wins twice —
       // less serial kernel work, better N->4N efficiency.
-      .config("spark.io.compression.codec", "zstd")
+      .config("spark.io.compression.codec", sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "zstd"))
+      .config("spark.io.compression.zstd.level", sys.env.getOrElse("SPARK_GRAFT_ZSTD_LEVEL", "1"))
+      .config("spark.sql.parquet.compression.codec", sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.shuffle.file.buffer", "1m")
       // Task-side output commit (v2): v1 moves every produced file on the
       // DRIVER at job end — a serial rename pass per epoch that grows with
@@ -77,13 +79,12 @@ object Bench {
     val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id",
       numBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt,
       properties = Map("write.mode" -> mode))
-    val events = ChangeGen.events(spark, cfg)
     // Fewer, larger epochs amortize the fixed per-epoch serial fraction
     // (driver planning, commit) — the 10^10-event design point has epochs
     // of >= 10^8 events, so the bench models big epochs, not many tiny ones.
     val epochs = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "2").toInt
     val t0 = System.nanoTime()
-    Pipeline.replayBatch(spark, events, table, "bench", epochs = epochs, lsnMax = cfg.numEvents)
+    Pipeline.replayGen(spark, cfg, table, "bench", epochs = epochs)
     val elapsed = (System.nanoTime() - t0) / 1e9
     // cleanup best-effort
     try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root)) catch { case _: Throwable => () }

@@ -150,6 +150,67 @@ object SparkEntry {
       JoseDecrypt(JoseConfig(Seq(joseKey1, joseKey2)))(df)
         .select(col("name"), col("value").cast(StringType).as("plaintext"))
     }),
+    "q_json_evolve" -> ((s, dir) => {
+      // Inference + union + repackage over a deterministically mixed-shape
+      // JSON column: even ids carry {"a":<int>,"b-x":...,"noise":1}, odd ids
+      // {"a":<int>.5,"b-x":...} — convert-numbers-to-double coerces `a` to
+      // double so both shapes union into ONE class (O7/O10),
+      // "b-x" is Avro-sanitized to b_x (O9), "noise" is config-ignored (O8),
+      // every 13th row is a null tombstone passed through as null (O2), and
+      // all rows re-emit under the widened schema (O11).
+      val ev = T(s, dir, "events")
+      val json = when(col("event_id") % 13 === 0, lit(null).cast(StringType))
+        .when(col("event_id") % 2 === 0,
+          concat(lit("{\"a\":"), col("user_id"), lit(",\"b-x\":\"s"), col("user_id"),
+            lit("\",\"noise\":1}")))
+        .otherwise(
+          concat(lit("{\"a\":"), col("user_id"), lit(".5,\"b-x\":\"s"), col("user_id"), lit("\"}")))
+      val df = ev.select(col("event_id"), json.as("j"))
+      val reg = new SchemaRegistry(optionalStructFields = true)
+      val stage = new JsonDeserialize(JsonDeserializeConfig(
+        Seq("j"), "evolve",
+        InferOptions(optionalStructFields = true, convertNumbersToDouble = true,
+          sanitizeFieldNames = true, ignoredFields = Seq("noise"))), reg)
+      stage(df).select(col("event_id"),
+        col("j.a").cast(DoubleType).as("a"), col("j.b_x").as("b_x"))
+    }),
+    "q_schema_classes" -> ((s, dir) => {
+      // Mutually incompatible classes (struct vs array) through the
+      // multi-class path: per-row classification via the StrictMapper fast
+      // path (O13), one typed output column per class (O10), and an O14
+      // registry serde round-trip (n_classes re-read from serialized JSON).
+      val ev = T(s, dir, "events")
+      val json = when(col("event_id") % 3 === 0, concat(lit("["), col("user_id"), lit(",7]")))
+        .otherwise(concat(lit("{\"a\":"), col("user_id"), lit("}")))
+      val df = ev.select(col("event_id"), json.as("j"))
+      val reg = new SchemaRegistry(optionalStructFields = false)
+      val stage = new JsonDeserialize(JsonDeserializeConfig(Seq("j"), "classes"), reg)
+      val parsed = stage(df)
+      // class order in the registry is fold-order-dependent; find the struct
+      // and array outputs by type, not by name
+      val structCol = parsed.schema.fields
+        .collectFirst { case f if f.name.startsWith("j") && f.dataType.isInstanceOf[StructType] => f.name }.get
+      val arrayCol = parsed.schema.fields
+        .collectFirst { case f if f.name.startsWith("j") && f.dataType.isInstanceOf[ArrayType] => f.name }.get
+      val nClasses = SchemaRegistry.deserialize(reg.serialize, optionalStructFields = false)
+        .get("classes", "j").size
+      parsed.agg(
+        count(col(structCol)).as("n_struct"),
+        count(col(arrayCol)).as("n_array"),
+        max(lit(nClasses)).cast(IntegerType).as("n_classes"))
+    }),
+    "q_heartbeat" -> ((s, dir) => {
+      import s.implicits._
+      // Signal/heartbeat passthrough (O16): heartbeats matched by VALUE
+      // SCHEMA NAME (`smt/Outbox.java:84-88`), signals by topic.
+      val env = Seq(
+        ("k1", "orders-topic", null.asInstanceOf[String]),
+        ("k2", "orders-topic", OutboxRoute.HeartbeatSchemaName),
+        ("k3", "myapp.dbz_signal.x", null.asInstanceOf[String]),
+        ("k4", "orders-topic", "some.other.Schema"))
+        .toDF("key", "topic", OutboxRoute.SchemaNameColumn)
+      env.select(col("key"), OutboxRoute.isPassthrough(env).as("passthrough"))
+    }),
     "q_schema_infer" -> ((s, dir) => {
       // batch JSON schema inference + registry over the props column
       val reg = new SchemaRegistry(optionalStructFields = true)
@@ -292,12 +353,16 @@ object SparkEntry {
       T(s, dir, "documents").select(
         col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))),
 
-    // ---- multimodal plumbing (decode stubbed; see ops/Multimodal.scala) ----
+    // ---- multimodal: REAL JDK-codec decode (PNG/WAV/frame container) ----
     "q_multimodal_features" -> ((s, dir) => {
+      // Synthetic media are real PNG/WAV/frame-container bytes whose decoded
+      // dimensions/means are arithmetic in the id, so the oracle verifies
+      // the actual decode (ImageIO + javax.sound), not just plumbing.
+      // n_bytes (PNG-encoder-dependent) is deliberately not compared.
       val media = Multimodal.syntheticMedia(s, 500)
       Multimodal.extractFeatures(media)
-        .groupBy("modality")
-        .agg(count(lit(1)).as("n"), sum("n_bytes").cast(LongType).as("total_bytes"))
+        .select("media_id", "modality", "width", "height", "mean_px",
+          "sample_rate", "n_samples", "rms", "n_frames")
     })
   )
 
@@ -419,6 +484,23 @@ object SparkEntry {
         |       CAST(COALESCE(list_sum(list_transform(regexp_extract_all(text, '\S+'),
         |            (x, i) -> CAST(i AS BIGINT) * CAST(length(x) AS BIGINT))), 0) % 1000000007 AS BIGINT) AS fp
         |FROM documents""".stripMargin,
+    "q_json_evolve" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 13 = 0 THEN NULL
+        |            WHEN event_id % 2 = 0 THEN CAST(user_id AS DOUBLE)
+        |            ELSE user_id + 0.5 END AS a,
+        |       CASE WHEN event_id % 13 = 0 THEN NULL ELSE 's' || user_id END AS b_x
+        |FROM events""".stripMargin,
+    "q_schema_classes" ->
+      """SELECT count(CASE WHEN event_id % 3 <> 0 THEN 1 END) AS n_struct,
+        |       count(CASE WHEN event_id % 3 = 0 THEN 1 END) AS n_array,
+        |       CAST(2 AS INT) AS n_classes
+        |FROM events""".stripMargin,
+    "q_heartbeat" ->
+      """SELECT 'k1' AS key, false AS passthrough
+        |UNION ALL SELECT 'k2', true
+        |UNION ALL SELECT 'k3', true
+        |UNION ALL SELECT 'k4', false""".stripMargin,
     "q_schema_infer" ->
       """SELECT count(*) AS n,
         |       CAST(sum(CAST(props->>'$.k' AS INT)) AS BIGINT) AS sum_k
@@ -545,10 +627,20 @@ object SparkEntry {
         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
         |WHERE jaccard >= 0.4""".stripMargin,
     "q_multimodal_features" ->
-      """WITH m AS (SELECT unnest(range(0, 500)) AS id)
-        |SELECT CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
-        |       count(*) AS n,
-        |       CAST(sum(3 * (12 + (id * 7) % 37)) AS BIGINT) AS total_bytes
-        |FROM m GROUP BY 1""".stripMargin
+      """WITH m AS (SELECT unnest(range(0, 500)) AS id),
+        |d AS (SELECT id, CAST(id % 3 AS INT) AS md FROM m)
+        |SELECT id AS media_id,
+        |  CASE md WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CASE WHEN md <> 1 THEN CAST(16 + id % 16 AS INT) END AS width,
+        |  CASE WHEN md <> 1 THEN CAST(16 + id % 8 AS INT) END AS height,
+        |  CASE WHEN md = 0 THEN CAST((id * 37) % 256 AS DOUBLE)
+        |       WHEN md = 2 THEN round(CASE WHEN 2 + (id // 3) % 3 >= 3
+        |            THEN ((id * 37) % 256 + (id * 37 + 22) % 256) / 2.0
+        |            ELSE CAST((id * 37) % 256 AS DOUBLE) END, 4) END AS mean_px,
+        |  CASE WHEN md = 1 THEN 16000 END AS sample_rate,
+        |  CASE WHEN md = 1 THEN CAST(800 + (id % 10) * 160 AS INT) END AS n_samples,
+        |  CASE WHEN md = 1 THEN CAST(1000 + (id % 50) * 100 AS DOUBLE) END AS rms,
+        |  CASE WHEN md = 2 THEN CAST(2 + (id // 3) % 3 AS INT) END AS n_frames
+        |FROM d""".stripMargin
   )
 }

@@ -52,8 +52,16 @@ object MergeInto {
       StructField(LSN, org.apache.spark.sql.types.LongType, nullable = false),
       StructField(DELETED, org.apache.spark.sql.types.BooleanType, nullable = false)))
 
+  /** Public dedup kernel for callers that pipeline epochs: materializing
+    * epoch N+1's winner set (cache + count) while epoch N's merge/write runs
+    * overlaps the two epochs' work — the micro-batch pipelining a streaming
+    * engine does. Pass the result to [[run]] as `preDeduped`. */
+  def dedupe(changes: DataFrame, key: String, nBuckets: Int): DataFrame =
+    dedupeBatch(changes, key, nBuckets)
+
   def run(table: IceLiteTable, changes: DataFrame, epochKey: String,
-          registryJson: Option[String] = None): CommitStats = {
+          registryJson: Option[String] = None,
+          preDeduped: Option[DataFrame] = None): CommitStats = {
     val snap = table.snapshot
     if (snap.committedEpochs.contains(epochKey)) {
       // Re-delivered epoch (at-least-once upstream): exactly-once via no-op.
@@ -87,7 +95,8 @@ object MergeInto {
     val dataSchema = dataSchemaOf(newSchema)
 
     if (snap.writeMode == "mor")
-      return runMor(table, changes, epochKey, registryJson, snap, afterSchema, newSchema, mark)
+      return runMor(table, changes, epochKey, registryJson, snap, afterSchema, newSchema, mark,
+        preDeduped)
 
     // 2. Intra-batch dedup: last write per key by lsn, ONE ObjectHashAggregate
     // with map-side partial combine (see dedupeBatch). The winner set then
@@ -100,7 +109,10 @@ object MergeInto {
     // buffer forces SortAggregate (two full sorts of the batch); the typed
     // imperative LWW buffer keeps the hash-aggregate shape.
     spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    val dedupedRaw = dedupeBatch(changes, key, nBuckets)
+    // preDeduped: caller already ran (and cached) the winner set — its cache
+    // lifecycle belongs to the caller, so no persist/unpersist here.
+    val callerOwned = preDeduped.isDefined
+    val dedupedRaw = preDeduped.getOrElse(dedupeBatch(changes, key, nBuckets))
 
     // 3. Plan: which data files does this batch touch? Adaptive:
     //  - a young/compact table (few files per bucket) is near-fully touched
@@ -117,7 +129,7 @@ object MergeInto {
       case _ => snap.files.size > nBuckets * 2
     }
     val deduped =
-      if (doPrune) {
+      if (doPrune && !callerOwned) {
         val level = storageLevel(spark)
         if (level != StorageLevel.NONE) dedupedRaw.persist(level)
         dedupedRaw
@@ -254,7 +266,7 @@ object MergeInto {
       mark("commit")
       stats
     } finally {
-      deduped.unpersist()
+      if (!callerOwned) deduped.unpersist(): Unit
     }
   }
 
@@ -317,13 +329,14 @@ object MergeInto {
   private def runMor(table: IceLiteTable, changes: DataFrame, epochKey: String,
                      registryJson: Option[String], snap: Snapshot,
                      afterSchema: StructType, newSchema: StructType,
-                     mark: String => Unit): CommitStats = {
+                     mark: String => Unit,
+                     preDeduped: Option[DataFrame] = None): CommitStats = {
     val key = snap.keyColumn
     val nBuckets = snap.numBuckets
     // Same one-shuffle shape as the COW path: cluster by bucket once, then
     // dedup + write reuse the clustering.
     table.spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    val deduped = dedupeBatch(changes, key, nBuckets)
+    val deduped = preDeduped.getOrElse(dedupeBatch(changes, key, nBuckets))
     val isDelete = col("op") === "d"
     val outCols = newSchema.fieldNames.toSeq.map { cn =>
       val v =

@@ -156,7 +156,9 @@ object OutboxRoute {
     * not the topic — carried in `schemaNameCol` when the envelope has one. */
   def isPassthrough(df: DataFrame, schemaNameCol: String = SchemaNameColumn): Column = {
     val sig = lower(col("topic")).contains("dbz_signal")
-    if (df.columns.contains(schemaNameCol)) sig || (col(schemaNameCol) === HeartbeatSchemaName)
+    // null-safe equality: a missing/null schema name means "not a heartbeat"
+    // (the reference's Objects.equals-style check, never three-valued null)
+    if (df.columns.contains(schemaNameCol)) sig || (col(schemaNameCol) <=> HeartbeatSchemaName)
     else sig
   }
 

@@ -98,6 +98,77 @@ object Pipeline {
     }
   }
 
+  /** Generator-driven replay: like [[replayBatch]], but each epoch's slice is
+    * GENERATED at full width (`cfg.copy(startLsn, numEvents)`) instead of
+    * lsn-filtered out of one pre-partitioned frame. `spark.range` partitions
+    * the lsn space contiguously, so filtering an E-epoch slice leaves only
+    * width/E populated map tasks — halving (E=2) the generation/shuffle-write
+    * stage's parallelism at every width. Every ChangeGen column is a pure
+    * function of (seed, lsn), so the sliced stream is event-identical. */
+  def replayGen(
+      spark: SparkSession,
+      cfg: GenConfig,
+      table: IceLiteTable,
+      streamId: String,
+      epochs: Int,
+      stages: Seq[DataFrame => DataFrame] = Nil,
+      lookahead: Boolean = sys.env.get("SPARK_GRAFT_LOOKAHEAD").forall(_ == "true")): Unit = {
+    val per = math.max(1L, (cfg.numEvents + epochs - 1) / epochs)
+    def slice(e: Int): Option[DataFrame] = {
+      val lo = e * per
+      val n = math.min(cfg.numEvents - lo, per)
+      if (n <= 0) None
+      else Some(ChangeGen.events(spark, cfg.copy(startLsn = cfg.startLsn + lo, numEvents = n)))
+    }
+
+    if (stages.nonEmpty || !lookahead) {
+      (0 until epochs).foreach { e =>
+        slice(e).foreach { chunk =>
+          val transformed = stages.foldLeft(chunk)((df, stage) => stage(df))
+          val registrySnapshot = stages.collectFirst { case j: JsonDeserialize => j.registry.serialize }
+          table.merge(transformed, s"$streamId/$e", registrySnapshot): Unit
+        }
+      }
+    } else {
+      // Micro-batch pipelining: epoch N+1's dedup (generate -> shuffle ->
+      // LWW winners, no table-state dependency) materializes to cache on a
+      // background thread WHILE epoch N's merge join + write + commit runs.
+      // The scheduler interleaves the two jobs' tasks, filling the cores a
+      // single epoch's barriers leave idle. Winners (<= distinct keys) are
+      // ~10x smaller than the raw batch, so the cache materialization is
+      // cheap relative to the overlap it buys.
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val snap0 = table.snapshot
+      val (key, nBuckets) = (snap0.keyColumn, snap0.numBuckets)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      val level = org.apache.spark.storage.StorageLevel.fromString(
+        spark.conf.getOption("graft.merge.dedupStorageLevel").getOrElse("DISK_ONLY"))
+      def dedupAsync(e: Int): Future[Option[(DataFrame, DataFrame)]] = Future {
+        slice(e).map { chunk =>
+          val d = graft.merge.MergeInto.dedupe(chunk, key, nBuckets).persist(level)
+          d.count(): Unit // materialize now, overlapping the previous merge
+          (chunk, d)
+        }
+      }
+      try {
+        var cur = Await.result(dedupAsync(0), Duration.Inf)
+        (0 until epochs).foreach { e =>
+          val nextF =
+            if (e + 1 < epochs) dedupAsync(e + 1)
+            else Future.successful(None)
+          cur.foreach { case (chunk, deduped) =>
+            graft.merge.MergeInto.run(table, chunk, s"$streamId/$e",
+              registryJson = None, preDeduped = Some(deduped)): Unit
+            deduped.unpersist(blocking = false): Unit
+          }
+          cur = Await.result(nextF, Duration.Inf)
+        }
+      } finally pool.shutdown()
+    }
+  }
+
   /** Collects per-batch observed metrics + progress for the pipeline —
     * the engine's surface for the reference's per-record logging context
     * (`utils/LoggingContext.java`), aggregated to batch granularity. */

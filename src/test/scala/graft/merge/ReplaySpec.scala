@@ -52,6 +52,22 @@ class ReplaySpec extends AnyFunSuite {
     }
   }
 
+  test("generator-sliced replay (replayGen) equals filtered replay and the oracle") {
+    // replayGen slices epochs by re-generating [startLsn, startLsn+n) at full
+    // width; the stream must be event-identical to lsn-filtering one frame.
+    // Both the pipelined (lookahead dedup overlapping the previous merge) and
+    // the sequential path must land on the oracle state.
+    val cfg = GenConfig(numDocs = 300, numEvents = 5000, seed = 7, withMetadata = false)
+    val expected = collectOracle(cfg)
+    for (lookahead <- Seq(true, false)) {
+      val root = SparkTestBase.tempDir(s"icelite-replaygen-$lookahead")
+      val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 8)
+      Pipeline.replayGen(spark, cfg, table, "g1", epochs = 5, lookahead = lookahead)
+      assert(tableState(table) == expected, s"lookahead=$lookahead")
+      assert(table.snapshot.committedEpochs.size == 5)
+    }
+  }
+
   test("re-delivered epoch is a no-op (exactly-once)") {
     val cfg = GenConfig(numDocs = 50, numEvents = 500, seed = 11, withMetadata = false)
     val root = SparkTestBase.tempDir("icelite-eo")

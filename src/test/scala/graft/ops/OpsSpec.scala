@@ -129,7 +129,38 @@ class OpsSpec extends AnyFunSuite {
     val f2 = Multimodal.extractFeatures(media.repartition(7)).orderBy("media_id").collect()
     assert(f1.length == 200)
     assert(f1.map(_.toString).sameElements(f2.map(_.toString))) // partitioning-invariant
-    assert(f1.forall(_.getSeq[Float](3).size == 8))
+    // decoded values equal the synthesis parameters (real PNG/WAV decode)
+    f1.foreach { r =>
+      val id = r.getLong(0)
+      r.getString(1) match {
+        case "image" =>
+          assert(r.getInt(3) == 16 + (id % 16).toInt && r.getInt(4) == 16 + (id % 8).toInt)
+          assert(r.getDouble(5) == ((id * 37) % 256).toDouble)
+        case "audio" =>
+          assert(r.getInt(6) == 16000)
+          assert(r.getInt(7) == 800 + (id % 10).toInt * 160)
+          assert(r.getDouble(8) == (1000 + (id % 50).toInt * 100).toDouble) // DC RMS = amplitude
+        case "video" =>
+          assert(r.getInt(9) == 2 + ((id / 3) % 3).toInt)
+      }
+    }
+  }
+
+  test("media codecs round-trip: PNG decode, WAV decode, resize, frame sampling") {
+    // real ImageIO decode of a synthesized PNG
+    val png = MediaCodec.encodePng(20, 10, 77)
+    assert(png.take(4).map(_ & 0xff).sameElements(Seq(0x89, 0x50, 0x4e, 0x47))) // PNG magic
+    assert(MediaCodec.decodeImage(png) == ((20, 10, 77.0)))
+    // nearest-neighbour resize keeps a constant image constant
+    assert(MediaCodec.decodeImage(MediaCodec.resizePng(png, 8, 8)) == ((8, 8, 77.0)))
+    // real javax.sound WAV decode
+    val wav = MediaCodec.encodeWavDc(16000, 1600, 2500)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF")
+    val (rate, n, rms) = MediaCodec.decodeWav(wav)
+    assert(rate == 16000 && n == 1600 && math.abs(rms - 2500.0) < 1e-9)
+    // frame container: every-2nd-frame sampling over 4 frames -> frames 0 and 2
+    val vid = MediaCodec.encodeFrameContainer(4, 12, 6, f => 10 + f * 20)
+    assert(MediaCodec.decodeFrames(vid, 2) == ((4, 12, 6, (10.0 + 50.0) / 2)))
   }
 
   test("quality features penalize junk") {
