@@ -136,10 +136,15 @@ object SparkEntry {
       // "another-partition-key" -> 2 of 3) + partition_key header echo (O25).
       val env = Seq(("k1", "some-partition-key"), ("k2", "another-partition-key"))
         .toDF("key", "pk")
-        .select(col("key"), struct(lit("p").as("payload"), col("pk").as("partition_key")).as("value"))
+        .select(col("key"), struct(
+          lit("p").as("payload"), col("pk").as("partition_key"),
+          // struct-typed headers field -> promoted with values stringified (O23)
+          struct(lit("v1").as("h1"), (length(col("pk")) * 10).as("h2")).as("headers")).as("value"))
       OutboxRoute(OutboxConfig(topic = Some("target"), partitionByKey = true, numPartitions = Some(3)))(env)
         .select(col("key"), col("topic"), col("partition"),
-          element_at(col("headers"), "partition_key").as("pk_header"))
+          element_at(col("headers"), "partition_key").as("pk_header"),
+          element_at(col("headers"), "h1").as("h1"),
+          element_at(col("headers"), "h2").as("h2"))
     }),
     "q_jose_decrypt" -> ((s, dir) => {
       import s.implicits._
@@ -530,9 +535,11 @@ object SparkEntry {
         |       event_type = 'error' AS tombstone
         |FROM events WHERE event_id % 13 <> 0""".stripMargin,
     "q_outbox_partition" ->
-      """SELECT 'k1' AS key, 'target' AS topic, 1 AS partition, 'some-partition-key' AS pk_header
+      """SELECT 'k1' AS key, 'target' AS topic, 1 AS partition, 'some-partition-key' AS pk_header,
+        |       'v1' AS h1, '180' AS h2
         |UNION ALL
-        |SELECT 'k2' AS key, 'target' AS topic, 2 AS partition, 'another-partition-key' AS pk_header""".stripMargin,
+        |SELECT 'k2' AS key, 'target' AS topic, 2 AS partition, 'another-partition-key' AS pk_header,
+        |       'v1' AS h1, '210' AS h2""".stripMargin,
     "q_jose_decrypt" ->
       """SELECT 'jwe1' AS name, '{"foo":"bar"}' AS plaintext
         |UNION ALL

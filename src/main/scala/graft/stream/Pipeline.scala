@@ -112,7 +112,13 @@ object Pipeline {
       streamId: String,
       epochs: Int,
       stages: Seq[DataFrame => DataFrame] = Nil,
-      lookahead: Boolean = sys.env.get("SPARK_GRAFT_LOOKAHEAD").forall(_ == "true")): Unit = {
+      // Measured on this host: pipelining LOSES ~2x at widths 8 and 32 — the
+      // cache materialization breaks the dedup-agg/merge-join stage fusion
+      // (winners get an extra write+read) and the job is memory-bandwidth
+      // bound, so overlapping two epochs adds traffic without adding idle
+      // cores to fill. Kept behind an opt-in flag for cluster topologies
+      // where reducer slots actually sit idle between epochs.
+      lookahead: Boolean = sys.env.get("SPARK_GRAFT_LOOKAHEAD").contains("true")): Unit = {
     val per = math.max(1L, (cfg.numEvents + epochs - 1) / epochs)
     def slice(e: Int): Option[DataFrame] = {
       val lo = e * per
