@@ -305,15 +305,39 @@ object MergeInto {
     val spark = changes.sparkSession
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
       spark.conf.getOption("graft.merge.aggFallbackThreshold").getOrElse("2000000"))
-    changes
+    val base = changes
       .select(col(key), col("op"), col("after"),
         col("lsn").cast(org.apache.spark.sql.types.LongType).as("lsn"))
       .withColumn(BUCKET, KafkaMurmur2.bucketLabel(col(key), nBuckets))
-      .repartition(col(BUCKET))
-      .groupBy(col(BUCKET), col(key))
-      .agg(LastWriteWinsAgg.lww(struct(col("lsn"), col("op"), col("after"))).as("__w"))
-      .select(col(key), col("__w.op").as("op"), col("__w.after").as("after"),
-        col("__w.lsn").as("lsn"), col(BUCKET))
+    // Hot-key salting (graft.merge.dedupSalt = S, default off): a key hot
+    // enough to overwhelm its bucket's partition (think one doc_id carrying
+    // a double-digit share of the stream) first collapses under
+    // (bucket, key, salt) — the salt spreads the hot key's events across S
+    // partitions, each emitting one partial winner — then the <= S winners
+    // per key collapse under (bucket, key). LWW is associative+commutative,
+    // so the two-level fold is exact (SaltedDedupSpec). Costs a second
+    // (tiny) shuffle; the unsalted single-pass is faster under normal skew,
+    // which is why this is opt-in rather than default.
+    val salt = spark.conf.getOption("graft.merge.dedupSalt").map(_.toInt).getOrElse(0)
+    val deduped =
+      if (salt > 1) {
+        base
+          .withColumn("__salt", pmod(xxhash64(col("lsn")), lit(salt.toLong)))
+          .repartition(col(BUCKET), col("__salt"))
+          .groupBy(col(BUCKET), col(key), col("__salt"))
+          .agg(LastWriteWinsAgg.lww(struct(col("lsn"), col("op"), col("after"))).as("__w"))
+          .repartition(col(BUCKET))
+          .groupBy(col(BUCKET), col(key))
+          .agg(LastWriteWinsAgg.lww(struct(col("__w.lsn").as("lsn"), col("__w.op").as("op"),
+            col("__w.after").as("after"))).as("__w"))
+      } else {
+        base
+          .repartition(col(BUCKET))
+          .groupBy(col(BUCKET), col(key))
+          .agg(LastWriteWinsAgg.lww(struct(col("lsn"), col("op"), col("after"))).as("__w"))
+      }
+    deduped.select(col(key), col("__w.op").as("op"), col("__w.after").as("after"),
+      col("__w.lsn").as("lsn"), col(BUCKET))
   }
 
   /**
