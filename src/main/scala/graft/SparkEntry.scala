@@ -323,6 +323,14 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 4, dim = dim)
         .select("qid", "cid", "rank", "bucket")
     }),
+    "q_embed_multiprobe" -> ((s, dir) => {
+      // Multi-probe LSH: own bucket + all Hamming-distance-1 buckets; the
+      // oracle recomputes the probe set (XOR of each bit) in SQL.
+      val emb = T(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 4, dim = dim)
+        .select(col("qid"), col("cid"), col("rank").cast(IntegerType).as("rank"))
+    }),
     "q_embed_dedup" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
@@ -596,6 +604,27 @@ object SparkEntry {
         |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank, bucket
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+    "q_embed_multiprobe" ->
+      """WITH p AS (
+        |  SELECT pid, list_transform(range(0,64), d ->
+        |    md5_number_lower('hp_' || pid || '_' || d)::DOUBLE / 18446744073709551616.0 * 2 - 1) AS comp
+        |  FROM (SELECT unnest(range(0,4)) AS pid)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT e.vec_id, e.v,
+        |         sum(CASE WHEN list_sum(list_transform(range(0,64), d -> v[d+1] * comp[d+1])) >= 0
+        |             THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT AS bucket
+        |  FROM e CROSS JOIN p GROUP BY e.vec_id, e.v),
+        |q AS (
+        |  SELECT vec_id AS qid, v AS qv,
+        |         unnest([bucket, xor(bucket, 1), xor(bucket, 2), xor(bucket, 4), xor(bucket, 8)]) AS bucket
+        |  FROM sig WHERE vec_id < 10),
+        |scored AS (
+        |  SELECT q.qid, c.vec_id AS cid, list_cosine_similarity(q.qv, c.v) AS sim
+        |  FROM q JOIN sig c ON c.bucket = q.bucket AND c.vec_id <> q.qid)
+        |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
     "q_minhash_dedup" ->

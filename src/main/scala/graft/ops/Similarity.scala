@@ -92,7 +92,8 @@ object Similarity {
     * selects a disjoint plane set (multi-band LSH uses offset b*bits for
     * band b). */
   def lshBucket(vec: Column, bits: Int, dim: Int, planeOffset: Int = 0): Column =
-    (0 until bits).map(p => planeSign(vec, hyperplane(planeOffset + p, dim)) * (1L << p))
+    if (bits == 0) lit(0L) // degenerate: one bucket = exhaustive probe
+    else (0 until bits).map(p => planeSign(vec, hyperplane(planeOffset + p, dim)) * (1L << p))
       .reduce(_ + _)
 
   /** Approximate top-k: candidates bucketed by LSH; each query probes only
@@ -110,5 +111,28 @@ object Similarity {
       .withColumn("sim", cosine(col("qv"), col("cv")))
     rankTopK(scored, Seq("qid", "bucket"), k)
       .select("qid", "cid", "sim", "rank", "bucket")
+  }
+
+  /** Multi-probe LSH top-k: each query probes its own bucket PLUS the `bits`
+    * buckets at Hamming distance 1 (one sign flipped) — the standard
+    * multi-probe recall lever: a near neighbour that disagrees on exactly
+    * one hyperplane is recovered at (bits+1)x probe cost instead of being
+    * lost. Candidates stay uniquely bucketed, so no per-(qid,cid) dedup is
+    * needed before ranking. Recall(single) <= recall(multi) by construction
+    * (the probe set is a superset) — measured in OpsSpec. */
+  def lshTopKMultiProbe(queries: DataFrame, candidates: DataFrame, k: Int, bits: Int, dim: Int,
+                        qId: String = "vec_id", cId: String = "vec_id",
+                        qVec: String = "embedding", cVec: String = "embedding"): DataFrame = {
+    val q0 = queries.select(col(qId).as("qid"), col(qVec).as("qv"),
+      lshBucket(col(qVec), bits, dim).as("b0"))
+    val probes = array(Seq(col("b0")) ++
+      (0 until bits).map(p => col("b0").bitwiseXOR(lit(1L << p))): _*)
+    val q = q0.select(col("qid"), col("qv"), explode(probes).as("bucket"))
+    val c = candidates.select(col(cId).as("cid"), col(cVec).as("cv"),
+      lshBucket(col(cVec), bits, dim).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    rankTopK(scored, Seq("qid"), k).select("qid", "cid", "sim", "rank")
   }
 }

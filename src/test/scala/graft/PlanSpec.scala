@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.Similarity
+import graft.stream.{ChangeGen, GenConfig}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Physical-plan assertions: the properties that make the engine scale are
+ * pinned here so a regression shows up as a failing test, not a slow bench.
+ *
+ *  - filters and column pruning reach the parquet scan (no full-row reads);
+ *  - hot paths stay inside whole-stage codegen;
+ *  - the LWW dedup is ONE hash-shuffle + hash aggregate — no SortAggregate
+ *    (a complex declarative buffer would force two full sorts), no second
+ *    exchange;
+ *  - the ANN ranking broadcasts the small query side (no shuffle of the
+ *    candidate table).
+ */
+class PlanSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(df: DataFrame): String = df.queryExecution.executedPlan.toString
+
+  test("filter and projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/lineitem.parquet")
+      .filter(col("l_quantity") < 10)
+      .select("l_orderkey")
+    val p = plan(df)
+    assert(p.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,"), p)
+    // ReadSchema carries only the two referenced columns, not the full row
+    val readSchema = p.linesIterator.mkString
+    assert(readSchema.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p)
+  }
+
+  test("aggregation query runs inside whole-stage codegen") {
+    val df = SparkEntry.queries("q1_pricing_summary")(spark, sf)
+    df.collect() // finalize the adaptive plan — codegen spans appear post-execution
+    val p = plan(df)
+    // "*(n)" prefixes mark WholeStageCodegen spans in the simpleString form
+    assert(p.contains("*(1)") && p.contains("HashAggregate"), p)
+  }
+
+  test("LWW dedup plans one exchange, hash aggregation, and no sorts") {
+    val changes = ChangeGen.events(spark, GenConfig(numDocs = 100, numEvents = 1000, withMetadata = false))
+      .select(col("doc_id"), col("op"), col("lsn"), col("after"))
+    val p = plan(graft.merge.MergeInto.dedupe(changes, "doc_id", 8))
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(!p.contains("SortAggregate"), s"LWW dedup fell back to SortAggregate:\n$p")
+    assert(!p.contains("\nSort") && !p.contains("Sort ["), s"unexpected sort in dedup plan:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, found $exchanges:\n$p")
+  }
+
+  test("ANN top-k broadcasts the query side and never shuffles candidates") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), s"candidate side must not sort-merge:\n$p")
+  }
+}

@@ -146,6 +146,27 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-probe LSH recall is a superset of single-probe and both are measured") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding"))).head().getInt(0)
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("qid").cast("long"), col("cid").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, k))
+    val single = pairs(Similarity.lshTopK(queries, emb, k, bits = 4, dim = dim))
+    val multi = pairs(Similarity.lshTopKMultiProbe(queries, emb, k, bits = 4, dim = dim))
+    val rs = single.intersect(exact).size.toDouble / exact.size
+    val rm = multi.intersect(exact).size.toDouble / exact.size
+    info(f"recall@$k single-probe=$rs%.3f multi-probe=$rm%.3f (n=${exact.size})")
+    assert(rm >= rs) // multi-probe probes a superset of buckets
+    assert(multi.nonEmpty && single.nonEmpty)
+    // bits=0: one bucket = probe everything = exact recall
+    val all = pairs(Similarity.lshTopK(queries, emb, k, bits = 0, dim = dim))
+    assert(all == exact)
+  }
+
   test("media codecs round-trip: PNG decode, WAV decode, resize, frame sampling") {
     // real ImageIO decode of a synthesized PNG
     val png = MediaCodec.encodePng(20, 10, 77)
