@@ -323,6 +323,15 @@ object SparkEntry {
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 4, dim = dim)
         .select("qid", "cid", "rank", "bucket")
     }),
+    "q_embed_ivf" -> ((s, dir) => {
+      // IVF-flat at nprobe=1: candidates in inverted lists by nearest
+      // md5-derived centroid; the oracle recomputes the coarse quantizer
+      // (arg_max of the same dots) and the per-cell ranking in SQL.
+      val emb = T(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nCells = 8, nprobe = 1, dim = dim)
+        .select(col("qid"), col("cid"), col("rank").cast(IntegerType).as("rank"))
+    }),
     "q_embed_multiprobe" -> ((s, dir) => {
       // Multi-probe LSH: own bucket + all Hamming-distance-1 buckets; the
       // oracle recomputes the probe set (XOR of each bit) in SQL.
@@ -604,6 +613,25 @@ object SparkEntry {
         |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
         |  WHERE q.vec_id < 10)
         |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank, bucket
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+    "q_embed_ivf" ->
+      """WITH cent AS (
+        |  SELECT cc, list_transform(range(0,64), d ->
+        |    md5_number_lower('ivf_' || cc || '_' || d)::DOUBLE / 18446744073709551616.0 * 2 - 1) AS cv
+        |  FROM (SELECT unnest(range(0,8)) AS cc)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |cells AS (
+        |  SELECT vec_id, v, arg_max(cc, dot) AS cell FROM (
+        |    SELECT e.vec_id, e.v, cent.cc,
+        |           list_sum(list_transform(range(0,64), d -> v[d+1] * cv[d+1])) AS dot
+        |    FROM e CROSS JOIN cent)
+        |  GROUP BY vec_id, v),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM cells q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
     "q_embed_multiprobe" ->

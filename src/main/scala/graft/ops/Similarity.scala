@@ -113,6 +113,53 @@ object Similarity {
       .select("qid", "cid", "sim", "rank", "bucket")
   }
 
+  // ---- IVF-flat (inverted file) ----
+
+  /** Deterministic IVF coarse quantizer: `nCells` md5-derived centroids
+    * (component c,d = md5Unit("ivf_{c}_{d}")*2-1) — reproducible in plain
+    * SQL like the LSH hyperplanes, no trained model to store. */
+  def ivfCentroids(nCells: Int, dim: Int): Seq[Seq[Double]] =
+    (0 until nCells).map(c => (0 until dim).map(d => md5Unit(s"ivf_${c}_$d") * 2 - 1))
+
+  private def dotWith(vec: Column, w: Seq[Double]): Column =
+    aggregate(zip_with(vec, typedlit(w), (x, h) => x.cast(DoubleType) * h),
+      lit(0.0), (s, x) => s + x)
+
+  /** IVF-flat top-k: candidates partition into inverted lists by nearest
+    * centroid (argmax dot — the coarse quantizer); each query probes its
+    * `nprobe` nearest cells. At scale the probe cost is
+    * O(N * nprobe / nCells) per query; nprobe trades recall for probe cost
+    * exactly like multi-probe LSH (recall measured in OpsSpec;
+    * nprobe = nCells degenerates to exact brute force). */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame, k: Int, nCells: Int, nprobe: Int, dim: Int,
+              qId: String = "vec_id", cId: String = "vec_id",
+              qVec: String = "embedding", cVec: String = "embedding"): DataFrame = {
+    val cents = ivfCentroids(nCells, dim)
+    def dotsArr(vec: Column): Column = array(cents.map(c => dotWith(vec, c)): _*)
+    // nearest cell = first argmax (exact double equality with array_max is
+    // safe: same value, same bits)
+    val argmaxCell = "CAST(array_position(__dots, array_max(__dots)) - 1 AS INT)"
+    // nprobe nearest cells, by dot desc then cell asc (deterministic ties)
+    val probeCells =
+      s"""transform(slice(array_sort(
+         |  transform(sequence(0, ${nCells - 1}), i -> struct(element_at(__dots, i + 1) AS d, i AS i)),
+         |  (a, b) -> CASE WHEN a.d > b.d THEN -1 WHEN a.d < b.d THEN 1
+         |            WHEN a.i < b.i THEN -1 ELSE 1 END), 1, $nprobe), x -> CAST(x.i AS INT))""".stripMargin
+    val c = candidates.select(col(cId).as("cid"), col(cVec).as("cv"))
+      .withColumn("__dots", dotsArr(col("cv")))
+      .withColumn("cell", expr(argmaxCell)).drop("__dots")
+    val q0 = queries.select(col(qId).as("qid"), col(qVec).as("qv"))
+      .withColumn("__dots", dotsArr(col("qv")))
+    val q =
+      if (nprobe <= 1) q0.withColumn("cell", expr(argmaxCell)).drop("__dots")
+      else q0.withColumn("cell", explode(expr(probeCells))).drop("__dots")
+    // candidates live in exactly one inverted list -> no per-(qid,cid) dedup
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    rankTopK(scored, Seq("qid"), k).select("qid", "cid", "sim", "rank")
+  }
+
   /** Multi-probe LSH top-k: each query probes its own bucket PLUS the `bits`
     * buckets at Hamming distance 1 (one sign flipped) — the standard
     * multi-probe recall lever: a near neighbour that disagrees on exactly

@@ -165,6 +165,16 @@ class OpsSpec extends AnyFunSuite {
     // bits=0: one bucket = probe everything = exact recall
     val all = pairs(Similarity.lshTopK(queries, emb, k, bits = 0, dim = dim))
     assert(all == exact)
+    // IVF: recall grows with nprobe; nprobe = nCells probes every inverted
+    // list = exact
+    val ivf1 = pairs(Similarity.ivfTopK(queries, emb, k, nCells = 8, nprobe = 1, dim = dim))
+    val ivf2 = pairs(Similarity.ivfTopK(queries, emb, k, nCells = 8, nprobe = 2, dim = dim))
+    val ivfAll = pairs(Similarity.ivfTopK(queries, emb, k, nCells = 8, nprobe = 8, dim = dim))
+    val r1 = ivf1.intersect(exact).size.toDouble / exact.size
+    val r2 = ivf2.intersect(exact).size.toDouble / exact.size
+    info(f"IVF recall@$k nprobe1=$r1%.3f nprobe2=$r2%.3f")
+    assert(r2 >= r1 && ivf1.nonEmpty)
+    assert(ivfAll == exact)
   }
 
   test("media codecs round-trip: PNG decode, WAV decode, resize, frame sampling") {
