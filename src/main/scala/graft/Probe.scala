@@ -42,10 +42,8 @@ object Probe {
       Bench.cdcReplay(spark, warm, width)
       Bench.cdcReplay(spark, warm, width)
     }
-    System.err.println(s"[probe] measuring width=$width events=$events epochs=$epochs (set SPARK_GRAFT_EPOCHS to match)")
-    val _ = epochs
-    val t0 = System.nanoTime()
-    val (eps, elapsed) = Bench.cdcReplay(spark, events, width)
+    System.err.println(s"[probe] measuring width=$width events=$events epochs=$epochs")
+    val (eps, elapsed) = Bench.cdcReplay(spark, events, width, epochs = epochs)
     println(f"""{"width":$width,"events":$events,"eps":$eps%.1f,"elapsed":$elapsed%.2f}""")
     spark.stop()
   }

@@ -19,12 +19,11 @@ object Scaling {
     val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "7").toInt
     val budget = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "480").toInt
 
-    val (pairs, epsLo, epsHi, eff, effMedian) =
-      Bench.scalingPairs(lo, hi, events, maxPairs = rounds, budgetSec = budget)
-    val samples = pairs.map { case (l, h, e) => f"""{"n":$l%.1f,"n4":$h%.1f,"eff":$e%.3f}""" }
-      .mkString("[", ",", "]")
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow")
+    val (pairs, best, effMedian, effNormMedian) =
+      Bench.scalingPairs(lo, hi, events, maxPairs = rounds, budgetSec = budget, mode = mode)
     val json =
-      f"""{"metric":"scaling efficiency N->4N","n_cores":$lo,"n4_cores":$hi,"events":$events,"events_per_sec_n":$epsLo%.1f,"events_per_sec_4n":$epsHi%.1f,"efficiency":$eff%.3f,"efficiency_median":$effMedian%.3f,"pairs":$samples}"""
+      f"""{"metric":"scaling efficiency N->4N","mode":"$mode","n_cores":$lo,"n4_cores":$hi,"events":$events,"events_per_sec_n":${best.lo}%.1f,"events_per_sec_4n":${best.hi}%.1f,"efficiency":${best.eff}%.3f,"efficiency_median":$effMedian%.3f,"efficiency_cpu_normalized":${best.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$effNormMedian%.3f,"pairs":${Bench.pairsJson(pairs)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_LOCAL.json")), json + "\n")
     catch { case _: Throwable => () }

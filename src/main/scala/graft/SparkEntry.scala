@@ -302,6 +302,14 @@ object SparkEntry {
       // + exact-Jaccard verification has a DuckDB oracle (ops/Md5MinHash.scala)
       Dedup.minhashLsh(T(s, dir, "documents"), "doc_id", "text",
         numHashes = 32, bands = 8, shingleWidth = 3, threshold = 0.4, hashKernel = "md5")),
+    "q_dedup_components" -> ((s, dir) => {
+      // duplicate-GROUP resolution: near-dup pairs (same md5 LSH kernel as
+      // q_minhash_dedup) -> connected components -> (id, component, keep);
+      // the oracle recomputes the transitive closure via a recursive CTE.
+      val pairs = Dedup.minhashLsh(T(s, dir, "documents"), "doc_id", "text",
+        numHashes = 32, bands = 8, shingleWidth = 3, threshold = 0.4, hashKernel = "md5")
+      Dedup.components(pairs)
+    }),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text")
         // hamming <= 3 makes the 4x16-bit banding EXHAUSTIVE (pigeonhole:
@@ -322,6 +330,19 @@ object SparkEntry {
       val dim = emb.select(size(col("embedding"))).head().getInt(0)
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 4, dim = dim)
         .select("qid", "cid", "rank", "bucket")
+    }),
+    "q_embed_lsh_persisted" -> ((s, dir) => {
+      // Persisted-index ANN: signatures computed once into a
+      // bucket-partitioned parquet index; the query reads ONLY its probed
+      // bucket directories (partition pruning — pinned in PlanSpec). Same
+      // results as q_embed_lsh_topk by construction.
+      val emb = T(s, dir, "embeddings")
+      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val idxPath = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
+      Similarity.buildLshIndex(emb, idxPath, bits = 4, dim = dim)
+      Similarity.lshTopKIndexed(emb.filter(col("vec_id") < 10), idxPath, k = 5, bits = 4, dim = dim)
+        .select(col("qid"), col("cid"), col("rank").cast(IntegerType).as("rank"),
+          col("bucket").cast(LongType).as("bucket"))
     }),
     "q_embed_ivf" -> ((s, dir) => {
       // IVF-flat at nprobe=1: candidates in inverted lists by nearest
@@ -586,7 +607,7 @@ object SparkEntry {
         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |sig AS (
         |  SELECT e.vec_id, p.pid // 8 AS band,
-        |         sum(CASE WHEN list_sum(list_transform(range(0,64), d -> v[d+1] * comp[d+1])) >= 0
+        |         sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0,64), d -> v[d+1] * comp[d+1])), (s, x) -> s + x) >= 0
         |             THEN (1::BIGINT << (p.pid % 8)) ELSE 0 END)::BIGINT AS bucket
         |  FROM e CROSS JOIN p GROUP BY e.vec_id, p.pid // 8),
         |cand AS (
@@ -604,7 +625,29 @@ object SparkEntry {
         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |sig AS (
         |  SELECT e.vec_id, e.v,
-        |         sum(CASE WHEN list_sum(list_transform(range(0,64), d -> v[d+1] * comp[d+1])) >= 0
+        |         sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0,64), d -> v[d+1] * comp[d+1])), (s, x) -> s + x) >= 0
+        |             THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT AS bucket
+        |  FROM e CROSS JOIN p GROUP BY e.vec_id, e.v),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket,
+        |         list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank, bucket
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+    "q_embed_lsh_persisted" ->
+      // Identical semantics to q_embed_lsh_topk: the persisted index changes
+      // WHERE signatures are computed (once, into bucket-partitioned
+      // parquet), not WHAT the probe returns.
+      """WITH p AS (
+        |  SELECT pid, list_transform(range(0,64), d ->
+        |    md5_number_lower('hp_' || pid || '_' || d)::DOUBLE / 18446744073709551616.0 * 2 - 1) AS comp
+        |  FROM (SELECT unnest(range(0,4)) AS pid)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT e.vec_id, e.v,
+        |         sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0,64), d -> v[d+1] * comp[d+1])), (s, x) -> s + x) >= 0
         |             THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT AS bucket
         |  FROM e CROSS JOIN p GROUP BY e.vec_id, e.v),
         |scored AS (
@@ -616,17 +659,27 @@ object SparkEntry {
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
     "q_embed_ivf" ->
+      // Cell assignment is tie/precision tolerant by construction: the dot
+      // is the SAME left fold Spark's aggregate() computes (list_reduce with
+      // 0.0 seed — bit-identical in both engines), and the argmax tie-break
+      // is explicit (max dot, then MIN cell id — Spark's array_position
+      // takes the first max).
       """WITH cent AS (
         |  SELECT cc, list_transform(range(0,64), d ->
         |    md5_number_lower('ivf_' || cc || '_' || d)::DOUBLE / 18446744073709551616.0 * 2 - 1) AS cv
         |  FROM (SELECT unnest(range(0,8)) AS cc)),
         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |dots AS (
+        |  SELECT e.vec_id, e.v, cent.cc,
+        |         list_reduce(list_prepend(0.0::DOUBLE,
+        |           list_transform(range(0,64), d -> v[d+1] * cv[d+1])), (s, x) -> s + x) AS dot
+        |  FROM e CROSS JOIN cent),
         |cells AS (
-        |  SELECT vec_id, v, arg_max(cc, dot) AS cell FROM (
-        |    SELECT e.vec_id, e.v, cent.cc,
-        |           list_sum(list_transform(range(0,64), d -> v[d+1] * cv[d+1])) AS dot
-        |    FROM e CROSS JOIN cent)
-        |  GROUP BY vec_id, v),
+        |  SELECT vec_id, v, cc AS cell FROM (
+        |    SELECT vec_id, v, cc,
+        |           row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cc) AS rn
+        |    FROM dots)
+        |  WHERE rn = 1),
         |scored AS (
         |  SELECT q.vec_id AS qid, c.vec_id AS cid, list_cosine_similarity(q.v, c.v) AS sim
         |  FROM cells q JOIN cells c ON c.cell = q.cell AND c.vec_id <> q.vec_id
@@ -642,7 +695,7 @@ object SparkEntry {
         |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
         |sig AS (
         |  SELECT e.vec_id, e.v,
-        |         sum(CASE WHEN list_sum(list_transform(range(0,64), d -> v[d+1] * comp[d+1])) >= 0
+        |         sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0,64), d -> v[d+1] * comp[d+1])), (s, x) -> s + x) >= 0
         |             THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT AS bucket
         |  FROM e CROSS JOIN p GROUP BY e.vec_id, e.v),
         |q AS (
@@ -690,6 +743,49 @@ object SparkEntry {
         |    round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.hs, sb.hs))) AS DOUBLE), 4) AS jaccard
         |  FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
         |WHERE jaccard >= 0.4""".stripMargin,
+    "q_dedup_components" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |         ELSE [array_to_string(ws, ' ')] END,
+        |    s -> (CASE WHEN md5_number_lower(s) >= 9223372036854775808
+        |               THEN md5_number_lower(s)::HUGEINT - 18446744073709551616
+        |               ELSE md5_number_lower(s)::HUGEINT END)::BIGINT))) AS hs
+        |  FROM w),
+        |coef AS (
+        |  SELECT
+        |    list_transform(range(0,32), j -> (((CASE WHEN md5_number_lower('mh_a_' || j) >= 9223372036854775808
+        |          THEN md5_number_lower('mh_a_' || j)::HUGEINT - 18446744073709551616
+        |          ELSE md5_number_lower('mh_a_' || j)::HUGEINT END % 2147483646) + 2147483646) % 2147483646 + 1)::BIGINT) AS a,
+        |    list_transform(range(0,32), j -> (((CASE WHEN md5_number_lower('mh_b_' || j) >= 9223372036854775808
+        |          THEN md5_number_lower('mh_b_' || j)::HUGEINT - 18446744073709551616
+        |          ELSE md5_number_lower('mh_b_' || j)::HUGEINT END % 2147483647) + 2147483647) % 2147483647)::BIGINT) AS b),
+        |sig AS (
+        |  SELECT doc_id, hs, list_transform(range(0,32), j ->
+        |    list_min(list_transform(hs, h -> (a[j+1] * (((h % 2147483647) + 2147483647) % 2147483647) + b[j+1]) % 2147483647))) AS sg
+        |  FROM sh CROSS JOIN coef),
+        |banded AS (
+        |  SELECT doc_id, t.band,
+        |    md5_number_lower(array_to_string(sg[band*4+1 : band*4+4], ',')) AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0,8)) AS band) t),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.hs, sb.hs))) AS DOUBLE), 4) AS jaccard
+        |    FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |  WHERE jaccard >= 0.4),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |r AS (
+        |  SELECT src AS id, dst AS x FROM e
+        |  UNION
+        |  SELECT r.id, e.dst FROM r JOIN e ON e.src = r.x)
+        |SELECT id, least(id, min(x)) AS component, least(id, min(x)) = id AS keep
+        |FROM r GROUP BY id""".stripMargin,
     "q_multimodal_features" ->
       """WITH m AS (SELECT unnest(range(0, 500)) AS id),
         |d AS (SELECT id, CAST(id % 3 AS INT) AS md FROM m)

@@ -59,9 +59,34 @@ object MergeInto {
   def dedupe(changes: DataFrame, key: String, nBuckets: Int): DataFrame =
     dedupeBatch(changes, key, nBuckets)
 
+  /** The session confs the merge tunes for its own jobs. [[run]] saves and
+    * restores them, so a caller's settings survive a merge; [[dedupe]] (the
+    * caller-pipelined kernel) sets them WITHOUT restoring because its result
+    * executes after it returns — callers that pipeline epochs should wrap
+    * the whole replay in [[withMergeConfs]] (as [[graft.stream.Pipeline]]
+    * does). */
+  private val MergeConfKeys = Seq(
+    "spark.sql.requireAllClusterKeysForCoPartition",
+    "spark.sql.objectHashAggregate.sortBased.fallbackThreshold")
+
+  /** Run `body` and restore the merge-tuned session confs afterwards. */
+  def withMergeConfs[T](spark: SparkSession)(body: => T): T = {
+    val prior = MergeConfKeys.map(k => k -> spark.conf.getOption(k))
+    try body
+    finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   def run(table: IceLiteTable, changes: DataFrame, epochKey: String,
           registryJson: Option[String] = None,
-          preDeduped: Option[DataFrame] = None): CommitStats = {
+          preDeduped: Option[DataFrame] = None): CommitStats =
+    withMergeConfs(table.spark) { runInner(table, changes, epochKey, registryJson, preDeduped) }
+
+  private def runInner(table: IceLiteTable, changes: DataFrame, epochKey: String,
+                       registryJson: Option[String],
+                       preDeduped: Option[DataFrame]): CommitStats = {
     val snap = table.snapshot
     if (snap.committedEpochs.contains(epochKey)) {
       // Re-delivered epoch (at-least-once upstream): exactly-once via no-op.
@@ -223,9 +248,13 @@ object MergeInto {
       val actionCounts: Map[String, Long] =
         obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
 
-      // No-op epoch (empty batch, or every change stale): the table state is
-      // unchanged, so commit only the epoch marker — keep the old files and
-      // schema, abandon the identical rewrite to vacuum().
+      // No-op epoch (empty batch, or every change stale): the table DATA is
+      // unchanged, so commit only the epoch marker + metadata — keep the old
+      // files but still commit the evolved schema (additive evolution is
+      // metadata-only and must not be dropped: the exactly-once ledger will
+      // prevent this batch from ever replaying) and delete the abandoned
+      // identical rewrite (those files were never referenced by any
+      // snapshot, so the delete is safe at every version).
       val applied = Seq("insert", "update", "delete").map(actionCounts.getOrElse(_, 0L)).sum
       if (applied == 0L) {
         val s0 = CommitStats(epochKey, 0, 0, 0,
@@ -233,10 +262,12 @@ object MergeInto {
           stale = actionCounts.getOrElse("stale", 0L), 0, 0)
         table.commit(snap.copy(
           version = version,
+          schemaJson = newSchema.json,
           committedEpochs = snap.committedEpochs :+ epochKey,
           registryJson = registryJson.getOrElse(snap.registryJson),
           parentVersion = snap.version,
           stats = Some(s0)))
+        table.deleteDataFiles(newFiles.map(_.path))
         mark("commit (no-op epoch)")
         return s0
       }
@@ -298,13 +329,19 @@ object MergeInto {
   private def dedupeBatch(changes: DataFrame, key: String, nBuckets: Int): DataFrame = {
     // Sort-based fallback would turn the one-pass hash collapse into a full
     // sort; the default threshold (128 in-memory groups) is sized for
-    // collect_list-style aggregates, not a ~300-byte LWW buffer. 2M groups
-    // x ~330B ~ 650MB worst-case per task; actual epochs see ~100k-1M
-    // groups/partition. Size shuffle partitions so groups/partition stays
-    // under this at the target scale.
+    // collect_list-style aggregates, not a ~330-byte LWW buffer. The
+    // threshold is derived from the heap and task width (NOT a fixed 2M):
+    // budget ~15% of heap split across concurrently-running tasks, so a
+    // high-cardinality batch falls back to the graceful sort instead of
+    // OOMing the executor. [[run]] restores the conf afterwards.
     val spark = changes.sparkSession
+    val derivedThreshold = {
+      val cores = math.max(1, spark.sparkContext.defaultParallelism)
+      val perTask = (Runtime.getRuntime.maxMemory * 0.15 / 330 / cores).toLong
+      math.max(65536L, math.min(2000000L, perTask))
+    }
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-      spark.conf.getOption("graft.merge.aggFallbackThreshold").getOrElse("2000000"))
+      spark.conf.getOption("graft.merge.aggFallbackThreshold").getOrElse(derivedThreshold.toString))
     val base = changes
       .select(col(key), col("op"), col("after"),
         col("lsn").cast(org.apache.spark.sql.types.LongType).as("lsn"))
@@ -455,37 +492,43 @@ object MergeInto {
     * (1 when a file may contain tombstone rows) — compaction planning only
     * needs the flag. */
   private def footerStats(spark: SparkSession, tableRoot: String, outDir: String, key: String): List[DataFileMeta] = {
-    import org.apache.parquet.hadoop.ParquetFileReader
-    import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.hadoop.fs.Path
-    import scala.jdk.CollectionConverters._
+    // Hadoop FileSystem walk (portable: local FS here, HDFS/S3A on cluster).
     val conf = spark.sparkContext.hadoopConfiguration
-    val dir = java.nio.file.Paths.get(outDir)
-    val files = java.nio.file.Files.walk(dir).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && java.nio.file.Files.isRegularFile(p))
-      .toList
+    val dirP = new org.apache.hadoop.fs.Path(outDir)
+    val fs = dirP.getFileSystem(conf)
+    val rootUri = fs.makeQualified(new org.apache.hadoop.fs.Path(tableRoot)).toUri
+    val files = {
+      val buf = List.newBuilder[org.apache.hadoop.fs.Path]
+      val it = fs.listFiles(dirP, true)
+      while (it.hasNext) {
+        val st = it.next()
+        if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+      }
+      buf.result()
+    }
     // footer reads are independent metadata fetches; do them concurrently
     // (they are on the driver's serial path between epochs)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(32, math.max(1, files.size)))
     implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = files.map { p => scala.concurrent.Future(footerStatOne(conf, tableRoot, key, p)) }
+    val futures = files.map { p => scala.concurrent.Future(footerStatOne(conf, rootUri.getPath, key, p)) }
     try scala.concurrent.Await.result(scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration(300, "s")).toList
     finally pool.shutdown()
   }
 
-  private def footerStatOne(conf: org.apache.hadoop.conf.Configuration, tableRoot: String,
-                            key: String, p: java.nio.file.Path): DataFileMeta = {
+  private def footerStatOne(conf: org.apache.hadoop.conf.Configuration, rootPath: String,
+                            key: String, p: org.apache.hadoop.fs.Path): DataFileMeta = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
-    import org.apache.hadoop.fs.Path
     import scala.jdk.CollectionConverters._
     {
-      val rel = p.toString.stripPrefix(s"$tableRoot/").stripPrefix(tableRoot).stripPrefix("/")
+      // table-relative path (URI.relativize needs a trailing-slash base, so
+      // strip the qualified root's path prefix instead)
+      val rel = p.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
       val bucket = raw"$BUCKET=(\d+)".r.findFirstMatchIn(p.toString)
         .map(_.group(1).toInt)
         .getOrElse(throw new IllegalStateException(s"no bucket dir in path $p"))
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(new Path(p.toString), conf))
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
       try {
         val blocks = reader.getFooter.getBlocks.asScala
         var rows = 0L

@@ -56,7 +56,9 @@ object Dedup {
    */
   def minhashLsh(df: DataFrame, idCol: String, textCol: String,
                  numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
-                 threshold: Double = 0.5, hashKernel: String = "xx"): DataFrame = {
+                 threshold: Double = 0.5, hashKernel: String = "xx",
+                 maxBucket: Int = 100000,
+                 dropObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // Shingles as HASHES (native ShingleHashesExpr): one tokenize per row,
     // no shingle strings ever materialize; Jaccard over hash sets equals
@@ -74,7 +76,15 @@ object Dedup {
     val bandCol =
       if (hashKernel == "md5") Md5MinHash.minhashBands(col("sh"), numHashes, bands)
       else MinHashSigExpr.minhashBands(col("sh"), numHashes, bands)
-    val banded = base.select(col("id"), posexplode(bandCol).as(Seq("band", "bucket")))
+    val banded0 = base.select(col("id"), posexplode(bandCol).as(Seq("band", "bucket")))
+    // Bucket-size cap: the banded self-join is O(n^2) WITHIN a bucket, so one
+    // degenerate bucket (empty/boilerplate docs sharing a shingle set) would
+    // go quadratic at corpus scale. Buckets above `maxBucket` are dropped —
+    // their members are overwhelmingly mutual near-dups of one boilerplate
+    // cluster, which exact dedup (or a lowered cap + re-run on the dropped
+    // set) handles at O(n). `dropObs` piggybacks a dropped-bucket count onto
+    // the job (no extra action).
+    val banded = capBuckets(banded0, maxBucket, dropObs)
     val a = banded.alias("a")
     val b = banded.alias("b")
     val cand = a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -111,8 +121,7 @@ object Dedup {
       Similarity.lshBucket(col("v"), rowsPerBand, dim, planeOffset = b * rowsPerBand))
     val banded = base.select(col("id"),
       posexplode(array(bandBuckets: _*)).as(Seq("band", "bucket")))
-    val sizes = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bn"))
-    val kept = banded.join(sizes.filter(col("__bn") <= maxBucket), Seq("band", "bucket"))
+    val kept = capBuckets(banded, maxBucket, dropObs = None)
     val a = kept.select(col("band"), col("bucket"), col("id").as("id_a"))
     val b = kept.select(col("band"), col("bucket"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bucket"))
@@ -134,17 +143,92 @@ object Dedup {
   def simhash(text: Column): Column = TextHashExprs.simhash(text)
 
   /** SimHash near-dup candidates: equal signatures on any of 4 16-bit bands
-    * (hamming-distance-tolerant banding). */
-  def simhashPairs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    * (hamming-distance-tolerant banding). Same `maxBucket` posture as
+    * [[minhashLsh]]: a degenerate band bucket (e.g. the all-zeros signature
+    * of empty docs) is dropped instead of going quadratic. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxBucket: Int = 100000,
+                   dropObs: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sigs = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sig"))
-    val banded = sigs.select(col("id"), col("sig"),
+    val banded0 = sigs.select(col("id"), col("sig"),
       posexplode(transform(sequence(lit(0), lit(3)),
         b => call_function("shiftright", col("sig"), b * 16).bitwiseAND(0xFFFFL))).as(Seq("band", "bucket")))
+    val banded = capBuckets(banded0, maxBucket, dropObs)
     val a = banded.alias("a"); val b = banded.alias("b")
     a.join(b, col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))))
+  }
+
+  /**
+   * Duplicate-group resolution: connected components over a near-dup pair
+   * graph — the step after any of the pair generators above, turning pairs
+   * into groups with one canonical survivor (A~B, B~C => {A,B,C} keep the
+   * min id).
+   *
+   * Algorithm: iterative min-label propagation with pointer jumping (label
+   * <- label(label) each round), so even path-shaped graphs converge in
+   * O(log n) rounds — each round is two joins + an aggregation, all
+   * key-partitioned shuffles; no driver-side graph state, no RDDs. Lineage
+   * is truncated per round with localCheckpoint (at cluster scale, swap for
+   * checkpoint() on reliable storage).
+   *
+   * Returns (id, component, keep): every node of the pair graph, its group's
+   * min id, and whether this row is the group's canonical survivor.
+   */
+  def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                 maxIters: Int = 50): DataFrame = {
+    val e0 = pairs.select(col(idA).cast(LongType).as("src"), col(idB).cast(LongType).as("dst"))
+    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint(true)
+    // round 0: label(v) = min(v, neighbors)
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(min(col("dst")).as("__m"))
+      .select(col("id"), least(col("id"), col("__m")).as("lbl"))
+      .localCheckpoint(true)
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIters) {
+      // propagate the min label across edges
+      val nbr = edges
+        .join(labels.select(col("id").as("dst"), col("lbl").as("__nl")), Seq("dst"))
+        .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__pl"))
+      val prop = labels.join(nbr, Seq("id"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("__pl"), col("lbl"))).as("lbl"))
+      // pointer jumping: lbl <- lbl(lbl) halves chain depth every round
+      val updated = prop.alias("u")
+        .join(prop.select(col("id").as("__ji"), col("lbl").as("__jl")).alias("j"),
+          col("u.lbl") === col("__ji"), "left")
+        .select(col("u.id").as("id"), least(col("u.lbl"), coalesce(col("__jl"), col("u.lbl"))).as("lbl"))
+        .localCheckpoint(true)
+      val changed = updated.alias("n")
+        .join(labels.select(col("id"), col("lbl").as("__ol")), Seq("id"))
+        .filter(col("lbl") =!= col("__ol")).limit(1).count()
+      labels = updated
+      converged = changed == 0L
+      iter += 1
+    }
+    labels.select(col("id"), col("lbl").as("component"),
+      (col("id") === col("lbl")).as("keep"))
+  }
+
+  /** Drop (band, bucket) groups larger than `maxBucket` from a banded
+    * (… , band, bucket) frame before its self-join. One extra aggregation on
+    * the (tiny) (band, bucket) key space; when `dropObs` is given, the count
+    * of dropped buckets rides the same job via observe(). */
+  private def capBuckets(banded: DataFrame, maxBucket: Int,
+                         dropObs: Option[org.apache.spark.sql.Observation]): DataFrame = {
+    val sizes0 = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bn"))
+    val sizes = dropObs match {
+      case Some(obs) => sizes0.observe(obs,
+        count(when(col("__bn") > maxBucket, 1)).as("dropped_buckets"),
+        sum(when(col("__bn") > maxBucket, col("__bn"))).as("dropped_rows"))
+      case None => sizes0
+    }
+    banded.join(sizes.filter(col("__bn") <= maxBucket), Seq("band", "bucket"))
+      .drop("__bn")
   }
 }

@@ -113,6 +113,38 @@ object Similarity {
       .select("qid", "cid", "sim", "rank", "bucket")
   }
 
+  /** Persist the candidate side of [[lshTopK]] as a bucket-partitioned
+    * parquet index (one directory per LSH bucket). Signatures are computed
+    * ONCE here instead of per query call — at corpus scale this is the
+    * difference between O(N) signature work per top-k run and O(probed
+    * buckets) reads. The md5-derived hyperplanes are deterministic, so the
+    * index needs no stored model and is trivially incremental (append new
+    * vectors with the same planes). */
+  def buildLshIndex(candidates: DataFrame, path: String, bits: Int, dim: Int,
+                    cId: String = "vec_id", cVec: String = "embedding"): Unit =
+    candidates.select(col(cId).as("cid"), col(cVec).as("cv"),
+        lshBucket(col(cVec), bits, dim).cast(IntegerType).as("bucket"))
+      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+
+  /** Top-k against a persisted LSH index. The query side is small by
+    * contract, so its buckets are computed driver-side and pushed as a
+    * PARTITION filter — the scan plans O(|probed buckets|) directories of
+    * the index, never the corpus (PlanSpec pins the PartitionFilters). */
+  def lshTopKIndexed(queries: DataFrame, indexPath: String, k: Int, bits: Int, dim: Int,
+                     qId: String = "vec_id", qVec: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("qv"),
+      lshBucket(col(qVec), bits, dim).cast(IntegerType).as("bucket"))
+    val probed = q.select("bucket").distinct().collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(indexPath)
+      .filter(col("bucket").isin(probed.map(Integer.valueOf).toSeq: _*))
+    val scored = idx.join(broadcast(q), Seq("bucket"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    rankTopK(scored, Seq("qid", "bucket"), k)
+      .select("qid", "cid", "sim", "rank", "bucket")
+  }
+
   // ---- IVF-flat (inverted file) ----
 
   /** Deterministic IVF coarse quantizer: `nCells` md5-derived centroids

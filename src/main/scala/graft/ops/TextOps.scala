@@ -68,8 +68,9 @@ object TextOps {
   def stopwordHits(text: Column, lang: String): Column =
     size(filter(words(text), w => w.isin(LangProfiles.stopwords(lang): _*)))
 
-  /** Heuristic language ID: argmax of per-language stopword hit rates with
-    * a trigram tie-break. Deterministic; no model files. */
+  /** Heuristic language ID: argmax of per-language stopword hit counts;
+    * ties keep the earlier language in [[LangProfiles.langs]] order (strict
+    * `>` in the fold). Deterministic; no model files. */
   def langId(df: DataFrame, textCol: String = "text", out: String = "lang_pred"): DataFrame = {
     val t = col(textCol)
     val langs = LangProfiles.langs

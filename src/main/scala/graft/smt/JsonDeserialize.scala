@@ -60,13 +60,13 @@ final class JsonDeserialize(val cfg: JsonDeserializeConfig, val registry: Schema
   private def applyColumn(df0: DataFrame, column: String): DataFrame = {
     import df0.sparkSession.implicits._
 
-    // Sanitize mode: inference produces Avro-sanitized field names, so the
-    // JSON text's keys must be rewritten to match before from_json
-    // (`utils/AvroUtils.java:26-48` applied at parse time).
-    val df =
-      if (cfg.opts.sanitizeFieldNames)
-        df0.withColumn(column, JsonDeserialize.sanitizeKeysUdf(col(column)))
-      else df0
+    // Sanitize mode needs NO text rewrite before inference or classification:
+    // both the inference walk (`JsonSchemaInfer.inferRec`) and the strict
+    // mapper sanitize keys as they traverse the raw JSON
+    // (`utils/AvroUtils.java:26-48` applied at parse time). Only from_json
+    // matches keys literally, so the rewrite happens exactly once, inside
+    // [[parseAs]] on the output path — one Jackson parse per row per pass.
+    val df = df0
 
     // Pass 1: distributed inference + union fold over non-empty values.
     val agg = new SchemaInferAggregator(column, cfg.opts, cfg.lenient)
@@ -155,13 +155,21 @@ final class JsonDeserialize(val cfg: JsonDeserializeConfig, val registry: Schema
 
   /** Parse a JSON string column under a compatibility class: structs/arrays
     * via from_json; root literals (unsupported by from_json) via
-    * get_json_object + cast (`DebeziumJsonDeserializerTest.java:506-550`). */
-  private def parseAs(c: Column, jt: JType): Column = jt match {
-    case _: JStruct | _: JArray =>
-      val dt: DataType = jt.toSpark
-      from_json(c, dt, Map.empty[String, String])
-    case JPrim(t, _, _) =>
-      get_json_object(c, "$").cast(t.sparkType)
+    * get_json_object + cast (`DebeziumJsonDeserializerTest.java:506-550`).
+    * In sanitize mode the text's keys are rewritten to the sanitized names
+    * HERE (from_json matches keys literally) — the only Jackson pass on the
+    * output path. */
+  private def parseAs(c: Column, jt: JType): Column = {
+    val src =
+      if (cfg.opts.sanitizeFieldNames) JsonDeserialize.sanitizeKeysUdf(c)
+      else c
+    jt match {
+      case _: JStruct | _: JArray =>
+        val dt: DataType = jt.toSpark
+        from_json(src, dt, Map.empty[String, String])
+      case JPrim(t, _, _) =>
+        get_json_object(src, "$").cast(t.sparkType)
+    }
   }
 }
 
@@ -170,7 +178,9 @@ object JsonDeserialize {
   import com.fasterxml.jackson.databind.node.{ArrayNode, ObjectNode}
 
   /** Recursively rewrite object keys with Avro-name sanitization so the
-    * JSON text matches the sanitized inferred schema. */
+    * JSON text matches the sanitized inferred schema. Parses through
+    * [[graft.schema.JsonSchemaInfer.parse]] so the pass shows up in
+    * `parseCount` (the one-parse-per-row unit assertions). */
   private[smt] def sanitizeJsonKeys(s: String): String = {
     if (s == null || s.isEmpty) return s
     val m = new ObjectMapper()
@@ -189,7 +199,7 @@ object JsonDeserialize {
         out
       case other => other
     }
-    try m.writeValueAsString(rec(m.readTree(s)))
+    try m.writeValueAsString(rec(graft.schema.JsonSchemaInfer.parse(s)))
     catch { case _: Exception => s } // unparseable: leave for the strictness path
   }
 

@@ -59,18 +59,27 @@ object Pipeline {
         count(when(col("op") === "u", 1)).as("updates"),
         count(when(col("op") === "d", 1)).as("deletes"),
         max(col("lsn")).as("max_lsn"))
+    val autoCompact = spark.conf.getOption(TombstoneCompactConf).isDefined
     source.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // Batch-level stages (schema inference) scan the batch before the
         // merge does; cache so the source — and its observe() metrics —
-        // materialize exactly once per batch.
-        val needCache = stages.nonEmpty
+        // materialize exactly once per batch. (Auto tombstone compaction
+        // also re-reads the batch for its lsn watermark.)
+        val needCache = stages.nonEmpty || autoCompact
         val base = if (needCache) batch.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) else batch
         try {
           val transformed = stages.foldLeft(base)((df, stage) => stage(df))
           val registrySnapshot = stages.collectFirst { case j: JsonDeserialize => j.registry.serialize }
           table.merge(transformed, s"$streamId/$epochId", registrySnapshot): Unit
+          if (autoCompact) {
+            // The file-tailed source delivers chunks in lsn order, so this
+            // batch's max lsn is the stream's low-water mark: nothing at or
+            // below it can still arrive.
+            val wmRow = base.agg(max(col("lsn"))).head()
+            if (!wmRow.isNullAt(0)) maybeCompactTombstones(spark, table, wmRow.getLong(0) + 1)
+          }
         } finally if (needCache) { base.unpersist(): Unit }
       }
       .trigger(Trigger.AvailableNow())
@@ -95,8 +104,27 @@ object Pipeline {
       val transformed = stages.foldLeft(chunk)((df, stage) => stage(df))
       val registrySnapshot = stages.collectFirst { case j: JsonDeserialize => j.registry.serialize }
       table.merge(transformed, s"$streamId/$e", registrySnapshot)
+      // epochs are lsn-ordered by construction: `hi` is the low-water mark
+      maybeCompactTombstones(spark, table, hi)
     }
   }
+
+  /** Conf key enabling opportunistic tombstone reclamation: when at least
+    * this many files carry tombstones AND the stream's low-water mark (the
+    * lsn below which no change can still arrive — epoch upper bound in the
+    * replay paths, last batch's max lsn for the lsn-ordered file source)
+    * has passed them, `compactTombstones` runs right after the commit.
+    * Opt-in, like Iceberg/Hudi compaction policies: rewriting tombstoned
+    * files competes with ingest for I/O, so the threshold is a deployment
+    * decision. */
+  val TombstoneCompactConf = "graft.merge.tombstoneCompact.minFiles"
+
+  private[graft] def maybeCompactTombstones(spark: SparkSession, table: IceLiteTable,
+                                            watermark: Long): Unit =
+    spark.conf.getOption(TombstoneCompactConf).map(_.toInt).foreach { minFiles =>
+      val tombFiles = table.snapshot.files.count(_.tombstones > 0)
+      if (tombFiles >= minFiles) table.compactTombstones(watermark): Unit
+    }
 
   /** Generator-driven replay: like [[replayBatch]], but each epoch's slice is
     * GENERATED at full width (`cfg.copy(startLsn, numEvents)`) instead of
@@ -118,7 +146,21 @@ object Pipeline {
       // bound, so overlapping two epochs adds traffic without adding idle
       // cores to fill. Kept behind an opt-in flag for cluster topologies
       // where reducer slots actually sit idle between epochs.
-      lookahead: Boolean = sys.env.get("SPARK_GRAFT_LOOKAHEAD").contains("true")): Unit = {
+      lookahead: Boolean = sys.env.get("SPARK_GRAFT_LOOKAHEAD").contains("true")): Unit =
+    // The replay pipelines dedupe across epochs, so the merge-tuned session
+    // confs must stay set between merges; restore them once at the end.
+    graft.merge.MergeInto.withMergeConfs(spark) {
+      replayGenInner(spark, cfg, table, streamId, epochs, stages, lookahead)
+    }
+
+  private def replayGenInner(
+      spark: SparkSession,
+      cfg: GenConfig,
+      table: IceLiteTable,
+      streamId: String,
+      epochs: Int,
+      stages: Seq[DataFrame => DataFrame],
+      lookahead: Boolean): Unit = {
     val per = math.max(1L, (cfg.numEvents + epochs - 1) / epochs)
     def slice(e: Int): Option[DataFrame] = {
       val lo = e * per
@@ -127,12 +169,16 @@ object Pipeline {
       else Some(ChangeGen.events(spark, cfg.copy(startLsn = cfg.startLsn + lo, numEvents = n)))
     }
 
+    def epochWatermark(e: Int): Long =
+      cfg.startLsn + math.min(cfg.numEvents, (e + 1).toLong * per)
+
     if (stages.nonEmpty || !lookahead) {
       (0 until epochs).foreach { e =>
         slice(e).foreach { chunk =>
           val transformed = stages.foldLeft(chunk)((df, stage) => stage(df))
           val registrySnapshot = stages.collectFirst { case j: JsonDeserialize => j.registry.serialize }
           table.merge(transformed, s"$streamId/$e", registrySnapshot): Unit
+          maybeCompactTombstones(spark, table, epochWatermark(e))
         }
       }
     } else {
@@ -168,6 +214,7 @@ object Pipeline {
             graft.merge.MergeInto.run(table, chunk, s"$streamId/$e",
               registryJson = None, preDeduped = Some(deduped)): Unit
             deduped.unpersist(blocking = false): Unit
+            maybeCompactTombstones(spark, table, epochWatermark(e))
           }
           cur = Await.result(nextF, Duration.Inf)
         }

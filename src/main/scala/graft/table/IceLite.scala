@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
 import scala.jdk.CollectionConverters._
 
 /**
@@ -75,39 +76,59 @@ object IceLite {
     m
   }
 
+  /** Hadoop configuration for path resolution: the active session's when one
+    * exists (picks up s3a/hdfs settings), a vanilla Configuration otherwise
+    * (file:// still works). All table I/O goes through the Hadoop
+    * `FileSystem` API so the same code runs against the local FS in-sandbox
+    * and HDFS/S3A on a cluster. */
+  private[table] def hadoopConf: Configuration =
+    SparkSession.getActiveSession.map(_.sparkContext.hadoopConfiguration)
+      .getOrElse(new Configuration())
+
+  private[table] def fsFor(root: Path, conf: Configuration): FileSystem =
+    root.getFileSystem(conf)
+
   def create(spark: SparkSession, root: String, schema: StructType, keyColumn: String,
              numBuckets: Int = 16, properties: Map[String, String] = Map.empty): IceLiteTable = {
-    val rootP = Paths.get(root)
-    Files.createDirectories(rootP.resolve("data"))
-    Files.createDirectories(rootP.resolve("meta"))
+    val rootP = new Path(root)
+    val fs = fsFor(rootP, spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(rootP, "data"))
+    fs.mkdirs(new Path(rootP, "meta"))
     require(schema.fieldNames.contains(keyColumn), s"key column $keyColumn missing from schema")
     val mode = properties.getOrElse("write.mode", "cow")
     require(mode == "cow" || mode == "mor", s"unknown write.mode: $mode")
     val snap = Snapshot(0L, schema.json, keyColumn, numBuckets, Nil, Nil, "", Map.empty, -1L, None, properties)
-    writeSnapshot(rootP, snap)
+    writeSnapshot(fs, rootP, snap)
     new IceLiteTable(spark, root)
   }
 
   def load(spark: SparkSession, root: String): IceLiteTable = new IceLiteTable(spark, root)
 
-  def exists(root: String): Boolean =
-    Files.isDirectory(Paths.get(root, "meta")) && currentVersion(Paths.get(root)).isDefined
+  def exists(root: String): Boolean = {
+    val rootP = new Path(root)
+    val fs = fsFor(rootP, hadoopConf)
+    fs.isDirectory(new Path(rootP, "meta")) && currentVersion(fs, rootP).isDefined
+  }
 
-  private[table] def currentVersion(root: Path): Option[Long] = {
-    val meta = root.resolve("meta")
-    if (!Files.isDirectory(meta)) return None
-    val versions = Files.list(meta).iterator().asScala
-      .map(_.getFileName.toString)
+  private[table] def currentVersion(fs: FileSystem, root: Path): Option[Long] = {
+    val meta = new Path(root, "meta")
+    if (!fs.isDirectory(meta)) return None
+    val versions = fs.listStatus(meta).toSeq
+      .map(_.getPath.getName)
       .collect { case s if s.startsWith("v") && s.endsWith(".json") => s.stripPrefix("v").stripSuffix(".json").toLong }
-      .toSeq
     if (versions.isEmpty) None else Some(versions.max)
   }
 
   // Snapshot serde is hand-rolled on the Jackson tree API: Scala generics
   // erase, so data-binding would deserialize Long fields inside collections
   // as Integer and blow up at use sites.
-  private[table] def readSnapshot(root: Path, version: Long): Snapshot = {
-    val n = mapper.readTree(Files.readAllBytes(root.resolve("meta").resolve(s"v$version.json")))
+  private[table] def readSnapshot(fs: FileSystem, root: Path, version: Long): Snapshot = {
+    val p = new Path(new Path(root, "meta"), s"v$version.json")
+    val in = fs.open(p)
+    val bytes =
+      try org.apache.commons.io.IOUtils.toByteArray(in)
+      finally in.close()
+    val n = mapper.readTree(bytes)
     val files = n.path("files").elements().asScala.map { f =>
       DataFileMeta(f.path("path").asText(), f.path("bucket").asInt(), f.path("rows").asLong(),
         f.path("minKey").asText(), f.path("maxKey").asText(), f.path("tombstones").asLong(),
@@ -126,14 +147,21 @@ object IceLite {
       lineage, n.path("parentVersion").asLong(), stats, props)
   }
 
-  /** Atomic commit: write to temp, atomically move into place. A concurrent
-    * duplicate version fails the move (crash-safe; single writer assumed). */
-  private[table] def writeSnapshot(root: Path, snap: Snapshot): Unit = {
-    val meta = root.resolve("meta")
-    val tmp = Files.createTempFile(meta, s".v${snap.version}", ".tmp")
-    Files.write(tmp, mapper.writeValueAsBytes(snap))
-    Files.move(tmp, meta.resolve(s"v${snap.version}.json"),
-      StandardCopyOption.ATOMIC_MOVE)
+  /** Atomic commit: write to temp, atomically rename into place. Hadoop's
+    * single-file rename is atomic on HDFS and POSIX local FS, and refuses to
+    * replace an existing destination — a concurrent duplicate version fails
+    * the rename (crash-safe; single writer assumed). */
+  private[table] def writeSnapshot(fs: FileSystem, root: Path, snap: Snapshot): Unit = {
+    val meta = new Path(root, "meta")
+    val tmp = new Path(meta, s".v${snap.version}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(mapper.writeValueAsBytes(snap))
+    finally out.close()
+    val dst = new Path(meta, s"v${snap.version}.json")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(s"commit conflict: $dst already exists")
+    }
   }
 }
 
@@ -149,17 +177,20 @@ object IceLiteTable {
   }
 }
 
-/** Handle to an IceLite table; all reads plan from the current snapshot. */
+/** Handle to an IceLite table; all reads plan from the current snapshot.
+  * All metadata I/O goes through the Hadoop FileSystem of `root`'s scheme
+  * (local FS in-sandbox; HDFS/S3A on a cluster with the same code). */
 final class IceLiteTable(val spark: SparkSession, val root: String) {
-  private val rootP = Paths.get(root)
+  private val rootP = new Path(root)
+  private val fs: FileSystem = IceLite.fsFor(rootP, spark.sparkContext.hadoopConfiguration)
 
   def snapshot: Snapshot = {
-    val v = IceLite.currentVersion(rootP)
+    val v = IceLite.currentVersion(fs, rootP)
       .getOrElse(throw new IllegalStateException(s"No IceLite table at $root"))
-    IceLite.readSnapshot(rootP, v)
+    IceLite.readSnapshot(fs, rootP, v)
   }
 
-  def snapshotAt(version: Long): Snapshot = IceLite.readSnapshot(rootP, version)
+  def snapshotAt(version: Long): Snapshot = IceLite.readSnapshot(fs, rootP, version)
 
   /** Read the full table as of the current snapshot (tombstones filtered,
     * internal columns hidden). */
@@ -197,7 +228,14 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   def merge(changes: DataFrame, epochKey: String, registryJson: Option[String] = None): CommitStats =
     graft.merge.MergeInto.run(this, changes, epochKey, registryJson)
 
-  private[graft] def commit(newSnap: Snapshot): Unit = IceLite.writeSnapshot(rootP, newSnap)
+  private[graft] def commit(newSnap: Snapshot): Unit = IceLite.writeSnapshot(fs, rootP, newSnap)
+
+  /** Best-effort delete of data files that were written but never referenced
+    * by any snapshot (abandoned no-op-epoch rewrites). */
+  private[graft] def deleteDataFiles(paths: Seq[String]): Unit =
+    paths.foreach { p =>
+      try fs.delete(new Path(rootP, p), false): Unit catch { case _: Throwable => () }
+    }
 
   /** MOR: rewrite `buckets` to their resolved state (one winner row per
     * key), dropping resolved tombstones below `lsnWatermark`. O(files of the
@@ -248,21 +286,22 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   /** Delete data files not referenced by the last `keepSnapshots` snapshots
     * (orphans from failed commits, and files rewritten away by COW merges). */
   def vacuum(keepSnapshots: Int = 1): Int = {
-    val current = IceLite.currentVersion(rootP).getOrElse(return 0)
+    val current = IceLite.currentVersion(fs, rootP).getOrElse(return 0)
     val keepFrom = math.max(0, current - keepSnapshots + 1)
     val referenced = (keepFrom to current)
-      .flatMap(v => IceLite.readSnapshot(rootP, v).files.map(_.path)).toSet
-    val dataDir = rootP.resolve("data")
-    if (!Files.isDirectory(dataDir)) return 0
+      .flatMap(v => IceLite.readSnapshot(fs, rootP, v).files.map(_.path)).toSet
+    val dataDir = new Path(rootP, "data")
+    if (!fs.isDirectory(dataDir)) return 0
     var removed = 0
-    Files.walk(dataDir).iterator().asScala
-      .filter(p => Files.isRegularFile(p))
-      .foreach { p =>
-        val rel = rootP.relativize(p).toString
-        if (!referenced.contains(rel) && rel.endsWith(".parquet")) {
-          Files.delete(p); removed += 1
-        }
+    val rootPath = fs.makeQualified(rootP).toUri.getPath
+    val it = fs.listFiles(dataDir, true)
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+      if (!referenced.contains(rel) && rel.endsWith(".parquet")) {
+        fs.delete(st.getPath, false); removed += 1
       }
+    }
     removed
   }
 }

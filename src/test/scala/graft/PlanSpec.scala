@@ -54,6 +54,18 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges == 1, s"expected exactly 1 shuffle, found $exchanges:\n$p")
   }
 
+  test("persisted LSH index scan prunes to the probed bucket partitions") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val idx = SparkTestBase.tempDir("plan-lsh-index")
+    Similarity.buildLshIndex(emb, idx, bits = 4, dim = dim)
+    val df = Similarity.lshTopKIndexed(emb.filter(col("vec_id") < 3), idx, k = 3, bits = 4, dim = dim)
+    val p = plan(df)
+    // the index scan carries a partition filter on bucket — the probe reads
+    // O(|probed buckets|) directories, never the whole index
+    assert(raw"PartitionFilters: \[[^\]]*bucket".r.findFirstIn(p).isDefined, p)
+  }
+
   test("ANN top-k broadcasts the query side and never shuffles candidates") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3))

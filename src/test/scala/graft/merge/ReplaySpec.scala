@@ -274,6 +274,36 @@ class ReplaySpec extends AnyFunSuite {
     assert(s1.inserted == 0 && s1.updated == 0 && s1.deleted == 0 && s1.stale > 0)
     assert(table.snapshot.files.map(_.path) == snap1.files.map(_.path))
     assert(tableState(table) == state)
+
+    // the abandoned no-op rewrites were deleted immediately: nothing on disk
+    // is unreferenced (vacuum finds no orphans)
+    assert(table.vacuum(keepSnapshots = 100) == 0)
+
+    // a no-op epoch that CARRIES additive schema evolution still commits the
+    // evolved schema (metadata-only): the exactly-once ledger would otherwise
+    // silently drop the evolution forever
+    val evolvedStale = stale.withColumn("after", struct(
+      col("after.doc_id"), col("after.tokens"), col("after.n_tok"), col("after.source"),
+      lit("x").as("evolved_col")))
+    table.merge(evolvedStale, "e-stale-evolve")
+    assert(table.snapshot.schema.fieldNames.contains("evolved_col"))
+    assert(table.read().select("evolved_col").collect().forall(_.isNullAt(0)))
+  }
+
+  test("a caller's session confs survive a merge (scoped overrides)") {
+    val spark2 = spark
+    val key = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val coPart = "spark.sql.requireAllClusterKeysForCoPartition"
+    val priorCoPart = spark2.conf.get(coPart)
+    spark2.conf.set(key, "777")
+    try {
+      val cfg = GenConfig(numDocs = 30, numEvents = 200, seed = 31, withMetadata = false)
+      val root = SparkTestBase.tempDir("icelite-confscope")
+      val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+      table.merge(ChangeGen.events(spark, cfg), "s/0")
+      assert(spark2.conf.get(key) == "777", "merge leaked its fallbackThreshold override")
+      assert(spark2.conf.get(coPart) == priorCoPart, "merge leaked requireAllClusterKeysForCoPartition")
+    } finally spark2.conf.unset(key)
   }
 
   test("generator is deterministic and skewed") {

@@ -194,6 +194,73 @@ class OpsSpec extends AnyFunSuite {
     assert(MediaCodec.decodeFrames(vid, 2) == ((4, 12, 6, (10.0 + 50.0) / 2)))
   }
 
+  test("connected components resolves duplicate groups (chain, ring, pair)") {
+    // chain 1-2-3-4-5 (stresses pointer jumping), ring 10-11-12-10,
+    // isolated pair 20-21
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (12L, 10L), (20L, 21L)).toDF("id_a", "id_b")
+    val out = Dedup.components(pairs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert((1L to 5L).forall(i => out(i)._1 == 1L))
+    assert(Seq(10L, 11L, 12L).forall(i => out(i)._1 == 10L))
+    assert(out(20L)._1 == 20L && out(21L)._1 == 20L)
+    assert(out.count(_._2._2) == 3) // one keeper per group
+    assert(out(1L)._2 && out(10L)._2 && out(20L)._2)
+    // long path: 64 nodes converge well inside the O(log n) iteration cap
+    val longChain = (0L until 63L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val lc = Dedup.components(longChain).collect()
+    assert(lc.forall(_.getLong(1) == 0L) && lc.length == 64)
+  }
+
+  test("persisted LSH index returns the same top-k as the inline probe") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding"))).head().getInt(0)
+    val idx = graft.SparkTestBase.tempDir("lsh-index")
+    Similarity.buildLshIndex(emb, idx, bits = 4, dim = dim)
+    val q = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid").cast("long"), col("cid").cast("long"), col("rank").cast("int"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val inline = key(Similarity.lshTopK(q, emb, k = 5, bits = 4, dim = dim))
+    val persisted = key(Similarity.lshTopKIndexed(q, idx, k = 5, bits = 4, dim = dim))
+    assert(persisted == inline)
+  }
+
+  test("degenerate LSH buckets are capped, not quadratic") {
+    // 40 identical boilerplate docs share every band bucket: uncapped, the
+    // self-join would emit 40*39/2 = 780 pairs from one bucket. With
+    // maxBucket = 10 those buckets drop (counted via observe) and only the
+    // genuine near-dup pair among the distinct docs survives.
+    val boiler = (100L until 140L).map(i => (i, "lorem ipsum dolor sit amet boilerplate footer text"))
+    val mixed = (boiler ++ Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away house")))
+      .toDF("doc_id", "text")
+    val obs = org.apache.spark.sql.Observation()
+    val capped = Dedup.minhashLsh(mixed, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4,
+      maxBucket = 10, dropObs = Some(obs)).collect()
+    val cappedPairs = capped.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs.contains((1L, 2L)))
+    assert(!cappedPairs.exists { case (a, b) => a >= 100L && b >= 100L })
+    assert(obs.get("dropped_buckets").asInstanceOf[Long] > 0)
+    // candidate volume stays O(docs x bands), not O(bucket^2)
+    assert(capped.length < 40)
+    // uncapped (default) finds the boilerplate pairs too — the cap is the
+    // only difference
+    val uncapped = Dedup.minhashLsh(mixed, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped.contains((100L, 101L)))
+
+    // same posture for simhash banding
+    val obs2 = org.apache.spark.sql.Observation()
+    val sim = Dedup.simhashPairs(mixed, "doc_id", "text", maxBucket = 10, dropObs = Some(obs2))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!sim.exists { case (a, b) => a >= 100L && b >= 100L })
+    assert(obs2.get("dropped_buckets").asInstanceOf[Long] > 0)
+  }
+
   test("quality features penalize junk") {
     val df = Seq(
       (1L, "this is a perfectly normal english sentence with many common words in it"),

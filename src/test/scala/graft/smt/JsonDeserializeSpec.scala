@@ -90,6 +90,29 @@ class JsonDeserializeSpec extends AnyFunSuite {
     assert(!rows(2).isNullAt(rows(2).fieldIndex("json")) && rows(2).isNullAt(rows(2).fieldIndex("json__v1")))
   }
 
+  test("sanitize mode parses each row once per pass (no pre-inference rewrite)") {
+    // The inference walk and the strict mapper sanitize keys while
+    // traversing RAW text; only from_json needs the rewritten text, so the
+    // rewrite lives in the output expression — one Jackson parse per row in
+    // the inference action, one in the output action.
+    val df = Seq(("1", """{"b-x": 1, "c.y": "s"}"""), ("2", """{"b-x": 2, "c.y": "t"}"""))
+      .toDF("id", "json")
+    val reg = new SchemaRegistry(true)
+    val s = new JsonDeserialize(JsonDeserializeConfig(Seq("json"), "t",
+      InferOptions(optionalStructFields = true, sanitizeFieldNames = true)), reg)
+    val before = graft.schema.JsonSchemaInfer.parseCount.sum()
+    val out = s(df) // runs the inference action
+    val inferParses = graft.schema.JsonSchemaInfer.parseCount.sum() - before
+    assert(inferParses <= 2, s"inference pass should parse once per row, got $inferParses for 2 rows")
+    val rows = out.orderBy("id").collect() // output action: the sanitize rewrite
+    val total = graft.schema.JsonSchemaInfer.parseCount.sum() - before
+    assert(total <= 4, s"expected <= 2 Jackson parses per row across both passes, got $total for 2 rows")
+    val st = out.schema("json").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(st.fieldNames.toSet == Set("b_x", "c_y"))
+    assert(rows(0).getStruct(rows(0).fieldIndex("json")).getAs[Int]("b_x") == 1)
+    assert(rows(1).getStruct(rows(1).fieldIndex("json")).getAs[String]("c_y") == "t")
+  }
+
   test("union failures are counted and opt-in logged") {
     // DebeziumJsonDeserializer.java:124,229-236 — a schema that unions with
     // no known class registers a new class; the failure count is surfaced.

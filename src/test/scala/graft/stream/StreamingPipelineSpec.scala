@@ -73,6 +73,31 @@ class StreamingPipelineSpec extends AnyFunSuite {
     spark.streams.removeListener(listener)
   }
 
+  test("tombstones are physically reclaimed once the lsn watermark passes") {
+    val cfg = GenConfig(numDocs = 60, numEvents = 1200, seed = 19, deleteRatio = 0.3, withMetadata = false)
+    val srcDir = SparkTestBase.tempDir("tomb-src")
+    val root = SparkTestBase.tempDir("tomb-table")
+    val ckpt = SparkTestBase.tempDir("tomb-ckpt")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    ChangeGen.writeChunks(spark, cfg, srcDir, numChunks = 3)
+    spark.conf.set(Pipeline.TombstoneCompactConf, "1")
+    try {
+      Pipeline.runFileStream(spark, srcDir, table, ckpt, "tq").awaitTermination()
+    } finally spark.conf.unset(Pipeline.TombstoneCompactConf)
+    // deletes flowed through the stream...
+    assert(table.snapshot.lineage("applied.deletes") > 0L)
+    // ...but no tombstone survives: the watermark (last batch's max lsn)
+    // passed them all and the auto-compaction rewrote their files
+    assert(table.snapshot.files.map(_.tombstones).sum == 0L)
+    // and the state still equals the one-shot fold
+    val expectedRoot = SparkTestBase.tempDir("tomb-expected")
+    val expected = IceLite.create(spark, expectedRoot, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    expected.merge(ChangeGen.events(spark, cfg), "one/0")
+    val a = table.read().orderBy("doc_id").collect().map(_.toString)
+    val b = expected.read().orderBy("doc_id").collect().map(_.toString)
+    assert(a.sameElements(b))
+  }
+
   test("restart from checkpoint resumes without double-applying") {
     val cfg = GenConfig(numDocs = 80, numEvents = 1200, seed = 33, withMetadata = false)
     val srcDir = SparkTestBase.tempDir("resume-src")
