@@ -66,19 +66,30 @@ object Bench {
       .orElse(Some(java.nio.file.Paths.get("/dev/shm")).filter(java.nio.file.Files.isDirectory(_)))
       .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
     val root = java.nio.file.Files.createTempDirectory(base, "graft-bench").toString
+    // Task-granularity multiplier (SPARK_GRAFT_PART_MULT): tasks per stage =
+    // width x mult (~mult waves per stage). Default 1 — measured fastest in
+    // quiet windows (one wave, no per-task overhead); under heavy co-tenant
+    // load mult=4 measured ~2x faster at width 32 (waves refill cores as
+    // the hypervisor gives them back), so the knob exists for loaded hosts
+    // and for real clusters, where 2-4 waves/stage is standard practice.
+    val mult = sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt
     val cfg = GenConfig(
       numDocs = math.max(1000L, numEvents / 10),
       numEvents = numEvents,
       seed = 42,
       skew = 2.0,
       withMetadata = false,
-      numPartitions = cpus)
+      numPartitions = cpus * mult)
     // Bucket count fixed across parallelism levels: the table layout is a
     // property of the data, not of the cluster size being measured.
     // write.mode A/B: cow (default) rewrites affected files per epoch; mor
     // appends deltas and resolves at read (SPARK_GRAFT_MODE=mor).
+    // Keep buckets >= width x mult so the bucket-label repartition can fill
+    // every shuffle partition (labels pack evenly for any power-of-two
+    // P <= buckets; fewer buckets than partitions would leave P - buckets
+    // of them empty).
     val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id",
-      numBuckets = sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt,
+      numBuckets = math.max(sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt, cpus * mult),
       properties = Map("write.mode" -> mode))
     // Fewer, larger epochs amortize the fixed per-epoch serial fraction
     // (driver planning, commit) — the 10^10-event design point has epochs
@@ -133,7 +144,8 @@ object Bench {
     s.sparkContext.addSparkListener(tally)
     try {
       def leg(lvl: Int, ev: Long): (Double, Double) = {
-        s.conf.set("spark.sql.shuffle.partitions", lvl.toString)
+        val mult = sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt
+        s.conf.set("spark.sql.shuffle.partitions", (lvl * mult).toString)
         org.apache.spark.graftbridge.Listeners.drain(s.sparkContext)
         val c0 = tally.cpuNs.sum()
         val eps = cdcReplay(s, ev, lvl, mode = mode)._1
@@ -161,6 +173,91 @@ object Bench {
       s.stop()
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
+    }
+  }
+
+  /**
+   * Isolated two-JVM scaling pairs: each parallelism level runs in its OWN
+   * JVM pinned with `taskset` to exactly that many CPUs (cores 0..N-1) —
+   * the honest emulation of two machine sizes. The single-JVM harness lets
+   * the narrow leg's GC and daemon threads ride the other 24 idle cores
+   * for free (G1 sizes its pools from the machine's 32 cores), inflating
+   * the narrow leg's throughput and so depressing the N->4N ratio; a real
+   * N-core node pays those cycles out of its own N cores, and with pinning
+   * so does the worker (availableProcessors follows the affinity mask).
+   *
+   * Legs still alternate lo/hi back-to-back inside each pair (host drift
+   * stays within one window), both JVMs are pre-warmed, and the same
+   * best-pair/median reporting applies. Falls back to the single-JVM
+   * harness when taskset is unavailable.
+   */
+  def scalingPairsIsolated(lo: Int, hi: Int, events: Long, maxPairs: Int, budgetSec: Int,
+                           mode: String = "cow"): (Seq[PairStat], PairStat, Double, Double) = {
+    if (!new java.io.File("/usr/bin/taskset").exists())
+      return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
+    val dir = java.nio.file.Files.createTempDirectory("graft-scale")
+    def spawn(id: String, width: Int): Process = {
+      val opens = Seq(
+        "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io", "java.net",
+        "java.nio", "java.util", "java.util.concurrent", "java.util.concurrent.atomic",
+        "sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val mem = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "16g")
+      val cmd = Seq("taskset", "-c", s"0-${width - 1}",
+        sys.props("java.home") + "/bin/java") ++ opens ++ Seq(
+        s"-Xms$mem", s"-Xmx$mem", "-XX:+UseTransparentHugePages", "-XX:+AlwaysPreTouch",
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", sys.props("java.class.path"),
+        "graft.ScalingWorker", id, width.toString, events.toString, dir.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_MODE", mode)
+      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
+      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      pb.start()
+    }
+    val pLo = spawn("lo", lo)
+    val pHi = spawn("hi", hi)
+    def await(name: String, deadlineNs: Long): Option[String] = {
+      val f = dir.resolve(name)
+      while (!java.nio.file.Files.exists(f)) {
+        if (System.nanoTime() > deadlineNs || !pLo.isAlive() || !pHi.isAlive()) return None
+        Thread.sleep(50)
+      }
+      Some(java.nio.file.Files.readString(f))
+    }
+    try {
+      val readyDeadline = System.nanoTime() + 600L * 1000000000L
+      if (await("ready_lo", readyDeadline).isEmpty || await("ready_hi", readyDeadline).isEmpty)
+        return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
+      val deadline = System.nanoTime() + budgetSec * 1000000000L
+      val pairs = scala.collection.mutable.Buffer.empty[PairStat]
+      var i = 0
+      while (i < maxPairs && (System.nanoTime() < deadline || pairs.isEmpty)) {
+        val legDeadline = System.nanoTime() + 900L * 1000000000L
+        java.nio.file.Files.writeString(dir.resolve(s"go_lo_$i"), "go")
+        val rLo = await(s"res_lo_$i", legDeadline)
+        java.nio.file.Files.writeString(dir.resolve(s"go_hi_$i"), "go")
+        val rHi = await(s"res_hi_$i", legDeadline)
+        (rLo, rHi) match {
+          case (Some(a), Some(b)) =>
+            val Array(el, cl) = a.trim.split(" ").map(_.toDouble)
+            val Array(eh, ch) = b.trim.split(" ").map(_.toDouble)
+            pairs += PairStat(el, eh, eh / (el * (hi.toDouble / lo)), cl, ch)
+          case _ =>
+            if (pairs.isEmpty) return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
+            i = maxPairs // a worker died mid-series: keep what we have
+        }
+        i += 1
+      }
+      val best = pairs.maxBy(p => p.lo + p.hi)
+      def median(xs: Seq[Double]): Double = { val ss = xs.sorted; ss(ss.size / 2) }
+      (pairs.toSeq, best, median(pairs.map(_.eff).toSeq), median(pairs.map(_.effCpuNorm).toSeq))
+    } finally {
+      try java.nio.file.Files.writeString(dir.resolve("stop"), "stop") catch { case _: Throwable => () }
+      pLo.waitFor(20, java.util.concurrent.TimeUnit.SECONDS)
+      pHi.waitFor(20, java.util.concurrent.TimeUnit.SECONDS)
+      pLo.destroyForcibly(); pHi.destroyForcibly()
+      try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile) catch { case _: Throwable => () }
     }
   }
 
@@ -214,6 +311,10 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
     val spark = mkSession(cpus)
+    // Headline runs use the same task granularity as the scaling legs (see
+    // cdcReplay's SPARK_GRAFT_PART_MULT).
+    spark.conf.set("spark.sql.shuffle.partitions",
+      (cpus * sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt).toString)
 
     // headline engine metric: change-events/sec applied (binlog replay -> upsert)
     cdcReplay(spark, math.max(benchEvents / 10, 100000L), cpus) // JIT/codegen warmup
@@ -221,6 +322,9 @@ object Bench {
     // merge-on-read A/B on the same stream (write amplification comparison;
     // reads resolve winners at query time — see merge/MergeInto.runMor)
     val (epsMor, _) = cdcReplay(spark, benchEvents, cpus, mode = "mor")
+    // query suite runs at one-task-per-core granularity (small inputs; extra
+    // waves would only add scheduling overhead at sf0.1)
+    spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
 
     // Failures are NOT swallowed: a crashing query reports time -1.0 and
     // lands in failed_queries (a near-zero "time" would read as a speedup).
@@ -257,31 +361,38 @@ object Bench {
     // published alongside.
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi4 = lo * 4
-    val (pairs, best, effMedian, effNormMedian) = scalingPairs(lo, hi4,
-      // 8M events (4M/epoch) per leg: long enough to amortize per-epoch
-      // fixed costs, short enough that the 420s budget fits ~8 pairs — more
-      // pairs = more chances of landing both legs in a quiet host window.
-      events = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "8000000").toLong,
-      maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "8").toInt,
-      budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "420").toInt)
+    val isolated = sys.env.getOrElse("SPARK_GRAFT_SCALE_ISOLATED", "true") == "true"
+    def runPairs(l: Int, h: Int, ev: Long, mp: Int, bs: Int, md: String = "cow") =
+      if (isolated) scalingPairsIsolated(l, h, ev, mp, bs, md)
+      else scalingPairs(l, h, ev, mp, bs, md)
+    val (pairs, best, effMedian, effNormMedian) = runPairs(lo, hi4,
+      // 12M events (6M/epoch) per leg: long enough that the per-epoch serial
+      // fraction is a few percent of even the wide leg; the 600s budget
+      // fits ~8 pairs when quiet — more pairs = more chances of landing
+      // both legs in a quiet host window.
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "12000000").toLong,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "8").toInt,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "600").toInt)
 
     // MERGE-ON-READ scaling legs: MOR appends deltas (no target read, no
     // rewrite) so it moves ~40% fewer bytes per event — on a
     // bandwidth-capped host its pairs are the fairer test of whether the
     // PLAN scales.
-    val (pairsMor, bestMor, effMorMedian, effMorNormMedian) = scalingPairs(lo, hi4,
-      events = sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_EVENTS", "8000000").toLong,
-      maxPairs = sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_ROUNDS", "6").toInt,
-      budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_BUDGET_SEC", "300").toInt,
-      mode = "mor")
+    val (pairsMor, bestMor, effMorMedian, effMorNormMedian) = runPairs(lo, hi4,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_EVENTS", "8000000").toLong,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_ROUNDS", "6").toInt,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_BUDGET_SEC", "300").toInt,
+      "mor")
 
     // Third series at 2 -> 8, where this VM still provides ~proportional
     // memory bandwidth per thread (see controls): evidences that the PLAN
-    // scales when the hardware does.
+    // scales when the hardware does. In-JVM (not isolated): a 2-core-pinned
+    // worker would spend minutes pre-touching its heap for a supplementary
+    // data point.
     val (pairs2, best2, effMedian2, effNormMedian2) = scalingPairs(2, 8,
-      events = sys.env.getOrElse("SPARK_GRAFT_SCALE2_EVENTS", "4000000").toLong,
-      maxPairs = 3,
-      budgetSec = sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "150").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_SCALE2_EVENTS", "4000000").toLong,
+      3,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "150").toInt)
 
     // Hardware ceilings measured in the same run on the same host.
     val (cpuEff, bwEff, bwGbps) = controls(lo, hi4)

@@ -13,7 +13,8 @@ object Probe {
     val epochs = if (args.length > 2) args(2).toInt else 1
     val warm = if (args.length > 3) args(3).toLong else math.max(events / 4, 500000L)
     val spark = Bench.mkSession(32)
-    spark.conf.set("spark.sql.shuffle.partitions", width.toString)
+    spark.conf.set("spark.sql.shuffle.partitions",
+      (width * sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt).toString)
     // Per-stage task-skew telemetry: median/max task time + GC share tell
     // whether parallel-section loss is stragglers, GC, or bandwidth.
     if (sys.env.get("SPARK_GRAFT_PROBE_STAGES").contains("true"))

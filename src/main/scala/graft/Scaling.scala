@@ -20,8 +20,10 @@ object Scaling {
     val budget = sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "480").toInt
 
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow")
+    val isolated = sys.env.getOrElse("SPARK_GRAFT_SCALE_ISOLATED", "true") == "true"
     val (pairs, best, effMedian, effNormMedian) =
-      Bench.scalingPairs(lo, hi, events, maxPairs = rounds, budgetSec = budget, mode = mode)
+      if (isolated) Bench.scalingPairsIsolated(lo, hi, events, maxPairs = rounds, budgetSec = budget, mode = mode)
+      else Bench.scalingPairs(lo, hi, events, maxPairs = rounds, budgetSec = budget, mode = mode)
     val json =
       f"""{"metric":"scaling efficiency N->4N","mode":"$mode","n_cores":$lo,"n4_cores":$hi,"events":$events,"events_per_sec_n":${best.lo}%.1f,"events_per_sec_4n":${best.hi}%.1f,"efficiency":${best.eff}%.3f,"efficiency_median":$effMedian%.3f,"efficiency_cpu_normalized":${best.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$effNormMedian%.3f,"pairs":${Bench.pairsJson(pairs)}}"""
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(

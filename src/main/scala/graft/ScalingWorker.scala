@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Child process of the isolated scaling harness ([[Bench.scalingPairsIsolated]]).
+ *
+ * One worker = one "cluster size": a JVM pinned (by the parent, via taskset)
+ * to exactly `width` CPUs, running a local[width] master. Everything the JVM
+ * does — mutator threads, GC, shuffle/netty daemons, parquet writers — is
+ * confined to those cores, the way a real N-core node would be. The
+ * single-JVM harness measured the narrow leg with 24 idle cores absorbing
+ * its GC and daemon work for free (G1 sizes its thread pools from the
+ * MACHINE's 32 cores), which inflates the narrow leg and depresses the
+ * measured N->4N ratio; process-level pinning removes that subsidy.
+ *
+ * Protocol (file-based, `pairsDir`): on `go_{id}_{seq}` run one replay leg
+ * and write `res_{id}_{seq}` = "eps cpuNsPerEvent"; `ready_{id}` after
+ * warmup; exit on `stop`.
+ */
+object ScalingWorker {
+  def main(args: Array[String]): Unit = {
+    val Array(id, widthS, eventsS, dir) = args.take(4)
+    val width = widthS.toInt
+    val events = eventsS.toLong
+    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow")
+    val spark = Bench.mkSession(width)
+    val mult = sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt
+    spark.conf.set("spark.sql.shuffle.partitions", (width * mult).toString)
+    val tally = new java.util.concurrent.atomic.LongAdder
+    spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        val m = e.taskMetrics
+        if (m != null) tally.add(m.executorCpuTime)
+      }
+    })
+    def leg(ev: Long): (Double, Double) = {
+      org.apache.spark.graftbridge.Listeners.drain(spark.sparkContext)
+      val c0 = tally.sum()
+      val eps = Bench.cdcReplay(spark, ev, width, mode = mode)._1
+      org.apache.spark.graftbridge.Listeners.drain(spark.sparkContext)
+      (eps, (tally.sum() - c0).toDouble / ev)
+    }
+    val p = java.nio.file.Paths.get(dir)
+    // deep JIT/codegen warmup (first runs in a fresh JVM are 2-10x slower)
+    val warmEv = math.max(events / 4, 500000L)
+    leg(warmEv); leg(warmEv)
+    java.nio.file.Files.writeString(p.resolve(s"ready_$id"), "ok")
+    var seq = 0
+    while (!java.nio.file.Files.exists(p.resolve("stop"))) {
+      val go = p.resolve(s"go_${id}_$seq")
+      if (java.nio.file.Files.exists(go)) {
+        val (eps, cpu) = leg(events)
+        val tmp = p.resolve(s".res_${id}_$seq.tmp")
+        java.nio.file.Files.writeString(tmp, f"$eps%.1f $cpu%.2f")
+        java.nio.file.Files.move(tmp, p.resolve(s"res_${id}_$seq"),
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        seq += 1
+      } else Thread.sleep(50)
+    }
+    spark.stop()
+    sys.exit(0)
+  }
+}
