@@ -226,9 +226,19 @@ object Bench {
       Some(java.nio.file.Files.readString(f))
     }
     try {
-      val readyDeadline = System.nanoTime() + 600L * 1000000000L
-      if (await("ready_lo", readyDeadline).isEmpty || await("ready_hi", readyDeadline).isEmpty)
+      // Warmup legs run under co-tenant load can take many minutes; a too-
+      // short deadline silently falls back to the single-JVM harness.
+      // Default bounds the worst case for unattended runs: if the pinned
+      // workers cannot warm up in 7 minutes the host is too loaded for the
+      // isolated measurement to mean much — kill them and measure in-JVM.
+      val readySec = sys.env.getOrElse("SPARK_GRAFT_SCALE_READY_SEC", "420").toLong
+      val readyDeadline = System.nanoTime() + readySec * 1000000000L
+      if (await("ready_lo", readyDeadline).isEmpty || await("ready_hi", readyDeadline).isEmpty) {
+        // kill the stuck workers before measuring in-JVM, so they cannot
+        // perturb the fallback's legs
+        pLo.destroyForcibly(); pHi.destroyForcibly()
         return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
+      }
       val deadline = System.nanoTime() + budgetSec * 1000000000L
       val pairs = scala.collection.mutable.Buffer.empty[PairStat]
       var i = 0
@@ -371,16 +381,16 @@ object Bench {
       // fits ~8 pairs when quiet — more pairs = more chances of landing
       // both legs in a quiet host window.
       sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "12000000").toLong,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "8").toInt,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "600").toInt)
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "6").toInt,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "480").toInt)
 
     // MERGE-ON-READ scaling legs: MOR appends deltas (no target read, no
     // rewrite) so it moves ~40% fewer bytes per event — on a
     // bandwidth-capped host its pairs are the fairer test of whether the
     // PLAN scales.
     val (pairsMor, bestMor, effMorMedian, effMorNormMedian) = runPairs(lo, hi4,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_EVENTS", "8000000").toLong,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_ROUNDS", "6").toInt,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_EVENTS", "12000000").toLong,
+      sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_ROUNDS", "4").toInt,
       sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_BUDGET_SEC", "300").toInt,
       "mor")
 
