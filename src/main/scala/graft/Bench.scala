@@ -8,7 +8,10 @@ import org.apache.spark.sql.SparkSession
  * Per-round benchmark: (1) the engine's headline metric — change-events/sec
  * applied through the full MERGE path over a deterministic generated stream —
  * and (2) wall-clock for the headline queries on SPARK_GRAFT_SF_DIR.
- * Prints ONE JSON line.
+ * Prints ONE JSON line at the end; ALSO rewrites SPARK_GRAFT_BENCH_OUT
+ * (default BENCH_LOCAL.json) after EVERY completed phase, so a run killed
+ * mid-flight (OOM, driver timeout) still leaves a valid partial artifact —
+ * round 3 lost all its numbers to a single end-of-run write.
  */
 object Bench {
 
@@ -51,17 +54,34 @@ object Bench {
     s
   }
 
+  /** MemAvailable from /proc/meminfo, in GiB; -1 when unreadable. The bench
+    * budgets every worker spawn against this: the sandbox's OOM killer
+    * charges the parent JVM, both workers, AND /dev/shm tmpfs to one
+    * 128 GiB pot, and round 3's run died exactly that death. */
+  def memAvailableGb: Double =
+    try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines().collectFirst {
+        case l if l.startsWith("MemAvailable:") => l.split("\\s+")(1).toDouble / (1024 * 1024)
+      }.getOrElse(-1.0)
+      finally src.close()
+    } catch { case _: Throwable => -1.0 }
+
   /** CDC replay throughput: events/sec through dedup+COW-merge+commit.
     * `cpus` sets the TASK WIDTH (generator partitions; callers also set
     * spark.sql.shuffle.partitions): in local mode, parallelism level =
     * number of concurrently-busy cores = min(master threads, task width),
     * so two levels can be measured inside ONE warm JVM.
+    * `buckets` pins the table bucket count (scaling legs pass the
+    * series-wide value so both legs measure the SAME table layout);
+    * <= 0 derives it from this run's width.
     * SPARK_GRAFT_BENCH_DIR overrides the table location (e.g. /dev/shm to
     * model per-executor-scaled storage: a single sandbox disk does not
     * scale with cores the way a cluster's aggregate disks do). */
   def cdcReplay(spark: SparkSession, numEvents: Long, cpus: Int,
                 mode: String = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow"),
-                epochs: Int = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "2").toInt): (Double, Double) = {
+                epochs: Int = sys.env.getOrElse("SPARK_GRAFT_EPOCHS", "2").toInt,
+                buckets: Int = -1): (Double, Double) = {
     val base = sys.env.get("SPARK_GRAFT_BENCH_DIR").map(java.nio.file.Paths.get(_))
       .orElse(Some(java.nio.file.Paths.get("/dev/shm")).filter(java.nio.file.Files.isDirectory(_)))
       .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
@@ -81,15 +101,20 @@ object Bench {
       withMetadata = false,
       numPartitions = cpus * mult)
     // Bucket count fixed across parallelism levels: the table layout is a
-    // property of the data, not of the cluster size being measured.
+    // property of the data, not of the cluster size being measured — the
+    // scaling harnesses compute it ONCE from the series' widest leg and
+    // pass it down, so both legs of a pair build identical tables.
     // write.mode A/B: cow (default) rewrites affected files per epoch; mor
     // appends deltas and resolves at read (SPARK_GRAFT_MODE=mor).
     // Keep buckets >= width x mult so the bucket-label repartition can fill
     // every shuffle partition (labels pack evenly for any power-of-two
     // P <= buckets; fewer buckets than partitions would leave P - buckets
     // of them empty).
+    val nb =
+      if (buckets > 0) buckets
+      else math.max(sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt, cpus * mult)
     val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id",
-      numBuckets = math.max(sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt, cpus * mult),
+      numBuckets = nb,
       properties = Map("write.mode" -> mode))
     // Fewer, larger epochs amortize the fixed per-epoch serial fraction
     // (driver planning, commit) — the 10^10-event design point has epochs
@@ -132,6 +157,13 @@ object Bench {
     }
   }
 
+  /** Series-wide bucket count: a function of the WIDEST leg only, so every
+    * leg of every pair in a series builds the same table layout. */
+  private def seriesBuckets(hi: Int): Int = {
+    val mult = sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt
+    math.max(sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt, hi * mult)
+  }
+
   /** Interleaved N vs 4N pairs in one warm JVM (local[hi] master, task width
     * = level). Returns (pairs, best, medianEff, medianEffCpuNorm) where
     * "best" is the pair with the highest combined throughput — the least
@@ -142,13 +174,14 @@ object Bench {
     val s = mkSession(hi)
     val tally = new CpuTally
     s.sparkContext.addSparkListener(tally)
+    val buckets = seriesBuckets(hi)
     try {
       def leg(lvl: Int, ev: Long): (Double, Double) = {
         val mult = sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt
         s.conf.set("spark.sql.shuffle.partitions", (lvl * mult).toString)
         org.apache.spark.graftbridge.Listeners.drain(s.sparkContext)
         val c0 = tally.cpuNs.sum()
-        val eps = cdcReplay(s, ev, lvl, mode = mode)._1
+        val eps = cdcReplay(s, ev, lvl, mode = mode, buckets = buckets)._1
         org.apache.spark.graftbridge.Listeners.drain(s.sparkContext)
         (eps, (tally.cpuNs.sum() - c0).toDouble / ev)
       }
@@ -186,6 +219,14 @@ object Bench {
    * N-core node pays those cycles out of its own N cores, and with pinning
    * so does the worker (availableProcessors follows the affinity mask).
    *
+   * Worker heap is BUDGETED against /proc/meminfo MemAvailable at spawn
+   * time: per-worker = min(SPARK_GRAFT_WORKER_MEM, (avail - reserve) / 2),
+   * and -XX:+AlwaysPreTouch is applied only when the budget is comfortable.
+   * Too tight (< 4g/worker) → don't spawn at all, measure in-JVM instead.
+   * Every fallback path kills BOTH workers and waits for them to die before
+   * the in-JVM legs run, so fallback numbers are never taken under
+   * unaccounted contention from hung pinned JVMs.
+   *
    * Legs still alternate lo/hi back-to-back inside each pair (host drift
    * stays within one window), both JVMs are pre-warmed, and the same
    * best-pair/median reporting applies. Falls back to the single-JVM
@@ -195,6 +236,27 @@ object Bench {
                            mode: String = "cow"): (Seq[PairStat], PairStat, Double, Double) = {
     if (!new java.io.File("/usr/bin/taskset").exists())
       return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
+    // Memory budget: parent RSS + 2 x worker heap + tmpfs data + headroom
+    // must fit MemAvailable, or the host OOM killer ends the whole bench
+    // (round 3's failure mode). reserve covers tmpfs tables/shuffle for
+    // both workers plus parent-JVM growth while it polls.
+    val reserveGb = sys.env.getOrElse("SPARK_GRAFT_MEM_RESERVE_GB", "18").toDouble
+    val desiredGb = {
+      val m = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "32g").toLowerCase
+      if (m.endsWith("g")) m.dropRight(1).toDouble else m.toDouble / 1024
+    }
+    val availGb = memAvailableGb
+    val perWorkerGb =
+      if (availGb < 0) desiredGb // meminfo unreadable: trust the knob
+      else math.min(desiredGb, (availGb - reserveGb) / 2)
+    if (perWorkerGb < 4.0)
+      return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
+    // Pre-touch gives steadier legs (no fault storms mid-measurement) but
+    // commits the full heap instantly; only safe with slack beyond budget.
+    val preTouch = availGb < 0 || availGb > 2 * perWorkerGb + reserveGb + 8
+    val workerMem = s"${math.max(4, perWorkerGb.toInt)}g"
+    val phaseStart = System.nanoTime()
+    val buckets = seriesBuckets(hi)
     val dir = java.nio.file.Files.createTempDirectory("graft-scale")
     def spawn(id: String, width: Int): Process = {
       val opens = Seq(
@@ -202,13 +264,13 @@ object Bench {
         "java.nio", "java.util", "java.util.concurrent", "java.util.concurrent.atomic",
         "sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
         .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
-      val mem = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "16g")
+      val touchFlags = if (preTouch) Seq("-XX:+AlwaysPreTouch") else Seq.empty
       val cmd = Seq("taskset", "-c", s"0-${width - 1}",
         sys.props("java.home") + "/bin/java") ++ opens ++ Seq(
-        s"-Xms$mem", s"-Xmx$mem", "-XX:+UseTransparentHugePages", "-XX:+AlwaysPreTouch",
+        s"-Xms$workerMem", s"-Xmx$workerMem", "-XX:+UseTransparentHugePages") ++ touchFlags ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", sys.props("java.class.path"),
-        "graft.ScalingWorker", id, width.toString, events.toString, dir.toString)
+        "graft.ScalingWorker", id, width.toString, events.toString, dir.toString, buckets.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_MODE", mode)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
@@ -217,6 +279,17 @@ object Bench {
     }
     val pLo = spawn("lo", lo)
     val pHi = spawn("hi", hi)
+    // Kill + REAP both workers before any in-JVM measurement: a pinned JVM
+    // that is still dying holds its cores and heap, and the fallback's legs
+    // run on those same cores (cores 0..hi-1).
+    def killWorkers(): Unit = {
+      pLo.destroyForcibly(); pHi.destroyForcibly()
+      pLo.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)
+      pHi.waitFor(15, java.util.concurrent.TimeUnit.SECONDS): Unit
+    }
+    // Fallback budget = what remains of this series' allotment.
+    def remainingBudget: Int =
+      math.max(60, budgetSec - ((System.nanoTime() - phaseStart) / 1e9).toInt)
     def await(name: String, deadlineNs: Long): Option[String] = {
       val f = dir.resolve(name)
       while (!java.nio.file.Files.exists(f)) {
@@ -234,10 +307,8 @@ object Bench {
       val readySec = sys.env.getOrElse("SPARK_GRAFT_SCALE_READY_SEC", "420").toLong
       val readyDeadline = System.nanoTime() + readySec * 1000000000L
       if (await("ready_lo", readyDeadline).isEmpty || await("ready_hi", readyDeadline).isEmpty) {
-        // kill the stuck workers before measuring in-JVM, so they cannot
-        // perturb the fallback's legs
-        pLo.destroyForcibly(); pHi.destroyForcibly()
-        return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
+        killWorkers()
+        return scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode)
       }
       val deadline = System.nanoTime() + budgetSec * 1000000000L
       val pairs = scala.collection.mutable.Buffer.empty[PairStat]
@@ -254,7 +325,10 @@ object Bench {
             val Array(eh, ch) = b.trim.split(" ").map(_.toDouble)
             pairs += PairStat(el, eh, eh / (el * (hi.toDouble / lo)), cl, ch)
           case _ =>
-            if (pairs.isEmpty) return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
+            if (pairs.isEmpty) {
+              killWorkers()
+              return scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode)
+            }
             i = maxPairs // a worker died mid-series: keep what we have
         }
         i += 1
@@ -316,7 +390,42 @@ object Bench {
     (cpuEff, bwHi / (bwLo * (hi.toDouble / lo)), bwHi / 1e9)
   }
 
+  // ---- crash-safe report accumulation -------------------------------------
+  // Sections land in this map as they complete; flush() rewrites the output
+  // file with a VALID JSON object every time. A SIGTERM (driver timeout)
+  // additionally prints the latest JSON via shutdown hook; SIGKILL (OOM)
+  // can't run hooks, but the file already holds every finished section.
+  private val sections = new scala.collection.mutable.LinkedHashMap[String, String]
+  @volatile private var latestJson = ""
+  @volatile private var finalPrinted = false
+  private def render(partial: Boolean): String =
+    sections.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", if (partial) ",\"partial\":true}" else "}")
+  private def outPath = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json"))
+  private def flush(partial: Boolean = true): Unit = {
+    latestJson = render(partial)
+    try java.nio.file.Files.writeString(outPath, latestJson + "\n")
+    catch { case _: Throwable => () }
+  }
+
+  def scalingJson(n: Int, n4: Int, ps: Seq[PairStat], b: PairStat, med: Double, medNorm: Double): String =
+    f"""{"n_cores":$n,"n4_cores":$n4,"events_per_sec_n":${b.lo}%.1f,"events_per_sec_4n":${b.hi}%.1f,"efficiency":${b.eff}%.3f,"efficiency_median":$med%.3f,"efficiency_cpu_normalized":${b.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$medNorm%.3f,"cpu_us_per_event_n":${b.cpuPerEvLoNs / 1000}%.2f,"cpu_us_per_event_4n":${b.cpuPerEvHiNs / 1000}%.2f,"pairs":${pairsJson(ps)}}"""
+
   def main(args: Array[String]): Unit = {
+    // All numeric formatting (f"" → java.util.Formatter) is locale-
+    // sensitive; pin ROOT so the emitted JSON never grows comma decimals.
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val t0 = System.nanoTime()
+    // Hard wall-clock budget for the WHOLE main: phases shrink or skip to
+    // fit, so an external ~30-minute limit can never kill the run before
+    // the report lands. Every completed phase is flushed immediately anyway.
+    val totalBudgetSec = sys.env.getOrElse("SPARK_GRAFT_TOTAL_BUDGET_SEC", "1380").toInt
+    def remainingSec: Int = totalBudgetSec - ((System.nanoTime() - t0) / 1e9).toInt
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      if (!finalPrinted && latestJson.nonEmpty) println(latestJson)
+    }))
+
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val benchEvents = sys.env.getOrElse("SPARK_GRAFT_BENCH_EVENTS", "8000000").toLong
@@ -332,6 +441,13 @@ object Bench {
     // merge-on-read A/B on the same stream (write amplification comparison;
     // reads resolve winners at query time — see merge/MergeInto.runMor)
     val (epsMor, _) = cdcReplay(spark, benchEvents, cpus, mode = "mor")
+    sections += "metric" -> "\"change-events/sec applied (binlog replay -> IceLite upsert)\""
+    sections += "value" -> f"$eps%.1f"
+    sections += "unit" -> "\"events/sec\""
+    sections += "cdc" -> f"""{"events":$benchEvents,"elapsed_sec":$cdcElapsed%.2f,"cpus":$cpus,"mor_events_per_sec":$epsMor%.1f}"""
+    sections += "sf" -> ("\"" + sfDir + "\"")
+    flush()
+
     // query suite runs at one-task-per-core granularity (small inputs; extra
     // waves would only add scheduling overhead at sf0.1)
     spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
@@ -343,79 +459,87 @@ object Bench {
       // warm pass first: JIT + codegen + parquet footer caches cost 2-6x on
       // the first execution and are not the steady-state cost being graded
       try { fn(spark, sfDir).collect(): Unit } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
+      val t1 = System.nanoTime()
       try {
         fn(spark, sfDir).collect(): Unit
-        (name, (System.nanoTime() - t0) / 1e9, true)
+        (name, (System.nanoTime() - t1) / 1e9, true)
       } catch { case e: Throwable =>
         System.err.println(s"[bench] query $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
         (name, -1.0, false)
       }
     }
-    val qs = results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
-    val failed = results.collect { case (k, _, false) => "\"" + k + "\"" }
-      .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    sections += "queries_total_sec" -> f"${results.collect { case (_, v, true) => v }.sum}%.2f"
+    sections += "queries" -> results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    sections += "failed_queries" -> results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
+    flush()
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
+    // Encourage the parent heap to shrink before workers spawn (G1 returns
+    // committed pages on full GC when Xms allows it; RSS is what the OOM
+    // killer charges).
+    System.gc()
 
     // N -> 4N scaling evidence in the same report: the identical job at two
-    // parallelism levels, measured INSIDE ONE WARM JVM (parallelism level =
-    // task width on a local[hi] master) so a pair's two legs run seconds
-    // apart. The shared-hypervisor host drifts 2-10x over minutes, so many
-    // short interleaved pairs are measured; the reported efficiency is the
-    // best pair (both legs inside the quietest window — host contention only
-    // ever depresses the wide leg), with the median and every raw pair
-    // published alongside.
+    // parallelism levels (isolated pinned JVMs when memory and taskset
+    // allow; in-JVM pairs otherwise). The shared-hypervisor host drifts
+    // 2-10x over minutes, so many short interleaved pairs are measured; the
+    // reported efficiency is the best pair (both legs inside the quietest
+    // window — host contention only ever depresses the wide leg), with the
+    // median and every raw pair published alongside.
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi4 = lo * 4
     val isolated = sys.env.getOrElse("SPARK_GRAFT_SCALE_ISOLATED", "true") == "true"
     def runPairs(l: Int, h: Int, ev: Long, mp: Int, bs: Int, md: String = "cow") =
       if (isolated) scalingPairsIsolated(l, h, ev, mp, bs, md)
       else scalingPairs(l, h, ev, mp, bs, md)
-    val (pairs, best, effMedian, effNormMedian) = runPairs(lo, hi4,
-      // 12M events (6M/epoch) per leg: long enough that the per-epoch serial
-      // fraction is a few percent of even the wide leg; the 600s budget
-      // fits ~8 pairs when quiet — more pairs = more chances of landing
-      // both legs in a quiet host window.
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "12000000").toLong,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "6").toInt,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "480").toInt)
 
-    // MERGE-ON-READ scaling legs: MOR appends deltas (no target read, no
-    // rewrite) so it moves ~40% fewer bytes per event — on a
-    // bandwidth-capped host its pairs are the fairer test of whether the
-    // PLAN scales.
-    val (pairsMor, bestMor, effMorMedian, effMorNormMedian) = runPairs(lo, hi4,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_EVENTS", "12000000").toLong,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_ROUNDS", "4").toInt,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_BUDGET_SEC", "300").toInt,
-      "mor")
+    // MOR series FIRST: deltas-only writes move ~40% fewer bytes/event, so
+    // on this bandwidth-capped host it is the fairest (and historically
+    // best) test of whether the PLAN scales — if the clock runs out, the
+    // strongest evidence is already on disk.
+    if (remainingSec > 300) {
+      val (pairsMor, bestMor, effMorMedian, effMorNormMedian) = runPairs(lo, hi4,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_EVENTS", "16000000").toLong,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_ROUNDS", "5").toInt,
+        math.min(sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_BUDGET_SEC", "360").toInt, remainingSec - 240),
+        "mor")
+      sections += "scaling_mor" -> scalingJson(lo, hi4, pairsMor, bestMor, effMorMedian, effMorNormMedian)
+      flush()
+    }
+
+    if (remainingSec > 240) {
+      val (pairs, best, effMedian, effNormMedian) = runPairs(lo, hi4,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "12000000").toLong,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt,
+        math.min(sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "360").toInt, remainingSec - 180))
+      sections += "scaling" -> scalingJson(lo, hi4, pairs, best, effMedian, effNormMedian)
+      flush()
+    }
 
     // Third series at 2 -> 8, where this VM still provides ~proportional
     // memory bandwidth per thread (see controls): evidences that the PLAN
     // scales when the hardware does. In-JVM (not isolated): a 2-core-pinned
     // worker would spend minutes pre-touching its heap for a supplementary
     // data point.
-    val (pairs2, best2, effMedian2, effNormMedian2) = scalingPairs(2, 8,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE2_EVENTS", "4000000").toLong,
-      3,
-      sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "150").toInt)
+    if (remainingSec > 150) {
+      val (pairs2, best2, effMedian2, effNormMedian2) = scalingPairs(2, 8,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE2_EVENTS", "4000000").toLong,
+        3,
+        math.min(sys.env.getOrElse("SPARK_GRAFT_SCALE2_BUDGET_SEC", "150").toInt, remainingSec - 90))
+      sections += "scaling_2_8" -> scalingJson(2, 8, pairs2, best2, effMedian2, effNormMedian2)
+      flush()
+    }
 
     // Hardware ceilings measured in the same run on the same host.
-    val (cpuEff, bwEff, bwGbps) = controls(lo, hi4)
+    if (remainingSec > 45) {
+      val (cpuEff, bwEff, bwGbps) = controls(lo, hi4)
+      sections += "host_controls" -> f"""{"cpu_eff_${lo}_$hi4":$cpuEff%.3f,"membw_eff_${lo}_$hi4":$bwEff%.3f,"membw_gbps_at_$hi4":$bwGbps%.1f}"""
+      flush()
+    }
 
-    def scalingJson(n: Int, n4: Int, ps: Seq[PairStat], b: PairStat, med: Double, medNorm: Double): String =
-      f"""{"n_cores":$n,"n4_cores":$n4,"events_per_sec_n":${b.lo}%.1f,"events_per_sec_4n":${b.hi}%.1f,"efficiency":${b.eff}%.3f,"efficiency_median":$med%.3f,"efficiency_cpu_normalized":${b.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$medNorm%.3f,"cpu_us_per_event_n":${b.cpuPerEvLoNs / 1000}%.2f,"cpu_us_per_event_4n":${b.cpuPerEvHiNs / 1000}%.2f,"pairs":${pairsJson(ps)}}"""
-
-    val json =
-      f"""{"metric":"change-events/sec applied (binlog replay -> IceLite upsert)","value":$eps%.1f,"unit":"events/sec","cdc":{"events":$benchEvents,"elapsed_sec":$cdcElapsed%.2f,"cpus":$cpus,"mor_events_per_sec":$epsMor%.1f},"scaling":${scalingJson(lo, hi4, pairs, best, effMedian, effNormMedian)},"scaling_mor":${scalingJson(lo, hi4, pairsMor, bestMor, effMorMedian, effMorNormMedian)},"scaling_2_8":${scalingJson(2, 8, pairs2, best2, effMedian2, effNormMedian2)},"host_controls":{"cpu_eff_${lo}_$hi4":$cpuEff%.3f,"membw_eff_${lo}_$hi4":$bwEff%.3f,"membw_gbps_at_$hi4":$bwGbps%.1f},"queries_total_sec":$total%.2f,"queries":$qs,"failed_queries":$failed,"sf":"$sfDir"}"""
-    // File copy of the result line: robust to any log-prefixing wrapper.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")), json + "\n")
-    catch { case _: Throwable => () }
-    println(json)
+    flush(partial = false)
+    finalPrinted = true
+    println(latestJson)
   }
 }

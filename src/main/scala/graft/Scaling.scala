@@ -13,6 +13,7 @@ package graft
  */
 object Scaling {
   def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi = sys.env.getOrElse("SPARK_GRAFT_SCALE_HI", (lo * 4).toString).toInt
     val events = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "16000000").toLong

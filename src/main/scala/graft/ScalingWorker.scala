@@ -20,9 +20,15 @@ import org.apache.spark.sql.SparkSession
  */
 object ScalingWorker {
   def main(args: Array[String]): Unit = {
+    // result files are parsed with split(" ").map(_.toDouble) — pin ROOT so
+    // a comma-decimal default locale can never corrupt the wire format
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
     val Array(id, widthS, eventsS, dir) = args.take(4)
     val width = widthS.toInt
     val events = eventsS.toLong
+    // bucket count is fixed for the whole series by the parent (a property
+    // of the table, not of this leg's width); <= 0 → derive from width
+    val buckets = if (args.length > 4) args(4).toInt else -1
     val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow")
     val spark = Bench.mkSession(width)
     val mult = sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt
@@ -37,7 +43,7 @@ object ScalingWorker {
     def leg(ev: Long): (Double, Double) = {
       org.apache.spark.graftbridge.Listeners.drain(spark.sparkContext)
       val c0 = tally.sum()
-      val eps = Bench.cdcReplay(spark, ev, width, mode = mode)._1
+      val eps = Bench.cdcReplay(spark, ev, width, mode = mode, buckets = buckets)._1
       org.apache.spark.graftbridge.Listeners.drain(spark.sparkContext)
       (eps, (tally.sum() - c0).toDouble / ev)
     }
@@ -52,7 +58,9 @@ object ScalingWorker {
       if (java.nio.file.Files.exists(go)) {
         val (eps, cpu) = leg(events)
         val tmp = p.resolve(s".res_${id}_$seq.tmp")
-        java.nio.file.Files.writeString(tmp, f"$eps%.1f $cpu%.2f")
+        java.nio.file.Files.writeString(tmp,
+          String.format(java.util.Locale.ROOT, "%.1f %.2f",
+            Double.box(eps), Double.box(cpu)))
         java.nio.file.Files.move(tmp, p.resolve(s"res_${id}_$seq"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         seq += 1

@@ -336,8 +336,29 @@ object MergeInto {
     // OOMing the executor. [[run]] restores the conf afterwards.
     val spark = changes.sparkSession
     val derivedThreshold = {
-      val cores = math.max(1, spark.sparkContext.defaultParallelism)
-      val perTask = (Runtime.getRuntime.maxMemory * 0.15 / 330 / cores).toLong
+      // Per-task budget from EXECUTOR memory and cores when configured (a
+      // real cluster: tasks run in executors, not the driver); local mode
+      // has neither conf, so this JVM's heap / parallelism IS the truth.
+      def parseMemMb(s: String): Option[Long] = {
+        val t = s.trim.toLowerCase
+        try Some(
+          if (t.endsWith("g")) t.dropRight(1).toDouble.toLong * 1024
+          else if (t.endsWith("m")) t.dropRight(1).toDouble.toLong
+          else if (t.endsWith("k")) (t.dropRight(1).toDouble / 1024).toLong
+          else t.toDouble.toLong) // Spark's unitless executor memory is MiB
+        catch { case _: NumberFormatException => None }
+      }
+      val execMemBytes = spark.conf.getOption("spark.executor.memory")
+        .flatMap(parseMemMb).map(_ * 1024L * 1024L)
+      val execCores = spark.conf.getOption("spark.executor.cores")
+        .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+      val (memBytes, cores) = (execMemBytes, execCores) match {
+        case (Some(m), Some(c)) => (m, c)
+        case (Some(m), None)    => (m, 1)
+        case _ => (Runtime.getRuntime.maxMemory,
+                   math.max(1, spark.sparkContext.defaultParallelism))
+      }
+      val perTask = (memBytes * 0.15 / 330 / cores).toLong
       math.max(65536L, math.min(2000000L, perTask))
     }
     spark.conf.set("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",

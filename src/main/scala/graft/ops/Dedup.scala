@@ -172,23 +172,31 @@ object Dedup {
    * <- label(label) each round), so even path-shaped graphs converge in
    * O(log n) rounds — each round is two joins + an aggregation, all
    * key-partitioned shuffles; no driver-side graph state, no RDDs. Lineage
-   * is truncated per round with localCheckpoint (at cluster scale, swap for
-   * checkpoint() on reliable storage).
+   * is truncated per round: `checkpointDir` selects RELIABLE checkpointing
+   * (`df.checkpoint()` to that directory — survives executor loss; the
+   * right choice on a real cluster, pointed at HDFS/object storage);
+   * when absent, `localCheckpoint` (executor-local blocks — cheapest, fine
+   * in local mode and for fault-tolerance-via-rerun jobs).
    *
    * Returns (id, component, keep): every node of the pair graph, its group's
    * min id, and whether this row is the group's canonical survivor.
    */
   def components(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                 maxIters: Int = 50): DataFrame = {
+                 maxIters: Int = 50, checkpointDir: Option[String] = None): DataFrame = {
+    val truncate: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        val sc = pairs.sparkSession.sparkContext
+        if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None => df => df.localCheckpoint(true)
+    }
     val e0 = pairs.select(col(idA).cast(LongType).as("src"), col(idB).cast(LongType).as("dst"))
-    val edges = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-      .localCheckpoint(true)
+    val edges = truncate(
+      e0.union(e0.select(col("dst").as("src"), col("src").as("dst"))).distinct())
     // round 0: label(v) = min(v, neighbors)
-    var labels = edges.groupBy(col("src").as("id"))
+    var labels = truncate(edges.groupBy(col("src").as("id"))
       .agg(min(col("dst")).as("__m"))
-      .select(col("id"), least(col("id"), col("__m")).as("lbl"))
-      .localCheckpoint(true)
+      .select(col("id"), least(col("id"), col("__m")).as("lbl")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
@@ -199,11 +207,10 @@ object Dedup {
       val prop = labels.join(nbr, Seq("id"), "left")
         .select(col("id"), least(col("lbl"), coalesce(col("__pl"), col("lbl"))).as("lbl"))
       // pointer jumping: lbl <- lbl(lbl) halves chain depth every round
-      val updated = prop.alias("u")
+      val updated = truncate(prop.alias("u")
         .join(prop.select(col("id").as("__ji"), col("lbl").as("__jl")).alias("j"),
           col("u.lbl") === col("__ji"), "left")
-        .select(col("u.id").as("id"), least(col("u.lbl"), coalesce(col("__jl"), col("u.lbl"))).as("lbl"))
-        .localCheckpoint(true)
+        .select(col("u.id").as("id"), least(col("u.lbl"), coalesce(col("__jl"), col("u.lbl"))).as("lbl")))
       val changed = updated.alias("n")
         .join(labels.select(col("id"), col("lbl").as("__ol")), Seq("id"))
         .filter(col("lbl") =!= col("__ol")).limit(1).count()

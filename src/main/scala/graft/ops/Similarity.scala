@@ -126,6 +126,19 @@ object Similarity {
         lshBucket(col(cVec), bits, dim).cast(IntegerType).as("bucket"))
       .write.mode("overwrite").partitionBy("bucket").parquet(path)
 
+  /** Incremental append to a persisted LSH index: new vectors are signed
+    * with the SAME deterministic hyperplanes and appended into their bucket
+    * partitions — no rewrite of existing data, no model to reconcile. A
+    * probe over (build(A) + append(B)) equals a probe over build(A ∪ B)
+    * exactly (bucket membership is a pure function of the vector), which
+    * OpsSpec pins. At corpus scale this makes index maintenance O(new
+    * vectors), the natural shape for a streaming ingest sink. */
+  def appendToLshIndex(newCandidates: DataFrame, path: String, bits: Int, dim: Int,
+                       cId: String = "vec_id", cVec: String = "embedding"): Unit =
+    newCandidates.select(col(cId).as("cid"), col(cVec).as("cv"),
+        lshBucket(col(cVec), bits, dim).cast(IntegerType).as("bucket"))
+      .write.mode("append").partitionBy("bucket").parquet(path)
+
   /** Top-k against a persisted LSH index. The query side is small by
     * contract, so its buckets are computed driver-side and pushed as a
     * PARTITION filter — the scan plans O(|probed buckets|) directories of

@@ -76,23 +76,34 @@ object JsonSchemaInfer {
     catch { case e: Exception => throw new JsonParseException(s"""Cannot parse JSON value "$json"""", e) }
   }
 
+  /** Mutable collector of sanitize-time key renames, filled during
+    * inference: sanitized key PATH (the same `_`-joined path language as
+    * `ignoredFields`) -> every ORIGINAL key text seen at that path. The
+    * output pass uses it to parse with the original-name schema and rename
+    * via struct cast — zero re-serialization of the JSON text. */
+  type RenameCollector = scala.collection.mutable.Map[String, Set[String]]
+
   /** Infer schema+value for a JSON string under root key `key` (the column
     * name). Returns None when the whole value infers to nothing (JSON null /
     * empty array), mirroring the reference's dropped field. */
   def inferString(json: String, key: String, opts: InferOptions): Option[(JType, Any)] =
     infer(parse(json), key, opts)
 
-  /** Schema-only variant (value discarded) for the batch inference pass. */
-  def inferSchemaOnly(json: String, key: String, opts: InferOptions): Option[JType] =
-    inferString(json, key, opts).map(_._1)
+  /** Schema-only variant (value discarded) for the batch inference pass;
+    * `renames` (optional) collects original key spellings per sanitized
+    * path while the walk is already visiting every key. */
+  def inferSchemaOnly(json: String, key: String, opts: InferOptions,
+                      renames: RenameCollector = null): Option[JType] =
+    inferRec(parse(json), key, opts, opts.normalizedIgnored, renames).map(_._1)
 
   /** Port of `SchemaTransformer.transformJsonValue` (`json/SchemaTransformer.java:50-124`). */
   def infer(node: JsonNode, key: String, opts: InferOptions): Option[(JType, Any)] = {
     val ignored = opts.normalizedIgnored
-    inferRec(node, key, opts, ignored)
+    inferRec(node, key, opts, ignored, null)
   }
 
-  private def inferRec(node: JsonNode, key: String, opts: InferOptions, ignored: Set[String]): Option[(JType, Any)] = {
+  private def inferRec(node: JsonNode, key: String, opts: InferOptions, ignored: Set[String],
+                       renames: RenameCollector): Option[(JType, Any)] = {
     if (ignored.contains(key)) return None
     if (node.isObject) {
       // STRUCT: insertion order preserved; dropped children omitted.
@@ -100,7 +111,14 @@ object JsonSchemaInfer {
       var values = ListMap.empty[String, Any]
       node.fieldNames().asScala.foreach { raw =>
         val fname = if (opts.sanitizeFieldNames) sanitizeName(raw) else raw
-        inferRec(node.path(raw), s"${key}_$fname", opts, ignored) match {
+        val path = s"${key}_$fname"
+        // Record EVERY original spelling (unchanged ones too): the output
+        // pass must detect when two different spellings — or a renamed key
+        // plus its already-sanitized twin — collapse onto one sanitized
+        // name, where a single parse-name cannot represent both rows.
+        if (renames != null && opts.sanitizeFieldNames)
+          renames.update(path, renames.getOrElse(path, Set.empty) + raw)
+        inferRec(node.path(raw), path, opts, ignored, renames) match {
           case Some((ft, fv)) =>
             fields :+= (fname -> ft)
             values += (fname -> fv)
@@ -113,7 +131,7 @@ object JsonSchemaInfer {
       var elemSchemas = Vector.empty[JType]
       var elemValues = Vector.empty[Any]
       node.elements().asScala.foreach { child =>
-        inferRec(child, s"${key}_array_item", opts, ignored) match {
+        inferRec(child, s"${key}_array_item", opts, ignored, renames) match {
           case Some((es, ev)) => elemSchemas :+= es; elemValues :+= ev
           case None => elemValues :+= null
         }

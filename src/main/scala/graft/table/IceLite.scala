@@ -148,16 +148,22 @@ object IceLite {
   }
 
   /** Atomic commit: write to temp, atomically rename into place. Hadoop's
-    * single-file rename is atomic on HDFS and POSIX local FS, and refuses to
-    * replace an existing destination — a concurrent duplicate version fails
-    * the rename (crash-safe; single writer assumed). */
+    * single-file rename is atomic on HDFS and POSIX local FS. HDFS rename
+    * refuses to replace an existing destination, but the LOCAL FS delegates
+    * to File.renameTo, which on POSIX silently replaces it — so a duplicate
+    * version is rejected by an explicit existence check first (single
+    * writer assumed, per the table contract; the check-then-rename residual
+    * race only matters under concurrent writers, which HDFS still catches
+    * via the rename itself). */
   private[table] def writeSnapshot(fs: FileSystem, root: Path, snap: Snapshot): Unit = {
     val meta = new Path(root, "meta")
+    val dst = new Path(meta, s"v${snap.version}.json")
+    if (fs.exists(dst))
+      throw new IllegalStateException(s"commit conflict: $dst already exists")
     val tmp = new Path(meta, s".v${snap.version}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
     val out = fs.create(tmp, false)
     try out.write(mapper.writeValueAsBytes(snap))
     finally out.close()
-    val dst = new Path(meta, s"v${snap.version}.json")
     if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(s"commit conflict: $dst already exists")

@@ -90,11 +90,11 @@ class JsonDeserializeSpec extends AnyFunSuite {
     assert(!rows(2).isNullAt(rows(2).fieldIndex("json")) && rows(2).isNullAt(rows(2).fieldIndex("json__v1")))
   }
 
-  test("sanitize mode parses each row once per pass (no pre-inference rewrite)") {
-    // The inference walk and the strict mapper sanitize keys while
-    // traversing RAW text; only from_json needs the rewritten text, so the
-    // rewrite lives in the output expression — one Jackson parse per row in
-    // the inference action, one in the output action.
+  test("sanitize mode is zero-UDF: one Jackson parse per row TOTAL") {
+    // The inference walk sanitizes keys while traversing RAW text and
+    // collects the original spellings; the output pass parses under the
+    // original-name schema with from_json and renames via struct cast —
+    // NO Jackson work on the output path at all.
     val df = Seq(("1", """{"b-x": 1, "c.y": "s"}"""), ("2", """{"b-x": 2, "c.y": "t"}"""))
       .toDF("id", "json")
     val reg = new SchemaRegistry(true)
@@ -104,13 +104,51 @@ class JsonDeserializeSpec extends AnyFunSuite {
     val out = s(df) // runs the inference action
     val inferParses = graft.schema.JsonSchemaInfer.parseCount.sum() - before
     assert(inferParses <= 2, s"inference pass should parse once per row, got $inferParses for 2 rows")
-    val rows = out.orderBy("id").collect() // output action: the sanitize rewrite
+    val rows = out.orderBy("id").collect() // output action: from_json only
     val total = graft.schema.JsonSchemaInfer.parseCount.sum() - before
-    assert(total <= 4, s"expected <= 2 Jackson parses per row across both passes, got $total for 2 rows")
+    assert(total <= 2, s"output pass must be Jackson-free, got $total parses for 2 rows")
     val st = out.schema("json").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
     assert(st.fieldNames.toSet == Set("b_x", "c_y"))
     assert(rows(0).getStruct(rows(0).fieldIndex("json")).getAs[Int]("b_x") == 1)
     assert(rows(1).getStruct(rows(1).fieldIndex("json")).getAs[String]("c_y") == "t")
+  }
+
+  test("sanitize collision (two spellings, one sanitized name) still parses every row") {
+    // "b-x" and "b.x" both sanitize to b_x: one parse-schema name cannot
+    // match both texts, so this column falls back to the key-rewrite UDF —
+    // values from BOTH spellings must land in b_x.
+    val df = Seq(("1", """{"b-x": 1}"""), ("2", """{"b.x": 2}""")).toDF("id", "json")
+    val reg = new SchemaRegistry(true)
+    val s = new JsonDeserialize(JsonDeserializeConfig(Seq("json"), "t",
+      InferOptions(optionalStructFields = true, sanitizeFieldNames = true)), reg)
+    val rows = s(df).orderBy("id").collect()
+    assert(rows(0).getStruct(rows(0).fieldIndex("json")).getAs[Int]("b_x") == 1)
+    assert(rows(1).getStruct(rows(1).fieldIndex("json")).getAs[Int]("b_x") == 2)
+  }
+
+  test("variant output mode: one tagged-union struct column") {
+    val df = Seq(
+      ("1", """{"foo": "string"}"""),
+      ("2", """[1, 2]"""),
+      ("3", """{"foo": "other"}"""),
+      ("4", null.asInstanceOf[String])).toDF("id", "json")
+    val reg = new SchemaRegistry(true)
+    val s = new JsonDeserialize(JsonDeserializeConfig(Seq("json"), "t",
+      InferOptions(optionalStructFields = true), outputMode = "variant"), reg)
+    val out = s(df)
+    val vt = out.schema("json").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+    assert(vt.fieldNames.toSeq == Seq("class_id", "v0", "v1"))
+    val rows = out.orderBy("id").collect()
+    def v(r: org.apache.spark.sql.Row) = r.getStruct(r.fieldIndex("json"))
+    // struct rows and array rows carry distinct class ids; the matching vN
+    // is non-null, the other null; null input stays a null struct (O2)
+    val cls1 = v(rows(0)).getInt(0)
+    val cls2 = v(rows(1)).getInt(0)
+    assert(cls1 != cls2)
+    assert(v(rows(0)).isNullAt(1) != v(rows(0)).isNullAt(2))
+    assert(v(rows(1)).isNullAt(1) != v(rows(1)).isNullAt(2))
+    assert(v(rows(2)).getInt(0) == cls1)
+    assert(rows(3).isNullAt(rows(3).fieldIndex("json")))
   }
 
   test("union failures are counted and opt-in logged") {
