@@ -302,9 +302,11 @@ object Bench {
       // Warmup legs run under co-tenant load can take many minutes; a too-
       // short deadline silently falls back to the single-JVM harness.
       // Default bounds the worst case for unattended runs: if the pinned
-      // workers cannot warm up in 7 minutes the host is too loaded for the
+      // workers cannot warm up in 5 minutes the host is too loaded for the
       // isolated measurement to mean much — kill them and measure in-JVM.
-      val readySec = sys.env.getOrElse("SPARK_GRAFT_SCALE_READY_SEC", "420").toLong
+      // (The ready wait is NOT part of budgetSec; keep it tight so one
+      // series cannot starve the ones after it.)
+      val readySec = sys.env.getOrElse("SPARK_GRAFT_SCALE_READY_SEC", "300").toLong
       val readyDeadline = System.nanoTime() + readySec * 1000000000L
       if (await("ready_lo", readyDeadline).isEmpty || await("ready_hi", readyDeadline).isEmpty) {
         killWorkers()

@@ -14,7 +14,19 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
  *   kafka_partition(key, n)       -> INT   toPositive(murmur2(key)) % n
  *   token_gen(lsn, doc, n)        -> ARRAY<INT> deterministic token array
  *
- * These are the operators Spark's built-ins genuinely cannot express
+ * plus the dedup/ANN kernels, so a SQL-first user can build the full
+ * MinHash-LSH / SimHash / hyperplane-LSH pipelines (band -> explode ->
+ * self-join) without the Scala API:
+ *
+ *   simhash64(text)                     -> BIGINT 64-bit SimHash signature
+ *   shingle_hashes(text, w)             -> ARRAY<BIGINT> sorted distinct
+ *                                          word-shingle hashes (xx kernel)
+ *   minhash_sig(hashes, k)              -> ARRAY<BIGINT> k-perm MinHash sig
+ *   minhash_bands(hashes, k, bands)     -> ARRAY<BIGINT> banded bucket keys
+ *   cosine_sim(a, b)                    -> DOUBLE cosine of two float arrays
+ *   lsh_bucket(vec, bits, dim[, off])   -> BIGINT hyperplane-LSH bucket
+ *
+ * The first group are operators Spark's built-ins genuinely cannot express
  * (murmur2 placement is pinned by the reference's OutboxTest; token_gen is
  * the codegen'd generator kernel). Everything else in the engine is
  * DataFrame-level and already SQL-reachable through views.
@@ -23,9 +35,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   import GraftExtensions._
 
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(kafkaMurmur2Descriptor)
-    ext.injectFunction(kafkaPartitionDescriptor)
-    ext.injectFunction(tokenGenDescriptor)
+    allDescriptors.foreach(ext.injectFunction)
     // SQL `MERGE INTO icelite.`<path>` USING (<query>) EPOCH '<key>'`
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
@@ -36,6 +46,27 @@ object GraftExtensions {
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
   type Descriptor = (FunctionIdentifier, ExpressionInfo, FunctionRegistry.FunctionBuilder)
+
+  /** Fold a CONSTANT argument (bits, dim, band counts...) at registration:
+    * these parameterize generated plans/literal hyperplanes, so they must
+    * be foldable, not row-dependent. */
+  private def constInt(e: Expression, fn: String, arg: String): Int = {
+    require(e.foldable, s"$fn: argument '$arg' must be a constant")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => l.toInt
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer constant, got $other")
+    }
+  }
+
+  private def asCol(e: Expression) = org.apache.spark.sql.graftbridge.Exprs.column(e)
+  // eager conversion: the analyzer must see a plain Catalyst tree, not a
+  // ColumnNodeExpression leaf, to resolve the HOF lambdas inside
+  private def asExpr(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.graftbridge.Exprs.catalystExpression(c)
 
   val kafkaMurmur2Descriptor: Descriptor = (
     FunctionIdentifier("kafka_murmur2"),
@@ -59,9 +90,57 @@ object GraftExtensions {
     (children: Seq[Expression]) =>
       graft.stream.TokenGenExpr(children(0), children(1), children(2)))
 
+  val simhashDescriptor: Descriptor = (
+    FunctionIdentifier("simhash64"),
+    info("simhash64", "simhash64(text) - 64-bit SimHash signature over word tokens (native codegen)."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextHashExprs.simhash(asCol(children.head))))
+
+  val shingleHashesDescriptor: Descriptor = (
+    FunctionIdentifier("shingle_hashes"),
+    info("shingle_hashes", "shingle_hashes(text, w) - sorted distinct xxhash64 hashes of word w-shingles."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextHashExprs.shingleHashes(asCol(children(0)),
+        constInt(children(1), "shingle_hashes", "w"))))
+
+  val minhashSigDescriptor: Descriptor = (
+    FunctionIdentifier("minhash_sig"),
+    info("minhash_sig", "minhash_sig(hashes, k) - k-permutation MinHash signature of a shingle-hash array."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.MinHashSigExpr.minhash(asCol(children(0)),
+        constInt(children(1), "minhash_sig", "k"))))
+
+  val minhashBandsDescriptor: Descriptor = (
+    FunctionIdentifier("minhash_bands"),
+    info("minhash_bands", "minhash_bands(hashes, k, bands) - banded LSH bucket keys of the k-hash MinHash signature."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.MinHashSigExpr.minhashBands(asCol(children(0)),
+        constInt(children(1), "minhash_bands", "k"),
+        constInt(children(2), "minhash_bands", "bands"))))
+
+  val cosineSimDescriptor: Descriptor = (
+    FunctionIdentifier("cosine_sim"),
+    info("cosine_sim", "cosine_sim(a, b) - cosine similarity of two float/double arrays, computed in double."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.Similarity.cosine(asCol(children(0)), asCol(children(1)))))
+
+  val lshBucketDescriptor: Descriptor = (
+    FunctionIdentifier("lsh_bucket"),
+    info("lsh_bucket", "lsh_bucket(vec, bits, dim[, planeOffset]) - random-hyperplane LSH bucket (md5-derived deterministic planes)."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.Similarity.lshBucket(asCol(children(0)),
+        constInt(children(1), "lsh_bucket", "bits"),
+        constInt(children(2), "lsh_bucket", "dim"),
+        if (children.size > 3) constInt(children(3), "lsh_bucket", "planeOffset") else 0)))
+
+  val allDescriptors: Seq[Descriptor] = Seq(
+    kafkaMurmur2Descriptor, kafkaPartitionDescriptor, tokenGenDescriptor,
+    simhashDescriptor, shingleHashesDescriptor, minhashSigDescriptor,
+    minhashBandsDescriptor, cosineSimDescriptor, lshBucketDescriptor)
+
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    Seq(kafkaMurmur2Descriptor, kafkaPartitionDescriptor, tokenGenDescriptor).foreach {
+    allDescriptors.foreach {
       case (id, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
           id.funcName, builder, "scala_udf")

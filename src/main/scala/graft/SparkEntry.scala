@@ -26,6 +26,14 @@ object SparkEntry {
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Embedding dimensionality per data dir, probed once (one tiny job) and
+    * memoized — the per-query `.head()` probes were five extra jobs per
+    * suite run. */
+  private val embDimMemo = new java.util.concurrent.ConcurrentHashMap[String, Integer]()
+  private def embDim(s: SparkSession, dir: String): Int =
+    embDimMemo.computeIfAbsent(dir,
+      _ => T(s, dir, "embeddings").select(size(col("embedding"))).head().getInt(0)).intValue
+
   // JOSE fixtures pinned from the reference's public test suite
   // (`smt/JoseTest.java:22-56`): base64(JWK oct) keys + flattened JWEs whose
   // plaintexts are {"foo":"bar"} / {"bar":"baz"}.
@@ -204,6 +212,28 @@ object SparkEntry {
         count(col(arrayCol)).as("n_array"),
         max(lit(nClasses)).cast(IntegerType).as("n_classes"))
     }),
+    "q_json_variant" -> ((s, dir) => {
+      // Multi-class fan-out in VARIANT output mode: ONE stable tagged-union
+      // struct {class_id, v0, v1} instead of positional sibling columns —
+      // exactly one vN non-null per row. Class indices are fold-order
+      // dependent, so outputs are normalized by TYPE: the struct class
+      // feeds a_val, the array class feeds arr0.
+      val ev = T(s, dir, "events")
+      val json = when(col("event_id") % 3 === 0, concat(lit("["), col("user_id"), lit(",7]")))
+        .otherwise(concat(lit("{\"a\":"), col("user_id"), lit("}")))
+      val df = ev.select(col("event_id"), json.as("j"))
+      val reg = new SchemaRegistry(optionalStructFields = false)
+      val stage = new JsonDeserialize(JsonDeserializeConfig(Seq("j"), "variant",
+        outputMode = "variant"), reg)
+      val parsed = stage(df)
+      val vt = parsed.schema("j").dataType.asInstanceOf[StructType]
+      val structV = vt.fields.collectFirst { case f if f.dataType.isInstanceOf[StructType] => f.name }.get
+      val arrayV = vt.fields.collectFirst { case f if f.dataType.isInstanceOf[ArrayType] => f.name }.get
+      parsed.select(col("event_id"),
+        when(col(s"j.$structV").isNotNull, lit("struct")).otherwise(lit("array")).as("cls"),
+        col(s"j.$structV.a").cast(LongType).as("a_val"),
+        element_at(col(s"j.$arrayV"), 1).cast(LongType).as("arr0"))
+    }),
     "q_heartbeat" -> ((s, dir) => {
       import s.implicits._
       // Signal/heartbeat passthrough (O16): heartbeats matched by VALUE
@@ -327,7 +357,7 @@ object SparkEntry {
     }),
     "q_embed_lsh_topk" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val dim = embDim(s, dir)
       Similarity.lshTopK(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 4, dim = dim)
         .select("qid", "cid", "rank", "bucket")
     }),
@@ -337,7 +367,7 @@ object SparkEntry {
       // bucket directories (partition pruning — pinned in PlanSpec). Same
       // results as q_embed_lsh_topk by construction.
       val emb = T(s, dir, "embeddings")
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val dim = embDim(s, dir)
       val idxPath = java.nio.file.Files.createTempDirectory("graft-lshidx").toString
       Similarity.buildLshIndex(emb, idxPath, bits = 4, dim = dim)
       Similarity.lshTopKIndexed(emb.filter(col("vec_id") < 10), idxPath, k = 5, bits = 4, dim = dim)
@@ -349,7 +379,7 @@ object SparkEntry {
       // md5-derived centroid; the oracle recomputes the coarse quantizer
       // (arg_max of the same dots) and the per-cell ranking in SQL.
       val emb = T(s, dir, "embeddings")
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val dim = embDim(s, dir)
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nCells = 8, nprobe = 1, dim = dim)
         .select(col("qid"), col("cid"), col("rank").cast(IntegerType).as("rank"))
     }),
@@ -357,13 +387,13 @@ object SparkEntry {
       // Multi-probe LSH: own bucket + all Hamming-distance-1 buckets; the
       // oracle recomputes the probe set (XOR of each bit) in SQL.
       val emb = T(s, dir, "embeddings")
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val dim = embDim(s, dir)
       Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 4, dim = dim)
         .select(col("qid"), col("cid"), col("rank").cast(IntegerType).as("rank"))
     }),
     "q_embed_dedup" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
-      val dim = emb.select(size(col("embedding"))).head().getInt(0)
+      val dim = embDim(s, dir)
       // synthetic embeddings are near-orthogonal (cos p99.9 ~ 0.38); a low
       // threshold keeps the query non-trivial on this corpus. 8 bands x
       // 8 bits: candidate volume O(docs x bands / 256), never quadratic;
@@ -538,6 +568,12 @@ object SparkEntry {
       """SELECT count(CASE WHEN event_id % 3 <> 0 THEN 1 END) AS n_struct,
         |       count(CASE WHEN event_id % 3 = 0 THEN 1 END) AS n_array,
         |       CAST(2 AS INT) AS n_classes
+        |FROM events""".stripMargin,
+    "q_json_variant" ->
+      """SELECT event_id,
+        |       CASE WHEN event_id % 3 = 0 THEN 'array' ELSE 'struct' END AS cls,
+        |       CASE WHEN event_id % 3 = 0 THEN NULL ELSE CAST(user_id AS BIGINT) END AS a_val,
+        |       CASE WHEN event_id % 3 = 0 THEN CAST(user_id AS BIGINT) ELSE NULL END AS arr0
         |FROM events""".stripMargin,
     "q_heartbeat" ->
       """SELECT 'k1' AS key, false AS passthrough

@@ -12,6 +12,15 @@ object Exprs {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column -> Catalyst conversion: a plain tree (UnresolvedFunction,
+    * lambda variables, ...) the analyzer resolves to fixpoint. The lazy
+    * `expression` wrapper keeps the tree inside a ColumnNodeExpression leaf
+    * that the analyzer never descends into — fatal when the Column
+    * composition is RETURNED from an injected FunctionBuilder (SQL UDF
+    * surface) rather than passed through Dataset.select. */
+  def catalystExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Analyze + wrap a logical plan as a DataFrame (classic.Dataset.ofRows is
     * `private[sql]` in Spark 4). */
   def ofRows(spark: org.apache.spark.sql.SparkSession,

@@ -46,6 +46,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup/ANN kernels are SQL-callable and agree with the Scala API") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat")).toDF("id", "text")
+    docs.createOrReplaceTempView("docs_ext")
+    val sqlRows = spark.sql(
+      """SELECT id, simhash64(text) AS sig,
+        |       minhash_bands(shingle_hashes(text, 3), 16, 4) AS bk,
+        |       cosine_sim(array(1.0D, 2.0D, 2.0D), array(2.0D, 4.0D, 4.0D)) AS cs,
+        |       lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)), 2, 2) AS lb
+        |FROM docs_ext""".stripMargin).orderBy("id").collect()
+    val apiRows = docs.select(col("id"),
+        graft.ops.Dedup.simhash(col("text")).as("sig"),
+        graft.ops.MinHashSigExpr.minhashBands(
+          graft.ops.TextHashExprs.shingleHashes(col("text"), 3), 16, 4).as("bk"))
+      .orderBy("id").collect()
+    val apiLb = spark.range(1).select(graft.ops.Similarity.lshBucket(
+      expr("array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT))"), 2, 2)).head().getLong(0)
+    sqlRows.zip(apiRows).foreach { case (sq, ap) =>
+      assert(sq.getLong(1) == ap.getLong(1), "simhash64 mismatch")
+      assert(sq.getSeq[Long](2) == ap.getSeq[Long](2), "minhash_bands mismatch")
+    }
+    assert(math.abs(sqlRows(0).getDouble(3) - 1.0) < 1e-12)
+    assert(sqlRows(0).getLong(4) == apiLb)
+  }
+
+  test("kernel shape arguments must be constants") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT shingle_hashes('a b c', CAST(id AS INT)) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("must be a constant"))
+  }
+
   test("kafka_murmur2 and token_gen are SQL-callable and codegen-compatible") {
     GraftExtensions.register(spark)
     val r = spark.sql(

@@ -226,6 +226,40 @@ class OpsSpec extends AnyFunSuite {
     assert(persisted == inline)
   }
 
+  test("incremental LSH index append equals a rebuilt index") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val dim = emb.select(org.apache.spark.sql.functions.size(col("embedding"))).head().getInt(0)
+    val incr = graft.SparkTestBase.tempDir("lsh-incr")
+    val full = graft.SparkTestBase.tempDir("lsh-full")
+    // build on half the corpus, append the other half incrementally
+    Similarity.buildLshIndex(emb.filter(col("vec_id") % 2 === 0), incr, bits = 4, dim = dim)
+    Similarity.appendToLshIndex(emb.filter(col("vec_id") % 2 === 1), incr, bits = 4, dim = dim)
+    Similarity.buildLshIndex(emb, full, bits = 4, dim = dim)
+    val q = emb.filter(col("vec_id") < 10)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(r.fieldIndex("qid")), r.getLong(r.fieldIndex("cid")),
+        r.getInt(r.fieldIndex("rank")))).toSet
+    assert(key(Similarity.lshTopKIndexed(q, incr, k = 5, bits = 4, dim = dim)) ==
+      key(Similarity.lshTopKIndexed(q, full, k = 5, bits = 4, dim = dim)))
+  }
+
+  test("components with a reliable checkpoint dir truncates lineage to a checkpoint scan") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("id_a", "id_b")
+    val dir = graft.SparkTestBase.tempDir("comp-ckpt")
+    val out = Dedup.components(pairs, checkpointDir = Some(dir))
+    val rows = out.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(rows(_) == 1L) && rows(10L) == 10L && rows(11L) == 10L)
+    // reliable checkpoint files landed under the requested dir...
+    def fileCount(d: java.io.File): Int =
+      if (d.isDirectory) d.listFiles().map(fileCount).sum else 1
+    assert(fileCount(new java.io.File(dir)) > 0, "no checkpoint data written")
+    // ...and the result plan reads from checkpointed RDDs, not the full
+    // iteration lineage (executor loss replays from the checkpoint)
+    val planStr = out.queryExecution.optimizedPlan.toString
+    assert(planStr.contains("LogicalRDD") || planStr.contains("ExistingRDD"),
+      s"expected checkpoint scan in plan, got:\n$planStr")
+  }
+
   test("degenerate LSH buckets are capped, not quadratic") {
     // 40 identical boilerplate docs share every band bucket: uncapped, the
     // self-join would emit 40*39/2 = 780 pairs from one bucket. With
