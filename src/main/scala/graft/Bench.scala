@@ -251,9 +251,13 @@ object Bench {
       else math.min(desiredGb, (availGb - reserveGb) / 2)
     if (perWorkerGb < 4.0)
       return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
-    // Pre-touch gives steadier legs (no fault storms mid-measurement) but
-    // commits the full heap instantly; only safe with slack beyond budget.
-    val preTouch = availGb < 0 || availGb > 2 * perWorkerGb + reserveGb + 8
+    // Pre-touch is OPT-IN and default OFF: on this Firecracker-style VM
+    // every first-touch page fault exits to the VMM — measured ~75 MB/s
+    // aggregate while two workers pre-touched 32g heaps (14 minutes of
+    // near-pure kernel time before either could even warm up; the round-3
+    // ready-timeouts were this). Lazy faulting amortizes the same cost
+    // across the warmup legs instead of paying it all up front.
+    val preTouch = sys.env.get("SPARK_GRAFT_WORKER_PRETOUCH").contains("true")
     val workerMem = s"${math.max(4, perWorkerGb.toInt)}g"
     val phaseStart = System.nanoTime()
     val buckets = seriesBuckets(hi)
@@ -265,9 +269,17 @@ object Bench {
         "sun.nio.ch", "sun.nio.cs", "sun.security.action", "sun.util.calendar")
         .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
       val touchFlags = if (preTouch) Seq("-XX:+AlwaysPreTouch") else Seq.empty
+      // THP is OPT-IN for workers: with defrag=madvise (this kernel's
+      // policy) a madvised heap does DIRECT compaction on every huge-page
+      // fault — on a fragmented host a 32g non-pretouched heap measured
+      // >95% kernel time (compaction storm), starving the actual legs.
+      // Huge pages help TLB pressure only marginally here; fault latency
+      // dominated by orders of magnitude.
+      val thpFlags = if (sys.env.get("SPARK_GRAFT_WORKER_THP").contains("true"))
+        Seq("-XX:+UseTransparentHugePages") else Seq.empty
       val cmd = Seq("taskset", "-c", s"0-${width - 1}",
         sys.props("java.home") + "/bin/java") ++ opens ++ Seq(
-        s"-Xms$workerMem", s"-Xmx$workerMem", "-XX:+UseTransparentHugePages") ++ touchFlags ++ Seq(
+        s"-Xms$workerMem", s"-Xmx$workerMem") ++ thpFlags ++ touchFlags ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", sys.props("java.class.path"),
         "graft.ScalingWorker", id, width.toString, events.toString, dir.toString, buckets.toString)

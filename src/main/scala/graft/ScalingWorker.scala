@@ -48,12 +48,27 @@ object ScalingWorker {
       (eps, (tally.sum() - c0).toDouble / ev)
     }
     val p = java.nio.file.Paths.get(dir)
-    // deep JIT/codegen warmup (first runs in a fresh JVM are 2-10x slower)
-    val warmEv = math.max(events / 4, 500000L)
+    // Orphan self-destruct: if the orchestrator is SIGKILLed (e.g. the host
+    // OOM killer taking out the bench JVM) its finally-block cleanup never
+    // runs and this worker would grind the host forever — round 3 left a
+    // 32-thread worker running for hours. When the parent dies this
+    // process is reparented (PPID flips to init), so poll parent liveness.
+    val parent = ProcessHandle.current().parent()
+    def orphaned: Boolean =
+      parent.map(h => !h.isAlive).orElse(true) ||
+        !java.nio.file.Files.isDirectory(p)
+    var seq = 0
+    // Deep JIT/codegen warmup (first runs in a fresh JVM are 2-10x slower).
+    // Capped at 8M events: warmup only needs to reach steady-state JIT, and
+    // BOTH workers warm simultaneously — the narrow worker runs starved of
+    // its own cores while the wide one hammers all of them, so an
+    // events/4-sized warmup at 64M-event legs blew the parent's ready
+    // deadline. 2 x 8M reaches the same code paths in a fraction of the time.
+    val warmEv = math.min(math.max(events / 4, 500000L),
+      sys.env.getOrElse("SPARK_GRAFT_WARM_EVENTS", "8000000").toLong)
     leg(warmEv); leg(warmEv)
     java.nio.file.Files.writeString(p.resolve(s"ready_$id"), "ok")
-    var seq = 0
-    while (!java.nio.file.Files.exists(p.resolve("stop"))) {
+    while (!java.nio.file.Files.exists(p.resolve("stop")) && !orphaned) {
       val go = p.resolve(s"go_${id}_$seq")
       if (java.nio.file.Files.exists(go)) {
         val (eps, cpu) = leg(events)
