@@ -157,6 +157,79 @@ object Bench {
     }
   }
 
+  // weatherProbe sink — keeps the JIT from eliding the probe loop.
+  @volatile private var probeSink = 0L
+
+  /** Cheap host-weather probe (~0.5-1s quiet): a single-threaded register
+    * hash loop (slows under hypervisor CPU steal) PLUS a fresh-allocation
+    * first-touch pass (slows 10-100x in this VM's cold-memory weather,
+    * where every new page fault exits to the VMM). Returns a combined
+    * rate score — only RATIOS against the best score seen are meaningful.
+    * The grind this defends against was observed as >90%% "kernel" time
+    * with empty kernel stacks and no strace: host co-tenant contention
+    * misreported as guest time, undetectable from loadavg. */
+  def weatherProbe(): Double = {
+    var h = 1469598103934665603L
+    val iters = 400000000L
+    val t0 = System.nanoTime()
+    var i = 0L
+    while (i < iters) { h ^= i; h *= 1099511628211L; h ^= (h >>> 33); i += 1 }
+    probeSink = h
+    val cpuRate = iters / ((System.nanoTime() - t0) / 1e9)
+    val t1 = System.nanoTime()
+    val a = new Array[Byte](64 << 20) // fresh pages: first-touch faults
+    var j = 0
+    while (j < a.length) { a(j) = 1; j += 4096 }
+    probeSink += a(12345)
+    val touchRate = a.length / ((System.nanoTime() - t1) / 1e9)
+    // geometric mean: either pathology (CPU steal or fault grind) drags it
+    math.sqrt(cpuRate * touchRate)
+  }
+
+  /** Best probe score observed — the "known quiet" reference. PERSISTED
+    * across JVMs (SPARK_GRAFT_PROBE_REF, default /tmp/graft_probe_ref.txt):
+    * a run that starts inside a bad window would otherwise adopt the grind
+    * as its reference and wave every bad window through. */
+  private def probeRefPath = java.nio.file.Paths.get(
+    sys.env.getOrElse("SPARK_GRAFT_PROBE_REF", "/tmp/graft_probe_ref.txt"))
+  @volatile private var bestProbeScore: Double = {
+    try java.nio.file.Files.readString(probeRefPath).trim.toDouble
+    catch { case _: Throwable => 0.0 }
+  }
+
+  /** Block until the host looks quiet (probe within `gate` of the best
+    * score seen), the deadline passes, or the gate is disabled (<= 0).
+    * Returns the last probe's relative score. Probes are spaced 15s apart
+    * so waiting through a bad window costs almost nothing — the co-tenant
+    * weather here lasts minutes to hours, and measuring through it instead
+    * costs the run its meaning. */
+  def awaitQuietHost(deadlineNs: Long): Double = {
+    val gate = sys.env.getOrElse("SPARK_GRAFT_WEATHER_GATE", "0.8").toDouble
+    if (gate <= 0) return 1.0
+    var rel = 0.0
+    var first = true
+    while ({
+      val r = weatherProbe()
+      if (r > bestProbeScore) {
+        bestProbeScore = r
+        try java.nio.file.Files.writeString(probeRefPath, f"$r%.0f")
+        catch { case _: Throwable => () }
+      }
+      rel = r / bestProbeScore
+      val bad = rel < gate
+      if (bad && System.nanoTime() < deadlineNs) {
+        if (first) System.err.println(f"[bench] host weather bad (probe at $rel%.2f of best) - waiting for a quiet window")
+        first = false
+        Thread.sleep(15000)
+        true
+      } else {
+        if (!first) System.err.println(f"[bench] weather wait over (probe at $rel%.2f of best)")
+        false
+      }
+    }) ()
+    rel
+  }
+
   /** Series-wide bucket count: a function of the WIDEST leg only, so every
     * leg of every pair in a series builds the same table layout. */
   private def seriesBuckets(hi: Int): Int = {
@@ -170,7 +243,8 @@ object Bench {
     * host-disturbed window; its two legs ran back-to-back, so host drift
     * cannot inflate the ratio the way mixing windows per level could. */
   def scalingPairs(lo: Int, hi: Int, events: Long, maxPairs: Int, budgetSec: Int,
-                   mode: String = "cow"): (Seq[PairStat], PairStat, Double, Double) = {
+                   mode: String = "cow",
+                   onPair: PairStat => Unit = _ => ()): (Seq[PairStat], PairStat, Double, Double) = {
     val s = mkSession(hi)
     val tally = new CpuTally
     s.sparkContext.addSparkListener(tally)
@@ -193,9 +267,15 @@ object Bench {
       val pairs = scala.collection.mutable.Buffer.empty[PairStat]
       var i = 0
       while (i < maxPairs && (System.nanoTime() < deadline || pairs.isEmpty)) {
+        // Weather gate: only measure in quiet windows. Bounded by the
+        // series deadline, after which it measures regardless — the loop's
+        // pairs.isEmpty clause guarantees at least one pair either way.
+        awaitQuietHost(deadline): Unit
         val (l, cl) = leg(lo, events)
         val (h, ch) = leg(hi, events)
-        pairs += PairStat(l, h, h / (l * (hi.toDouble / lo)), cl, ch)
+        val p = PairStat(l, h, h / (l * (hi.toDouble / lo)), cl, ch)
+        pairs += p
+        onPair(p)
         i += 1
       }
       val best = pairs.maxBy(p => p.lo + p.hi)
@@ -232,10 +312,23 @@ object Bench {
    * best-pair/median reporting applies. Falls back to the single-JVM
    * harness when taskset is unavailable.
    */
+  /** `strict = true` (evidence runs): NEVER fall back to the in-JVM
+    * unpinned harness — mixing unpinned pairs into an isolated-methodology
+    * evidence file would corrupt it. Returns whatever isolated pairs exist,
+    * possibly none. `strict = false` (driver bench): fall back so the round
+    * artifact always carries numbers. */
   def scalingPairsIsolated(lo: Int, hi: Int, events: Long, maxPairs: Int, budgetSec: Int,
-                           mode: String = "cow"): (Seq[PairStat], PairStat, Double, Double) = {
+                           mode: String = "cow",
+                           onPair: PairStat => Unit = _ => (),
+                           strict: Boolean = false): (Seq[PairStat], PairStat, Double, Double) = {
+    def result(ps: Seq[PairStat]): (Seq[PairStat], PairStat, Double, Double) =
+      if (ps.isEmpty) (Nil, PairStat(0, 0, 0, 0, 0), 0.0, 0.0)
+      else {
+        def median(xs: Seq[Double]): Double = { val ss = xs.sorted; ss(ss.size / 2) }
+        (ps, ps.maxBy(p => p.lo + p.hi), median(ps.map(_.eff)), median(ps.map(_.effCpuNorm)))
+      }
     if (!new java.io.File("/usr/bin/taskset").exists())
-      return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
+      return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, budgetSec, mode, onPair)
     // Memory budget: parent RSS + 2 x worker heap + tmpfs data + headroom
     // must fit MemAvailable, or the host OOM killer ends the whole bench
     // (round 3's failure mode). reserve covers tmpfs tables/shuffle for
@@ -250,7 +343,7 @@ object Bench {
       if (availGb < 0) desiredGb // meminfo unreadable: trust the knob
       else math.min(desiredGb, (availGb - reserveGb) / 2)
     if (perWorkerGb < 4.0)
-      return scalingPairs(lo, hi, events, maxPairs, budgetSec, mode)
+      return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, budgetSec, mode, onPair)
     // Pre-touch is OPT-IN and default OFF: on this Firecracker-style VM
     // every first-touch page fault exits to the VMM — measured ~75 MB/s
     // aggregate while two workers pre-touched 32g heaps (14 minutes of
@@ -259,6 +352,15 @@ object Bench {
     // across the warmup legs instead of paying it all up front.
     val preTouch = sys.env.get("SPARK_GRAFT_WORKER_PRETOUCH").contains("true")
     val workerMem = s"${math.max(4, perWorkerGb.toInt)}g"
+    // Xms BELOW Xmx by default (unusual for benchmarks, deliberate here):
+    // with Xms=Xmx=32g G1 sizes eden at ~60% of the heap and the first big
+    // measured leg allocation-churns across ~20 GB of never-touched pages —
+    // on this VM cold-page faults are pathologically expensive (observed:
+    // an 8-core 64M-event leg at >90% kernel time, ~100x slow, for 15+
+    // minutes). A small Xms keeps the committed heap (and so the fault
+    // surface) near the live set; G1 grows it only under real pressure.
+    val workerXms = sys.env.getOrElse("SPARK_GRAFT_WORKER_XMS",
+      s"${math.min(8, math.max(4, perWorkerGb.toInt))}g")
     val phaseStart = System.nanoTime()
     val buckets = seriesBuckets(hi)
     val dir = java.nio.file.Files.createTempDirectory("graft-scale")
@@ -279,7 +381,7 @@ object Bench {
         Seq("-XX:+UseTransparentHugePages") else Seq.empty
       val cmd = Seq("taskset", "-c", s"0-${width - 1}",
         sys.props("java.home") + "/bin/java") ++ opens ++ Seq(
-        s"-Xms$workerMem", s"-Xmx$workerMem") ++ thpFlags ++ touchFlags ++ Seq(
+        s"-Xms$workerXms", s"-Xmx$workerMem") ++ thpFlags ++ touchFlags ++ Seq(
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", sys.props("java.class.path"),
         "graft.ScalingWorker", id, width.toString, events.toString, dir.toString, buckets.toString)
@@ -289,15 +391,13 @@ object Bench {
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       pb.start()
     }
-    val pLo = spawn("lo", lo)
-    val pHi = spawn("hi", hi)
-    // Kill + REAP both workers before any in-JVM measurement: a pinned JVM
+    val procs = scala.collection.mutable.Buffer.empty[Process]
+    // Kill + REAP all workers before any in-JVM measurement: a pinned JVM
     // that is still dying holds its cores and heap, and the fallback's legs
     // run on those same cores (cores 0..hi-1).
     def killWorkers(): Unit = {
-      pLo.destroyForcibly(); pHi.destroyForcibly()
-      pLo.waitFor(15, java.util.concurrent.TimeUnit.SECONDS)
-      pHi.waitFor(15, java.util.concurrent.TimeUnit.SECONDS): Unit
+      procs.foreach(_.destroyForcibly())
+      procs.foreach(_.waitFor(15, java.util.concurrent.TimeUnit.SECONDS))
     }
     // Fallback budget = what remains of this series' allotment.
     def remainingBudget: Int =
@@ -305,56 +405,90 @@ object Bench {
     def await(name: String, deadlineNs: Long): Option[String] = {
       val f = dir.resolve(name)
       while (!java.nio.file.Files.exists(f)) {
-        if (System.nanoTime() > deadlineNs || !pLo.isAlive() || !pHi.isAlive()) return None
+        if (System.nanoTime() > deadlineNs || procs.exists(!_.isAlive())) return None
         Thread.sleep(50)
       }
       Some(java.nio.file.Files.readString(f))
     }
     try {
-      // Warmup legs run under co-tenant load can take many minutes; a too-
-      // short deadline silently falls back to the single-JVM harness.
-      // Default bounds the worst case for unattended runs: if the pinned
-      // workers cannot warm up in 5 minutes the host is too loaded for the
-      // isolated measurement to mean much — kill them and measure in-JVM.
-      // (The ready wait is NOT part of budgetSec; keep it tight so one
-      // series cannot starve the ones after it.)
-      val readySec = sys.env.getOrElse("SPARK_GRAFT_SCALE_READY_SEC", "300").toLong
-      val readyDeadline = System.nanoTime() + readySec * 1000000000L
-      if (await("ready_lo", readyDeadline).isEmpty || await("ready_hi", readyDeadline).isEmpty) {
+      // Don't even spawn into a bad weather window: warming two 32g JVMs
+      // during a host grind takes 10x longer and leaves them mis-JITted.
+      // Bounded separately from the pair budget (evidence runs set it to
+      // hours; the driver bench keeps it tight).
+      awaitQuietHost(System.nanoTime() +
+        sys.env.getOrElse("SPARK_GRAFT_SPAWN_WAIT_SEC", "60").toLong * 1000000000L): Unit
+      // Workers spawn and warm SEQUENTIALLY: the pinned core ranges overlap
+      // (lo = cores 0..lo-1 is a subset of hi's 0..hi-1), so concurrent
+      // warmup starves the narrow worker ~2x and blew the ready deadline.
+      // A worker warming alone also gets clean JIT profiles.
+      // A too-short deadline silently falls back to the single-JVM harness
+      // (non-strict mode). The ready wait is NOT part of budgetSec.
+      val readySec = sys.env.getOrElse("SPARK_GRAFT_SCALE_READY_SEC", "420").toLong
+      val pLo = spawn("lo", lo)
+      procs += pLo
+      if (await("ready_lo", System.nanoTime() + readySec * 1000000000L).isEmpty) {
         killWorkers()
-        return scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode)
+        return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode, onPair)
+      }
+      val pHi = spawn("hi", hi)
+      procs += pHi
+      if (await("ready_hi", System.nanoTime() + readySec * 1000000000L).isEmpty) {
+        killWorkers()
+        return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode, onPair)
       }
       val deadline = System.nanoTime() + budgetSec * 1000000000L
+      val legSec = sys.env.getOrElse("SPARK_GRAFT_LEG_DEADLINE_SEC", "900").toLong
       val pairs = scala.collection.mutable.Buffer.empty[PairStat]
       var i = 0
-      while (i < maxPairs && (System.nanoTime() < deadline || pairs.isEmpty)) {
-        val legDeadline = System.nanoTime() + 900L * 1000000000L
+      var timeoutRetries = 1
+      // Non-strict runs must yield at least one pair even past the deadline
+      // (the driver artifact needs a number); strict evidence runs would
+      // rather return empty than measure a known-bad window.
+      while (i < maxPairs && (System.nanoTime() < deadline || (pairs.isEmpty && !strict))) {
+        // Weather gate: the workers idle-poll (50ms sleeps) between pairs,
+        // so probing on the parent while they wait is uncontended.
+        awaitQuietHost(deadline): Unit
+        // Per-LEG deadlines: one shared stamp let a slow lo leg eat the hi
+        // leg's entire allowance, so hi was declared dead the instant its
+        // go file landed.
         java.nio.file.Files.writeString(dir.resolve(s"go_lo_$i"), "go")
-        val rLo = await(s"res_lo_$i", legDeadline)
+        val rLo = await(s"res_lo_$i", System.nanoTime() + legSec * 1000000000L)
         java.nio.file.Files.writeString(dir.resolve(s"go_hi_$i"), "go")
-        val rHi = await(s"res_hi_$i", legDeadline)
+        val rHi = await(s"res_hi_$i", System.nanoTime() + legSec * 1000000000L)
         (rLo, rHi) match {
           case (Some(a), Some(b)) =>
             val Array(el, cl) = a.trim.split(" ").map(_.toDouble)
             val Array(eh, ch) = b.trim.split(" ").map(_.toDouble)
-            pairs += PairStat(el, eh, eh / (el * (hi.toDouble / lo)), cl, ch)
-          case _ =>
+            val p = PairStat(el, eh, eh / (el * (hi.toDouble / lo)), cl, ch)
+            pairs += p
+            onPair(p)
+          case _ if procs.exists(!_.isAlive()) =>
             if (pairs.isEmpty) {
               killWorkers()
-              return scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode)
+              return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode, onPair)
             }
             i = maxPairs // a worker died mid-series: keep what we have
+          case _ =>
+            // Both workers alive but a leg overran its deadline — host
+            // grinding (this VM's cold-memory weather), not a crash. The
+            // worker finishes the stale leg eventually and then services
+            // the next go, so the protocol stays in sync; retry one more
+            // pair before giving up on the isolated measurement.
+            if (timeoutRetries <= 0 || System.nanoTime() > deadline) {
+              if (pairs.isEmpty) {
+                killWorkers()
+                return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode, onPair)
+              }
+              i = maxPairs
+            } else timeoutRetries -= 1
         }
         i += 1
       }
-      val best = pairs.maxBy(p => p.lo + p.hi)
-      def median(xs: Seq[Double]): Double = { val ss = xs.sorted; ss(ss.size / 2) }
-      (pairs.toSeq, best, median(pairs.map(_.eff).toSeq), median(pairs.map(_.effCpuNorm).toSeq))
+      result(pairs.toSeq)
     } finally {
       try java.nio.file.Files.writeString(dir.resolve("stop"), "stop") catch { case _: Throwable => () }
-      pLo.waitFor(20, java.util.concurrent.TimeUnit.SECONDS)
-      pHi.waitFor(20, java.util.concurrent.TimeUnit.SECONDS)
-      pLo.destroyForcibly(); pHi.destroyForcibly()
+      procs.foreach(_.waitFor(20, java.util.concurrent.TimeUnit.SECONDS))
+      procs.foreach(_.destroyForcibly())
       try org.apache.commons.io.FileUtils.deleteDirectory(dir.toFile) catch { case _: Throwable => () }
     }
   }
