@@ -160,15 +160,16 @@ object Bench {
   // weatherProbe sink — keeps the JIT from eliding the probe loop.
   @volatile private var probeSink = 0L
 
-  /** Cheap host-weather probe (~0.5-1s quiet): a single-threaded register
-    * hash loop (slows under hypervisor CPU steal) PLUS a fresh-allocation
-    * first-touch pass (slows 10-100x in this VM's cold-memory weather,
-    * where every new page fault exits to the VMM). Returns a combined
-    * rate score — only RATIOS against the best score seen are meaningful.
-    * The grind this defends against was observed as >90%% "kernel" time
-    * with empty kernel stacks and no strace: host co-tenant contention
-    * misreported as guest time, undetectable from loadavg. */
-  def weatherProbe(): Double = {
+  /** Cheap host-weather probe (~1-2s quiet): (a) a single-threaded register
+    * hash loop — slows under hypervisor CPU steal; (b) a fresh tmpfs file
+    * write — tmpfs pages come from the guest free list, which virtio
+    * FREE PAGE REPORTING keeps handing back to the host, so in steady state
+    * this measures the host page-supply path, the thing that intermittently
+    * stalls 10-100x (measured 4 GiB in 285 s vs ~1 GB/s typical). The grind
+    * shows as >90%% process "kernel" time while /proc/stat reads idle —
+    * invisible to loadavg, fatal to a throughput measurement.
+    * Returns (cpuItersPerSec, touchBytesPerSec). */
+  def weatherProbe(): (Double, Double) = {
     var h = 1469598103934665603L
     val iters = 400000000L
     val t0 = System.nanoTime()
@@ -176,59 +177,94 @@ object Bench {
     while (i < iters) { h ^= i; h *= 1099511628211L; h ^= (h >>> 33); i += 1 }
     probeSink = h
     val cpuRate = iters / ((System.nanoTime() - t0) / 1e9)
-    val t1 = System.nanoTime()
-    val a = new Array[Byte](64 << 20) // fresh pages: first-touch faults
-    var j = 0
-    while (j < a.length) { a(j) = 1; j += 4096 }
-    probeSink += a(12345)
-    val touchRate = a.length / ((System.nanoTime() - t1) / 1e9)
-    // geometric mean: either pathology (CPU steal or fault grind) drags it
-    math.sqrt(cpuRate * touchRate)
+    val bytes = 128L << 20
+    val touchRate =
+      try {
+        val base = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+          java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+        val f = base.resolve(s"graft-probe-${ProcessHandle.current().pid()}")
+        val chunk = new Array[Byte](4 << 20)
+        val t1 = System.nanoTime()
+        val out = java.nio.file.Files.newOutputStream(f)
+        try { var w = 0L; while (w < bytes) { out.write(chunk); w += chunk.length } }
+        finally out.close()
+        val r = bytes / ((System.nanoTime() - t1) / 1e9)
+        java.nio.file.Files.deleteIfExists(f)
+        r
+      } catch { case _: Throwable =>
+        // no tmpfs: fall back to a fresh heap array (first probes only
+        // measure real faults; later ones recycle — weaker signal)
+        val t1 = System.nanoTime()
+        val a = new Array[Byte](64 << 20)
+        var j = 0
+        while (j < a.length) { a(j) = 1; j += 4096 }
+        probeSink += a(12345)
+        a.length / ((System.nanoTime() - t1) / 1e9)
+      }
+    (cpuRate, touchRate)
   }
 
-  /** Best probe score observed — the "known quiet" reference. PERSISTED
-    * across JVMs (SPARK_GRAFT_PROBE_REF, default /tmp/graft_probe_ref.txt):
-    * a run that starts inside a bad window would otherwise adopt the grind
-    * as its reference and wave every bad window through. */
-  private def probeRefPath = java.nio.file.Paths.get(
-    sys.env.getOrElse("SPARK_GRAFT_PROBE_REF", "/tmp/graft_probe_ref.txt"))
-  @volatile private var bestProbeScore: Double = {
-    try java.nio.file.Files.readString(probeRefPath).trim.toDouble
-    catch { case _: Throwable => 0.0 }
-  }
-
-  /** Block until the host looks quiet (probe within `gate` of the best
-    * score seen), the deadline passes, or the gate is disabled (<= 0).
-    * Returns the last probe's relative score. Probes are spaced 15s apart
-    * so waiting through a bad window costs almost nothing — the co-tenant
-    * weather here lasts minutes to hours, and measuring through it instead
-    * costs the run its meaning. */
+  /** Block until the host looks quiet, the deadline passes, or the gate is
+    * disabled (SPARK_GRAFT_WEATHER_GATE=off). Healthy is ABSOLUTE floors
+    * (env-tunable): the measured separation between a healthy host
+    * (~450M iters/s, 0.9-1.6 GB/s) and the grind (10-100x lower on both
+    * axes) is so wide that fixed floors split them cleanly — a learned
+    * reference, tried first, ratcheted up on lucky page-recycle windows
+    * until healthy windows stopped qualifying. Probes are spaced 15s apart
+    * so waiting through a bad window costs almost nothing — the weather
+    * lasts minutes to hours, and measuring through it costs the run its
+    * meaning. Returns health as min(rate/floor) of the two axes. */
   def awaitQuietHost(deadlineNs: Long): Double = {
-    val gate = sys.env.getOrElse("SPARK_GRAFT_WEATHER_GATE", "0.8").toDouble
-    if (gate <= 0) return 1.0
-    var rel = 0.0
+    if (sys.env.get("SPARK_GRAFT_WEATHER_GATE").contains("off")) return 1.0
+    val cpuFloor = sys.env.getOrElse("SPARK_GRAFT_WEATHER_CPU_FLOOR", "2.5e8").toDouble
+    val touchFloor = sys.env.getOrElse("SPARK_GRAFT_WEATHER_TOUCH_FLOOR", "3e8").toDouble
+    var health = 0.0
     var first = true
     while ({
-      val r = weatherProbe()
-      if (r > bestProbeScore) {
-        bestProbeScore = r
-        try java.nio.file.Files.writeString(probeRefPath, f"$r%.0f")
-        catch { case _: Throwable => () }
-      }
-      rel = r / bestProbeScore
-      val bad = rel < gate
+      val (cpu, touch) = weatherProbe()
+      health = math.min(cpu / cpuFloor, touch / touchFloor)
+      val bad = health < 1.0
       if (bad && System.nanoTime() < deadlineNs) {
-        if (first) System.err.println(f"[bench] host weather bad (probe at $rel%.2f of best) - waiting for a quiet window")
+        if (first) System.err.println(f"[bench] host weather bad (cpu ${cpu / 1e6}%.0fM/s touch ${touch / 1e6}%.0f MB/s) - waiting for a quiet window")
         first = false
         Thread.sleep(15000)
         true
       } else {
-        if (!first) System.err.println(f"[bench] weather wait over (probe at $rel%.2f of best)")
+        if (!first) System.err.println(f"[bench] weather wait over (cpu ${cpu / 1e6}%.0fM/s touch ${touch / 1e6}%.0f MB/s)")
         false
       }
     }) ()
-    rel
+    health
   }
+
+  /** tmpfs ballast: fault `bytes` of guest-owned pages into a file
+    * (UNTIMED setup work), to be freed with [[dropBallast]] immediately
+    * before a measured phase — the phase's tmpfs allocations then recycle
+    * still-guest-owned pages from the free list instead of re-acquiring
+    * host pages through the stall-prone fault path (see weatherProbe). */
+  def fillBallast(tag: String, bytes: Long): java.nio.file.Path = {
+    val base = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
+      java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
+    val f = base.resolve(s"graft-ballast-$tag-${ProcessHandle.current().pid()}")
+    // Idempotent: a full-size ballast's pages are ALREADY guest-owned —
+    // truncate+rewrite would free them (reported to the host) and then
+    // re-acquire every one through the stall-prone path. Append only the
+    // missing tail (e.g. after an interrupted fill).
+    try {
+      val have = if (java.nio.file.Files.exists(f)) java.nio.file.Files.size(f) else 0L
+      if (have < bytes) {
+        val chunk = new Array[Byte](8 << 20)
+        val out = java.nio.file.Files.newOutputStream(f,
+          java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+        try { var w = have; while (w < bytes) { out.write(chunk); w += chunk.length } }
+        finally out.close()
+      }
+    } catch { case _: Throwable => () }
+    f
+  }
+
+  def dropBallast(f: java.nio.file.Path): Unit =
+    try java.nio.file.Files.deleteIfExists(f): Unit catch { case _: Throwable => () }
 
   /** Series-wide bucket count: a function of the WIDEST leg only, so every
     * leg of every pair in a series builds the same table layout. */
@@ -236,6 +272,15 @@ object Bench {
     val mult = sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt
     math.max(sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "64").toInt, hi * mult)
   }
+
+  /** Epochs per SCALING leg (default 1, overriding cdcReplay's default 2):
+    * the per-epoch driver-serial constant (~2 s: plan + codegen + footer
+    * stats + commit) is the dominant anti-scaling term at sandbox leg sizes
+    * — the 4x-shorter wide leg carries it 4x harder — so scaling legs use
+    * one big epoch. The headline metric keeps multi-epoch replay (it is
+    * the realistic ingest shape); at the 10^8-events/epoch design point
+    * the constant is <1% either way. */
+  def scaleEpochs: Int = sys.env.getOrElse("SPARK_GRAFT_SCALE_EPOCHS", "1").toInt
 
   /** Interleaved N vs 4N pairs in one warm JVM (local[hi] master, task width
     * = level). Returns (pairs, best, medianEff, medianEffCpuNorm) where
@@ -255,7 +300,7 @@ object Bench {
         s.conf.set("spark.sql.shuffle.partitions", (lvl * mult).toString)
         org.apache.spark.graftbridge.Listeners.drain(s.sparkContext)
         val c0 = tally.cpuNs.sum()
-        val eps = cdcReplay(s, ev, lvl, mode = mode, buckets = buckets)._1
+        val eps = cdcReplay(s, ev, lvl, mode = mode, buckets = buckets, epochs = scaleEpochs)._1
         org.apache.spark.graftbridge.Listeners.drain(s.sparkContext)
         (eps, (tally.cpuNs.sum() - c0).toDouble / ev)
       }
@@ -334,8 +379,11 @@ object Bench {
     // (round 3's failure mode). reserve covers tmpfs tables/shuffle for
     // both workers plus parent-JVM growth while it polls.
     val reserveGb = sys.env.getOrElse("SPARK_GRAFT_MEM_RESERVE_GB", "18").toDouble
+    // Default 20g: enough that 16-24M-event legs stay out of GC trouble,
+    // small enough that the one-time heap fault-in (see workerXms) stays
+    // bounded even through a host page-supply stall.
     val desiredGb = {
-      val m = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "32g").toLowerCase
+      val m = sys.env.getOrElse("SPARK_GRAFT_WORKER_MEM", "20g").toLowerCase
       if (m.endsWith("g")) m.dropRight(1).toDouble else m.toDouble / 1024
     }
     val availGb = memAvailableGb
@@ -352,15 +400,14 @@ object Bench {
     // across the warmup legs instead of paying it all up front.
     val preTouch = sys.env.get("SPARK_GRAFT_WORKER_PRETOUCH").contains("true")
     val workerMem = s"${math.max(4, perWorkerGb.toInt)}g"
-    // Xms BELOW Xmx by default (unusual for benchmarks, deliberate here):
-    // with Xms=Xmx=32g G1 sizes eden at ~60% of the heap and the first big
-    // measured leg allocation-churns across ~20 GB of never-touched pages —
-    // on this VM cold-page faults are pathologically expensive (observed:
-    // an 8-core 64M-event leg at >90% kernel time, ~100x slow, for 15+
-    // minutes). A small Xms keeps the committed heap (and so the fault
-    // surface) near the live set; G1 grows it only under real pressure.
-    val workerXms = sys.env.getOrElse("SPARK_GRAFT_WORKER_XMS",
-      s"${math.min(8, math.max(4, perWorkerGb.toInt))}g")
+    // Xms = Xmx: G1 then never uncommits heap regions. This VM runs
+    // virtio-balloon FREE PAGE REPORTING — any page the guest frees is
+    // handed back to the host, and re-faulting host pages intermittently
+    // stalls for MINUTES (measured: 4 GiB in 285 s vs ~1 GB/s typical).
+    // Pages the JVM keeps committed are never reported, so the heap faults
+    // once (lazily, during warmup — pre-touch would pay the same cost up
+    // front, see above) and stays guest-owned for every measured leg.
+    val workerXms = sys.env.getOrElse("SPARK_GRAFT_WORKER_XMS", workerMem)
     val phaseStart = System.nanoTime()
     val buckets = seriesBuckets(hi)
     val dir = java.nio.file.Files.createTempDirectory("graft-scale")
@@ -387,6 +434,7 @@ object Bench {
         "graft.ScalingWorker", id, width.toString, events.toString, dir.toString, buckets.toString)
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_MODE", mode)
+      pb.environment().put("SPARK_GRAFT_EPOCHS", scaleEpochs.toString)
       pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
       pb.redirectError(ProcessBuilder.Redirect.DISCARD)
       pb.start()
@@ -450,11 +498,19 @@ object Bench {
         awaitQuietHost(deadline): Unit
         // Per-LEG deadlines: one shared stamp let a slow lo leg eat the hi
         // leg's entire allowance, so hi was declared dead the instant its
-        // go file landed.
-        java.nio.file.Files.writeString(dir.resolve(s"go_lo_$i"), "go")
-        val rLo = await(s"res_lo_$i", System.nanoTime() + legSec * 1000000000L)
-        java.nio.file.Files.writeString(dir.resolve(s"go_hi_$i"), "go")
-        val rHi = await(s"res_hi_$i", System.nanoTime() + legSec * 1000000000L)
+        // go file landed. Each leg is preceded by a prep phase (worker
+        // faults its tmpfs ballast) under its own, longer deadline: a host
+        // page-supply stall absorbed during prep must not count against
+        // the leg, and serializing prep here keeps it off the other leg.
+        val prepSec = sys.env.getOrElse("SPARK_GRAFT_PREP_DEADLINE_SEC", "1800").toLong
+        def runLeg(id: String): Option[String] = {
+          java.nio.file.Files.writeString(dir.resolve(s"prep_${id}_$i"), "prep")
+          if (await(s"prepped_${id}_$i", System.nanoTime() + prepSec * 1000000000L).isEmpty) return None
+          java.nio.file.Files.writeString(dir.resolve(s"go_${id}_$i"), "go")
+          await(s"res_${id}_$i", System.nanoTime() + legSec * 1000000000L)
+        }
+        val rLo = runLeg("lo")
+        val rHi = runLeg("hi")
         (rLo, rHi) match {
           case (Some(a), Some(b)) =>
             val Array(el, cl) = a.trim.split(" ").map(_.toDouble)
@@ -585,10 +641,21 @@ object Bench {
 
     // headline engine metric: change-events/sec applied (binlog replay -> upsert)
     cdcReplay(spark, math.max(benchEvents / 10, 100000L), cpus) // JIT/codegen warmup
-    val (eps, cdcElapsed) = cdcReplay(spark, benchEvents, cpus)
+    // Gate + ballast the measured replays like the scaling legs: a host
+    // page-supply stall (see weatherProbe) would otherwise turn the round's
+    // headline into a weather report. Bounded so the artifact always lands.
+    val ballastBytes = sys.env.getOrElse("SPARK_GRAFT_BALLAST_MB", "8192").toLong << 20
+    def gatedReplay(mode: String): (Double, Double) = {
+      awaitQuietHost(System.nanoTime() +
+        math.min(sys.env.getOrElse("SPARK_GRAFT_HEADLINE_WAIT_SEC", "300").toLong,
+          math.max(0, remainingSec - 300).toLong) * 1000000000L): Unit
+      dropBallast(fillBallast("headline", ballastBytes))
+      cdcReplay(spark, benchEvents, cpus, mode = mode)
+    }
+    val (eps, cdcElapsed) = gatedReplay(sys.env.getOrElse("SPARK_GRAFT_MODE", "cow"))
     // merge-on-read A/B on the same stream (write amplification comparison;
     // reads resolve winners at query time — see merge/MergeInto.runMor)
-    val (epsMor, _) = cdcReplay(spark, benchEvents, cpus, mode = "mor")
+    val (epsMor, _) = gatedReplay("mor")
     sections += "metric" -> "\"change-events/sec applied (binlog replay -> IceLite upsert)\""
     sections += "value" -> f"$eps%.1f"
     sections += "unit" -> "\"events/sec\""
@@ -648,9 +715,9 @@ object Bench {
     // strongest evidence is already on disk.
     if (remainingSec > 300) {
       val (pairsMor, bestMor, effMorMedian, effMorNormMedian) = runPairs(lo, hi4,
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_EVENTS", "16000000").toLong,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_EVENTS", "24000000").toLong,
         sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_ROUNDS", "5").toInt,
-        math.min(sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_BUDGET_SEC", "360").toInt, remainingSec - 240),
+        math.min(sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_BUDGET_SEC", "420").toInt, remainingSec - 240),
         "mor")
       sections += "scaling_mor" -> scalingJson(lo, hi4, pairsMor, bestMor, effMorMedian, effMorNormMedian)
       flush()
@@ -658,7 +725,7 @@ object Bench {
 
     if (remainingSec > 240) {
       val (pairs, best, effMedian, effNormMedian) = runPairs(lo, hi4,
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "12000000").toLong,
+        sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "24000000").toLong,
         sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt,
         math.min(sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "360").toInt, remainingSec - 180))
       sections += "scaling" -> scalingJson(lo, hi4, pairs, best, effMedian, effNormMedian)

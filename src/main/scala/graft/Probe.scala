@@ -26,6 +26,14 @@ object Probe {
             tasks.computeIfAbsent(e.stageId, _ => new java.util.concurrent.ConcurrentLinkedQueue())
               .add((m.executorRunTime, m.jvmGCTime))
         }
+        private val t0 = System.nanoTime()
+        private def rel(ms: Long): Double = (ms - t0 / 1000000) / 1e3
+        override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          System.err.println(f"[job ${e.jobId}%3d] START at ${rel(e.time)}%8.2fs")
+        override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          System.err.println(f"[job ${e.jobId}%3d] END   at ${rel(e.time)}%8.2fs")
+        override def onStageSubmitted(e: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
+          System.err.println(f"[stage ${e.stageInfo.stageId}%3d] submitted at ${rel(e.stageInfo.submissionTime.getOrElse(0L))}%8.2fs tasks=${e.stageInfo.numTasks}")
         override def onStageCompleted(e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
           val q = tasks.remove(e.stageInfo.stageId)
           if (q != null && !q.isEmpty) {

@@ -48,6 +48,20 @@ object ScalingWorker {
       (eps, (tally.sum() - c0).toDouble / ev)
     }
     val p = java.nio.file.Paths.get(dir)
+    // tmpfs BALLAST: this VM runs virtio-balloon free page reporting, so
+    // guest-freed pages go back to the host and re-faulting host pages can
+    // stall for minutes (host page-supply weather). Every leg writes GBs of
+    // FRESH tmpfs pages (shuffle + table) — left alone, that fault cost is
+    // a constant charged to both legs, which the wide leg feels 4x harder,
+    // and any stall poisons the pair. So before each leg, fault a ballast
+    // file of guest-owned pages (UNTIMED — the leg hasn't started), then
+    // free it as the leg begins: the leg's tmpfs allocations recycle those
+    // still-guest-owned pages from the free list faster than the reporter
+    // returns them to the host.
+    val ballastBytes = sys.env.getOrElse("SPARK_GRAFT_BALLAST_MB", "8192").toLong << 20
+    var ballastPath: java.nio.file.Path = null
+    def fillBallast(): Unit = { ballastPath = Bench.fillBallast(id, ballastBytes) }
+    def dropBallast(): Unit = if (ballastPath != null) Bench.dropBallast(ballastPath)
     // Orphan self-destruct: if the orchestrator is SIGKILLed (e.g. the host
     // OOM killer taking out the bench JVM) its finally-block cleanup never
     // runs and this worker would grind the host forever — round 3 left a
@@ -58,6 +72,29 @@ object ScalingWorker {
       parent.map(h => !h.isAlive).orElse(true) ||
         !java.nio.file.Files.isDirectory(p)
     var seq = 0
+    var prepSeq = 0
+    // Touch most of the heap ONCE, single-threaded, before warmup: with
+    // Xms = Xmx the faulted pages stay process-owned forever (G1 never
+    // uncommits, free page reporting never sees them), so the first BIG
+    // measured leg doesn't fault 15+ GB of never-touched heap through the
+    // host's stall-prone page-supply path mid-measurement (observed: 90%
+    // kernel time for the whole leg). Single-threaded and in-code rather
+    // than -XX:+AlwaysPreTouch: it lands inside the ready window the
+    // parent controls, after the JVM is already serviceable.
+    locally {
+      val target = (Runtime.getRuntime.maxMemory * 0.75).toLong
+      val held = scala.collection.mutable.Buffer.empty[Array[Byte]]
+      var t = 0L
+      try while (t < target) {
+        val a = new Array[Byte](256 << 20)
+        var j = 0
+        while (j < a.length) { a(j) = 1; j += 4096 }
+        held += a
+        t += a.length
+      } catch { case _: OutOfMemoryError => () }
+      held.clear()
+      System.gc()
+    }
     // Deep JIT/codegen warmup (first runs in a fresh JVM are 2-10x slower).
     // Capped at 8M events: warmup only needs to reach steady-state JIT, and
     // BOTH workers warm simultaneously — the narrow worker runs starved of
@@ -67,10 +104,29 @@ object ScalingWorker {
     val warmEv = math.min(math.max(events / 4, 500000L),
       sys.env.getOrElse("SPARK_GRAFT_WARM_EVENTS", "8000000").toLong)
     leg(warmEv); leg(warmEv)
+    // Pre-create the ballast inside the ready window too: the first fill is
+    // the expensive one (fresh host pages), and paying it here — while the
+    // parent is still waiting on ready rather than on a pair — keeps every
+    // prep after it a cheap recycle (fillBallast is idempotent).
+    fillBallast()
     java.nio.file.Files.writeString(p.resolve(s"ready_$id"), "ok")
-    while (!java.nio.file.Files.exists(p.resolve("stop")) && !orphaned) {
-      val go = p.resolve(s"go_${id}_$seq")
-      if (java.nio.file.Files.exists(go)) {
+    def exists(name: String): Boolean = java.nio.file.Files.exists(p.resolve(name))
+    while (!exists("stop") && !orphaned) {
+      // prep phase (parent-orchestrated, separate deadline): fault the
+      // ballast BEFORE the leg is dispatched, so a host page-supply stall
+      // absorbed here can't eat the leg's own deadline, and the fill never
+      // overlaps the other worker's measured leg. prep and go are tracked
+      // by independent indices, each skipping forward when the parent has
+      // abandoned an index (deadline hit) and moved on — otherwise a
+      // missed index would deadlock both sides.
+      if (exists(s"prep_${id}_$prepSeq") && !exists(s"prepped_${id}_$prepSeq")) {
+        fillBallast()
+        java.nio.file.Files.writeString(p.resolve(s"prepped_${id}_$prepSeq"), "ok")
+        prepSeq += 1
+      } else if (exists(s"prep_${id}_${prepSeq + 1}")) prepSeq += 1
+      if (exists(s"go_${id}_$seq")) {
+        if (!exists(s"prepped_${id}_$seq")) fillBallast() // parent skipped prep
+        dropBallast() // free it: the leg's tmpfs writes recycle these pages
         val (eps, cpu) = leg(events)
         val tmp = p.resolve(s".res_${id}_$seq.tmp")
         java.nio.file.Files.writeString(tmp,
@@ -79,8 +135,11 @@ object ScalingWorker {
         java.nio.file.Files.move(tmp, p.resolve(s"res_${id}_$seq"),
           java.nio.file.StandardCopyOption.ATOMIC_MOVE)
         seq += 1
+      } else if (exists(s"go_${id}_${seq + 1}") || exists(s"prep_${id}_${seq + 1}")) {
+        seq += 1 // parent abandoned this index
       } else Thread.sleep(50)
     }
+    dropBallast()
     spark.stop()
     sys.exit(0)
   }
