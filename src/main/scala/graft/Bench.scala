@@ -245,7 +245,7 @@ object Bench {
   def fillBallast(tag: String, bytes: Long): java.nio.file.Path = {
     val base = if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get("/dev/shm")))
       java.nio.file.Paths.get("/dev/shm") else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    val f = base.resolve(s"graft-ballast-$tag-${ProcessHandle.current().pid()}")
+    val f = base.resolve(s"graft-ballast-$tag")
     // Idempotent: a full-size ballast's pages are ALREADY guest-owned —
     // truncate+rewrite would free them (reported to the host) and then
     // re-acquire every one through the stall-prone path. Append only the

@@ -59,8 +59,14 @@ object ScalingWorker {
     // still-guest-owned pages from the free list faster than the reporter
     // returns them to the host.
     val ballastBytes = sys.env.getOrElse("SPARK_GRAFT_BALLAST_MB", "8192").toLong << 20
+    // SHARED by default between the lo and hi workers: legs are serialized
+    // by the parent's prep protocol, so one recyclable page pool serves
+    // both — halving the bulk acquisition the host has to grant (the page
+    // budget it grants quickly is finite). A leftover file from a previous
+    // run is reused as-is (fillBallast is idempotent), pages already owned.
+    val ballastTag = sys.env.getOrElse("SPARK_GRAFT_BALLAST_TAG", "shared")
     var ballastPath: java.nio.file.Path = null
-    def fillBallast(): Unit = { ballastPath = Bench.fillBallast(id, ballastBytes) }
+    def fillBallast(): Unit = { ballastPath = Bench.fillBallast(ballastTag, ballastBytes) }
     def dropBallast(): Unit = if (ballastPath != null) Bench.dropBallast(ballastPath)
     // Orphan self-destruct: if the orchestrator is SIGKILLed (e.g. the host
     // OOM killer taking out the bench JVM) its finally-block cleanup never
@@ -139,7 +145,9 @@ object ScalingWorker {
         seq += 1 // parent abandoned this index
       } else Thread.sleep(50)
     }
-    dropBallast()
+    // The ballast file is deliberately LEFT on exit: its pages stay
+    // guest-owned, so the next run inherits a warm pool instead of
+    // re-acquiring it from the host.
     spark.stop()
     sys.exit(0)
   }
