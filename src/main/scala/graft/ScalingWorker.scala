@@ -88,6 +88,13 @@ object ScalingWorker {
     // than -XX:+AlwaysPreTouch: it lands inside the ready window the
     // parent controls, after the JVM is already serviceable.
     locally {
+      // Recycle the ballast pool into the heap pre-touch: fault the shared
+      // tmpfs ballast (idempotent — a pool left by a previous run or the
+      // other worker is already guest-owned and costs nothing), then free
+      // it so the heap faults below pull recycled guest pages from the
+      // free list instead of trickling through the host's page-supply
+      // path (observed 25 MB/s in bad windows vs ~1 GB/s recycled).
+      fillBallast(); dropBallast(); ballastPath = null
       val target = (Runtime.getRuntime.maxMemory * 0.75).toLong
       val held = scala.collection.mutable.Buffer.empty[Array[Byte]]
       var t = 0L
