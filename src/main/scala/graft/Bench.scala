@@ -435,8 +435,14 @@ object Bench {
       val pb = new ProcessBuilder(cmd: _*)
       pb.environment().put("SPARK_GRAFT_MODE", mode)
       pb.environment().put("SPARK_GRAFT_EPOCHS", scaleEpochs.toString)
-      pb.redirectOutput(ProcessBuilder.Redirect.DISCARD)
-      pb.redirectError(ProcessBuilder.Redirect.DISCARD)
+      // Worker output lands in a per-id log (overwritten per run, kept
+      // after it): a worker that dies mid-leg (GC death spiral, OOM, task
+      // failure) otherwise vanishes without a diagnosable trace — two
+      // silent hi-worker deaths cost round 4 a night of evidence runs.
+      val wlog = new java.io.File(
+        System.getProperty("java.io.tmpdir"), s"graft-worker-$id.log")
+      pb.redirectOutput(ProcessBuilder.Redirect.to(wlog))
+      pb.redirectErrorStream(true)
       pb.start()
     }
     val procs = scala.collection.mutable.Buffer.empty[Process]
@@ -519,6 +525,8 @@ object Bench {
             pairs += p
             onPair(p)
           case _ if procs.exists(!_.isAlive()) =>
+            procs.filter(!_.isAlive()).foreach(p =>
+              System.err.println(s"[bench] scaling worker pid ${p.pid()} DIED, exit ${scala.util.Try(p.exitValue()).getOrElse(-1)} — see graft-worker-*.log in tmpdir"))
             if (pairs.isEmpty) {
               killWorkers()
               return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode, onPair)
