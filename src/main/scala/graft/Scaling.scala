@@ -19,12 +19,13 @@ object Scaling {
   import Bench.PairStat
 
   private def render(mode: String, lo: Int, hi: Int, events: Long,
-                     pairs: Seq[PairStat]): String = {
+                     pairs: Seq[PairStat], controls: Option[String]): String = {
     val best = pairs.maxBy(p => p.lo + p.hi)
     def median(xs: Seq[Double]): Double = { val ss = xs.sorted; ss(ss.size / 2) }
     val effMedian = median(pairs.map(_.eff))
     val effNormMedian = median(pairs.map(_.effCpuNorm))
-    f"""{"metric":"scaling efficiency N->4N","mode":"$mode","n_cores":$lo,"n4_cores":$hi,"events":$events,"events_per_sec_n":${best.lo}%.1f,"events_per_sec_4n":${best.hi}%.1f,"efficiency":${best.eff}%.3f,"efficiency_median":$effMedian%.3f,"efficiency_cpu_normalized":${best.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$effNormMedian%.3f,"pairs":${Bench.pairsJson(pairs)}}"""
+    val ctl = controls.map(c => s""","host_controls":$c""").getOrElse("")
+    f"""{"metric":"scaling efficiency N->4N","mode":"$mode","n_cores":$lo,"n4_cores":$hi,"events":$events,"events_per_sec_n":${best.lo}%.1f,"events_per_sec_4n":${best.hi}%.1f,"efficiency":${best.eff}%.3f,"efficiency_median":$effMedian%.3f,"efficiency_cpu_normalized":${best.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$effNormMedian%.3f$ctl,"pairs":${Bench.pairsJson(pairs)}}"""
   }
 
   /** Pairs from a prior run's JSON, iff its (mode, lo, hi, events) match —
@@ -66,9 +67,9 @@ object Scaling {
     if (accum) acc ++= priorPairs(out, mode, lo, hi, events)
     if (acc.nonEmpty)
       System.err.println(s"[scaling] accumulating onto ${acc.size} prior pair(s) from $out")
-    def writeOut(): Unit =
+    def writeOut(controls: Option[String] = None): Unit =
       if (acc.nonEmpty)
-        try java.nio.file.Files.writeString(out, render(mode, lo, hi, events, acc.toSeq) + "\n")
+        try java.nio.file.Files.writeString(out, render(mode, lo, hi, events, acc.toSeq, controls) + "\n")
         catch { case _: Throwable => () }
     val onPair = (p: PairStat) => { acc += p; writeOut() }
 
@@ -78,8 +79,17 @@ object Scaling {
     val strict = sys.env.getOrElse("SPARK_GRAFT_SCALE_STRICT", "true") == "true"
     if (isolated) Bench.scalingPairsIsolated(lo, hi, events, maxPairs = rounds, budgetSec = budget, mode = mode, onPair = onPair, strict = strict)
     else Bench.scalingPairs(lo, hi, events, maxPairs = rounds, budgetSec = budget, mode = mode, onPair = onPair)
-    writeOut()
-    if (acc.nonEmpty) println(render(mode, lo, hi, events, acc.toSeq))
+    // Hardware ceilings measured on the same host, published inline so the
+    // normalized-efficiency claim always travels with its cause witness
+    // (needs ~hi x 64MB of heap; skipped on a tiny orchestrator heap).
+    val controls =
+      if (acc.isEmpty || Runtime.getRuntime.maxMemory < (hi.toLong << 27)) None
+      else try {
+        val (cpuEff, bwEff, bwGbps) = Bench.controls(lo, hi)
+        Some(f"""{"cpu_eff_${lo}_$hi":$cpuEff%.3f,"membw_eff_${lo}_$hi":$bwEff%.3f,"membw_gbps_at_$hi":$bwGbps%.1f}""")
+      } catch { case _: Throwable => None }
+    writeOut(controls)
+    if (acc.nonEmpty) println(render(mode, lo, hi, events, acc.toSeq, controls))
     else System.err.println("[scaling] no pairs measured")
   }
 }
