@@ -374,6 +374,21 @@ object SparkEntry {
         .select(col("qid"), col("cid"), col("rank").cast(IntegerType).as("rank"),
           col("bucket").cast(LongType).as("bucket"))
     }),
+    "q_embed_lsh_append" -> ((s, dir) => {
+      // Incremental-index ANN: index half the corpus, APPEND the other half
+      // (same deterministic hyperplanes, new bucket partitions only), then
+      // probe. The oracle is the full-corpus LSH top-k — passing proves
+      // probe(build(A) + append(B)) == probe(build(A ∪ B)) at the driver
+      // gate, not just in OpsSpec.
+      val emb = T(s, dir, "embeddings")
+      val dim = embDim(s, dir)
+      val idxPath = java.nio.file.Files.createTempDirectory("graft-lshappend").toString
+      Similarity.buildLshIndex(emb.filter(col("vec_id") % 2 === 0), idxPath, bits = 4, dim = dim)
+      Similarity.appendToLshIndex(emb.filter(col("vec_id") % 2 === 1), idxPath, bits = 4, dim = dim)
+      Similarity.lshTopKIndexed(emb.filter(col("vec_id") < 10), idxPath, k = 5, bits = 4, dim = dim)
+        .select(col("qid"), col("cid"), col("rank").cast(IntegerType).as("rank"),
+          col("bucket").cast(LongType).as("bucket"))
+    }),
     "q_embed_ivf" -> ((s, dir) => {
       // IVF-flat at nprobe=1: candidates in inverted lists by nearest
       // md5-derived centroid; the oracle recomputes the coarse quantizer
@@ -676,6 +691,29 @@ object SparkEntry {
       // Identical semantics to q_embed_lsh_topk: the persisted index changes
       // WHERE signatures are computed (once, into bucket-partitioned
       // parquet), not WHAT the probe returns.
+      """WITH p AS (
+        |  SELECT pid, list_transform(range(0,64), d ->
+        |    md5_number_lower('hp_' || pid || '_' || d)::DOUBLE / 18446744073709551616.0 * 2 - 1) AS comp
+        |  FROM (SELECT unnest(range(0,4)) AS pid)),
+        |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |sig AS (
+        |  SELECT e.vec_id, e.v,
+        |         sum(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0,64), d -> v[d+1] * comp[d+1])), (s, x) -> s + x) >= 0
+        |             THEN (1::BIGINT << pid) ELSE 0 END)::BIGINT AS bucket
+        |  FROM e CROSS JOIN p GROUP BY e.vec_id, e.v),
+        |scored AS (
+        |  SELECT q.vec_id AS qid, c.vec_id AS cid, q.bucket,
+        |         list_cosine_similarity(q.v, c.v) AS sim
+        |  FROM sig q JOIN sig c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        |  WHERE q.vec_id < 10)
+        |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank, bucket
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
+    "q_embed_lsh_append" ->
+      // The oracle is the FULL-corpus probe: bucket membership is a pure
+      // function of the vector under the deterministic hyperplanes, so an
+      // index built on half the corpus plus an append of the other half must
+      // answer exactly like an index built on everything.
       """WITH p AS (
         |  SELECT pid, list_transform(range(0,64), d ->
         |    md5_number_lower('hp_' || pid || '_' || d)::DOUBLE / 18446744073709551616.0 * 2 - 1) AS comp

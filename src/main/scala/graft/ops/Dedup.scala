@@ -200,22 +200,29 @@ object Dedup {
     var converged = false
     var iter = 0
     while (!converged && iter < maxIters) {
-      // propagate the min label across edges
+      // propagate the min label across edges; carry the pre-round label so
+      // the convergence check can ride the same job
       val nbr = edges
         .join(labels.select(col("id").as("dst"), col("lbl").as("__nl")), Seq("dst"))
         .groupBy(col("src").as("id")).agg(min(col("__nl")).as("__pl"))
       val prop = labels.join(nbr, Seq("id"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("__pl"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("__ol"),
+          least(col("lbl"), coalesce(col("__pl"), col("lbl"))).as("lbl"))
       // pointer jumping: lbl <- lbl(lbl) halves chain depth every round
-      val updated = truncate(prop.alias("u")
+      val jumped = prop.alias("u")
         .join(prop.select(col("id").as("__ji"), col("lbl").as("__jl")).alias("j"),
           col("u.lbl") === col("__ji"), "left")
-        .select(col("u.id").as("id"), least(col("u.lbl"), coalesce(col("__jl"), col("u.lbl"))).as("lbl")))
-      val changed = updated.alias("n")
-        .join(labels.select(col("id"), col("lbl").as("__ol")), Seq("id"))
-        .filter(col("lbl") =!= col("__ol")).limit(1).count()
+        .select(col("u.id").as("id"), col("u.__ol").as("__ol"),
+          least(col("u.lbl"), coalesce(col("__jl"), col("u.lbl"))).as("lbl"))
+      // convergence count piggybacks on the checkpoint's materialization via
+      // observe() — one action per round, not two (the old formulation ran a
+      // separate join + limit(1).count() against the previous labels)
+      val obs = new org.apache.spark.sql.Observation(s"cc_converge_$iter")
+      val updated = truncate(
+        jumped.observe(obs, count(when(col("lbl") =!= col("__ol"), 1)).as("changed"))
+          .drop("__ol"))
       labels = updated
-      converged = changed == 0L
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
     }
     labels.select(col("id"), col("lbl").as("component"),
