@@ -133,10 +133,23 @@ object GraftExtensions {
         constInt(children(2), "lsh_bucket", "dim"),
         if (children.size > 3) constInt(children(3), "lsh_bucket", "planeOffset") else 0)))
 
+  val tokenizeMd5Descriptor: Descriptor = (
+    FunctionIdentifier("tokenize_md5"),
+    info("tokenize_md5", "tokenize_md5(text, vocab) - deterministic token ids: md5(word) mod vocab over lowercased whitespace tokens."),
+    (children: Seq[Expression]) =>
+      graft.ops.TokenizeMd5Expr(children(0), constInt(children(1), "tokenize_md5", "vocab")))
+
+  val md5ModDescriptor: Descriptor = (
+    FunctionIdentifier("md5_mod"),
+    info("md5_mod", "md5_mod(s, n) - unsigned md5-lower-64(s) mod n; SQL-reproducible deterministic shard assignment."),
+    (children: Seq[Expression]) =>
+      graft.ops.Md5ModExpr(children(0), constInt(children(1), "md5_mod", "n")))
+
   val allDescriptors: Seq[Descriptor] = Seq(
     kafkaMurmur2Descriptor, kafkaPartitionDescriptor, tokenGenDescriptor,
     simhashDescriptor, shingleHashesDescriptor, minhashSigDescriptor,
-    minhashBandsDescriptor, cosineSimDescriptor, lshBucketDescriptor)
+    minhashBandsDescriptor, cosineSimDescriptor, lshBucketDescriptor,
+    tokenizeMd5Descriptor, md5ModDescriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -340,6 +340,37 @@ object SparkEntry {
         numHashes = 32, bands = 8, shingleWidth = 3, threshold = 0.4, hashKernel = "md5")
       Dedup.components(pairs)
     }),
+    "q_dedup_pipeline" -> ((s, dir) => {
+      // End-to-end corpus dedup, the composition a user actually runs:
+      // near-dup pairs -> connected components -> drop non-canonical group
+      // members -> surviving corpus. The oracle recomputes the whole chain
+      // (LSH kernel + transitive closure + anti-join) in SQL.
+      val docs = T(s, dir, "documents")
+      val pairs = Dedup.minhashLsh(docs, "doc_id", "text",
+        numHashes = 32, bands = 8, shingleWidth = 3, threshold = 0.4, hashKernel = "md5")
+      val dupes = Dedup.components(pairs).filter(!col("keep"))
+        .select(col("id").as("doc_id"))
+      docs.join(dupes, Seq("doc_id"), "left_anti").select(col("doc_id"))
+    }),
+    "q_tokenize" -> ((s, dir) =>
+      // deterministic md5-mod tokenizer (array<int> ids, SQL-reproducible);
+      // the vocab-bounded ids stand in for a real BPE table with the right
+      // column shape for downstream token ops
+      T(s, dir, "documents").select(col("doc_id"),
+        array_join(graft.ops.TextHashExprs.tokenizeMd5(col("text"), 32000)
+          .cast("array<string>"), ",").as("tokens_s"))),
+    "q_pack_chunks" -> ((s, dir) => {
+      // context-window packing: docs -> md5 shards -> per-shard
+      // concatenation order -> fixed 128-token training windows; the oracle
+      // recomputes offsets, spans, and chunk contents with the same window
+      // sum in SQL.
+      val docs = T(s, dir, "documents")
+        .select(col("doc_id"), graft.ops.TextHashExprs.tokenizeMd5(col("text"), 32000).as("tokens"))
+      graft.ops.Packing.packChunks(docs, "tokens", "doc_id", chunkLen = 128, nShards = 8)
+        .select(col("shard"), col("chunk"),
+          array_join(col("tokens").cast("array<string>"), ",").as("tokens_s"),
+          col("n_frags"))
+    }),
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(T(s, dir, "documents"), "doc_id", "text")
         // hamming <= 3 makes the 4x16-bit banding EXHAUSTIVE (pigeonhole:
@@ -860,6 +891,81 @@ object SparkEntry {
         |  SELECT r.id, e.dst FROM r JOIN e ON e.src = r.x)
         |SELECT id, least(id, min(x)) AS component, least(id, min(x)) = id AS keep
         |FROM r GROUP BY id""".stripMargin,
+    "q_dedup_pipeline" ->
+      // Same pair kernel + transitive closure as q_dedup_components, then
+      // the anti-join a user runs: keep only each group's canonical doc.
+      """WITH RECURSIVE w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |         ELSE [array_to_string(ws, ' ')] END,
+        |    s -> (CASE WHEN md5_number_lower(s) >= 9223372036854775808
+        |               THEN md5_number_lower(s)::HUGEINT - 18446744073709551616
+        |               ELSE md5_number_lower(s)::HUGEINT END)::BIGINT))) AS hs
+        |  FROM w),
+        |coef AS (
+        |  SELECT
+        |    list_transform(range(0,32), j -> (((CASE WHEN md5_number_lower('mh_a_' || j) >= 9223372036854775808
+        |          THEN md5_number_lower('mh_a_' || j)::HUGEINT - 18446744073709551616
+        |          ELSE md5_number_lower('mh_a_' || j)::HUGEINT END % 2147483646) + 2147483646) % 2147483646 + 1)::BIGINT) AS a,
+        |    list_transform(range(0,32), j -> (((CASE WHEN md5_number_lower('mh_b_' || j) >= 9223372036854775808
+        |          THEN md5_number_lower('mh_b_' || j)::HUGEINT - 18446744073709551616
+        |          ELSE md5_number_lower('mh_b_' || j)::HUGEINT END % 2147483647) + 2147483647) % 2147483647)::BIGINT) AS b),
+        |sig AS (
+        |  SELECT doc_id, hs, list_transform(range(0,32), j ->
+        |    list_min(list_transform(hs, h -> (a[j+1] * (((h % 2147483647) + 2147483647) % 2147483647) + b[j+1]) % 2147483647))) AS sg
+        |  FROM sh CROSS JOIN coef),
+        |banded AS (
+        |  SELECT doc_id, t.band,
+        |    md5_number_lower(array_to_string(sg[band*4+1 : band*4+4], ',')) AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0,8)) AS band) t),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b,
+        |      round(CAST(len(list_intersect(sa.hs, sb.hs)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sa.hs, sb.hs))) AS DOUBLE), 4) AS jaccard
+        |    FROM cand JOIN sh sa ON sa.doc_id = id_a JOIN sh sb ON sb.doc_id = id_b)
+        |  WHERE jaccard >= 0.4),
+        |e AS (SELECT id_a AS src, id_b AS dst FROM pairs UNION SELECT id_b, id_a FROM pairs),
+        |r AS (
+        |  SELECT src AS id, dst AS x FROM e
+        |  UNION
+        |  SELECT r.id, e.dst FROM r JOIN e ON e.src = r.x),
+        |dup AS (SELECT id FROM r GROUP BY id HAVING least(id, min(x)) <> id)
+        |SELECT d.doc_id FROM documents d
+        |WHERE d.doc_id NOT IN (SELECT id FROM dup)""".stripMargin,
+    "q_tokenize" ->
+      """SELECT doc_id,
+        |       array_to_string(list_transform(regexp_extract_all(lower(text), '\S+'),
+        |         w -> CAST(md5_number_lower(w) % 32000 AS INT)), ',') AS tokens_s
+        |FROM documents""".stripMargin,
+    "q_pack_chunks" ->
+      // Context-window packing recomputed in SQL: same shard hash, same
+      // per-shard running offsets (window sum over doc_id order), same
+      // chunk spans and slices, chunks reassembled with list(ORDER BY pos).
+      """WITH d0 AS (
+        |  SELECT CAST(md5_number_lower(CAST(doc_id AS VARCHAR)) % 8 AS INT) AS shard, doc_id,
+        |         list_transform(regexp_extract_all(lower(text), '\S+'),
+        |           w -> CAST(md5_number_lower(w) % 32000 AS INT)) AS toks
+        |  FROM documents),
+        |d AS (SELECT shard, doc_id, toks, CAST(len(toks) AS BIGINT) AS n FROM d0 WHERE len(toks) > 0),
+        |o AS (SELECT *, CAST(sum(n) OVER (PARTITION BY shard ORDER BY doc_id) - n AS BIGINT) AS s FROM d),
+        |sp0 AS (SELECT shard, s, n, toks,
+        |               unnest(generate_series(s // 128, (s + n - 1) // 128)) AS c
+        |        FROM o),
+        |sp AS (
+        |  SELECT shard, c AS chunk, greatest(s, c * 128) AS pos,
+        |         list_slice(toks, CAST(greatest(s, c * 128) - s + 1 AS INT),
+        |                    CAST(least(s + n, (c + 1) * 128) - s AS INT)) AS frag
+        |  FROM sp0)
+        |SELECT shard, chunk,
+        |       array_to_string(flatten(list(frag ORDER BY pos)), ',') AS tokens_s,
+        |       count(*) AS n_frags
+        |FROM sp GROUP BY shard, chunk
+        |HAVING len(flatten(list(frag ORDER BY pos))) = 128""".stripMargin,
     "q_multimodal_features" ->
       """WITH m AS (SELECT unnest(range(0, 500)) AS id),
         |d AS (SELECT id, CAST(id % 3 AS INT) AS md FROM m)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, UnsafeArrayData, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graftbridge.Exprs
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /**
@@ -101,6 +101,28 @@ object TextHashKernel {
     out.toArray
   }
 
+  /** Deterministic token ids: unsigned md5Lower(word) mod `vocab` over the
+    * lowercased whitespace tokens — the same word walk as [[wordHashesMd5]],
+    * so the ids are reproducible in plain SQL as
+    * `md5_number_lower(w) % vocab` (the correctness oracle recomputes them).
+    * A stand-in for a real BPE vocabulary with the right column shape
+    * (array<int>, bounded ids) for downstream token ops. */
+  def tokenizeMd5(text: UTF8String, vocab: Int): UnsafeArrayData = {
+    val words = wordHashesMd5(text)
+    val out = new Array[Int](words.length)
+    var i = 0
+    while (i < words.length) {
+      out(i) = java.lang.Long.remainderUnsigned(words(i), vocab.toLong).toInt
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Unsigned md5Lower(s) mod n — a SQL-reproducible deterministic shard
+    * assignment (`md5_number_lower(s) % n` in the oracle). */
+  def md5Mod(s: UTF8String, n: Int): Int =
+    java.lang.Long.remainderUnsigned(md5Lower(s), n.toLong).toInt
+
   /** 64-bit SimHash over word hashes: bit votes +1/-1, sign collapse. */
   def simhash(text: UTF8String): Long = {
     val words = wordHashesMd5(text)
@@ -155,9 +177,43 @@ case class SimHashExpr(child: Expression) extends UnaryExpression {
   override def prettyName: String = "simhash"
 }
 
+case class TokenizeMd5Expr(child: Expression, vocab: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"tokenize_md5 requires STRING, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernel.tokenizeMd5(input.asInstanceOf[UTF8String], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashKernel.tokenizeMd5($c, $vocab)")
+  override protected def withNewChildInternal(newChild: Expression): TokenizeMd5Expr =
+    copy(child = newChild)
+  override def prettyName: String = "tokenize_md5"
+}
+
+case class Md5ModExpr(child: Expression, n: Int) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"md5_mod requires STRING, got ${child.dataType.catalogString}")
+  override protected def nullSafeEval(input: Any): Any =
+    TextHashKernel.md5Mod(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.ops.TextHashKernel.md5Mod($c, $n)")
+  override protected def withNewChildInternal(newChild: Expression): Md5ModExpr =
+    copy(child = newChild)
+  override def prettyName: String = "md5_mod"
+}
+
 object TextHashExprs {
   def shingleHashes(text: Column, w: Int): Column =
     Exprs.column(ShingleHashesExpr(Exprs.expression(text), w))
   def simhash(text: Column): Column =
     Exprs.column(SimHashExpr(Exprs.expression(text)))
+  def tokenizeMd5(text: Column, vocab: Int): Column =
+    Exprs.column(TokenizeMd5Expr(Exprs.expression(text), vocab))
+  def md5Mod(s: Column, n: Int): Column =
+    Exprs.column(Md5ModExpr(Exprs.expression(s), n))
 }

@@ -75,6 +75,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sqlRows(0).getLong(4) == apiLb)
   }
 
+  test("tokenize_md5 and md5_mod are SQL-callable and agree with the Scala API") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val sqlRow = spark.sql(
+      "SELECT tokenize_md5('Hello World', 32000) AS toks, md5_mod('42', 8) AS sh").head()
+    val apiRow = spark.range(1).select(
+        graft.ops.TextHashExprs.tokenizeMd5(lit("Hello World"), 32000).as("toks"),
+        graft.ops.TextHashExprs.md5Mod(lit("42"), 8).as("sh")).head()
+    assert(sqlRow.getSeq[Int](0) == apiRow.getSeq[Int](0), "tokenize_md5 mismatch")
+    assert(sqlRow.getInt(1) == apiRow.getInt(1), "md5_mod mismatch")
+    assert(sqlRow.getSeq[Int](0).forall(t => t >= 0 && t < 32000))
+  }
+
   test("kernel shape arguments must be constants") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

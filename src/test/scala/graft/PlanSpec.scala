@@ -72,4 +72,17 @@ class PlanSpec extends AnyFunSuite {
     assert(p.contains("BroadcastExchange"), p)
     assert(!p.contains("SortMergeJoin"), s"candidate side must not sort-merge:\n$p")
   }
+
+  test("context-window packing plans exactly one shuffle") {
+    // the chunk assembly's (shard, chunk) grouping must reuse the window
+    // stage's hash(shard) partitioning — a second exchange would reshuffle
+    // every token at corpus scale
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        graft.ops.TextHashExprs.tokenizeMd5(col("text"), 32000).as("tokens"))
+    val p = plan(graft.ops.Packing.packChunks(docs, "tokens", "doc_id", 128, 8))
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 shuffle, found $exchanges:\n$p")
+    assert(!p.contains("SortAggregate"), s"chunk assembly fell back to SortAggregate:\n$p")
+  }
 }
