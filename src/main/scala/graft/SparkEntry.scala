@@ -352,6 +352,19 @@ object SparkEntry {
         .select(col("id").as("doc_id"))
       docs.join(dupes, Seq("doc_id"), "left_anti").select(col("doc_id"))
     }),
+    "q_stream_dedup" -> ((s, dir) => {
+      // Incremental ingest dedup: even doc_ids form the indexed corpus, odd
+      // doc_ids arrive as a batch and are deduped against the persisted
+      // index (partition-pruned probe). The oracle recomputes the collided
+      // bands + exact Jaccard + best-match pick between the two halves.
+      val docs = T(s, dir, "documents")
+      val idxPath = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+      Dedup.buildMinhashIndex(docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+        idxPath, numHashes = 32, bands = 8, shingleWidth = 3, hashKernel = "md5")
+      Dedup.dedupAgainstIndex(docs.filter(col("doc_id") % 2 === 1), idxPath,
+        "doc_id", "text", numHashes = 32, bands = 8, shingleWidth = 3,
+        threshold = 0.4, hashKernel = "md5")
+    }),
     "q_tokenize" -> ((s, dir) =>
       // deterministic md5-mod tokenizer (array<int> ids, SQL-reproducible);
       // the vocab-bounded ids stand in for a real BPE table with the right
@@ -937,6 +950,48 @@ object SparkEntry {
         |dup AS (SELECT id FROM r GROUP BY id HAVING least(id, min(x)) <> id)
         |SELECT d.doc_id FROM documents d
         |WHERE d.doc_id NOT IN (SELECT id FROM dup)""".stripMargin,
+    "q_stream_dedup" ->
+      // Incremental ingest probe: even-id corpus vs odd-id batch. Same md5
+      // MinHash kernel; dupes = batch docs whose exact Jaccard against a
+      // band-collided corpus doc reaches 0.4; best match wins ties by id.
+      """WITH w AS (SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |         ELSE [array_to_string(ws, ' ')] END,
+        |    s -> (CASE WHEN md5_number_lower(s) >= 9223372036854775808
+        |               THEN md5_number_lower(s)::HUGEINT - 18446744073709551616
+        |               ELSE md5_number_lower(s)::HUGEINT END)::BIGINT))) AS hs
+        |  FROM w),
+        |coef AS (
+        |  SELECT
+        |    list_transform(range(0,32), j -> (((CASE WHEN md5_number_lower('mh_a_' || j) >= 9223372036854775808
+        |          THEN md5_number_lower('mh_a_' || j)::HUGEINT - 18446744073709551616
+        |          ELSE md5_number_lower('mh_a_' || j)::HUGEINT END % 2147483646) + 2147483646) % 2147483646 + 1)::BIGINT) AS a,
+        |    list_transform(range(0,32), j -> (((CASE WHEN md5_number_lower('mh_b_' || j) >= 9223372036854775808
+        |          THEN md5_number_lower('mh_b_' || j)::HUGEINT - 18446744073709551616
+        |          ELSE md5_number_lower('mh_b_' || j)::HUGEINT END % 2147483647) + 2147483647) % 2147483647)::BIGINT) AS b),
+        |sig AS (
+        |  SELECT doc_id, hs, list_transform(range(0,32), j ->
+        |    list_min(list_transform(hs, h -> (a[j+1] * (((h % 2147483647) + 2147483647) % 2147483647) + b[j+1]) % 2147483647))) AS sg
+        |  FROM sh CROSS JOIN coef),
+        |banded AS (
+        |  SELECT doc_id, t.band,
+        |    md5_number_lower(array_to_string(sg[band*4+1 : band*4+4], ',')) AS bucket
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0,8)) AS band) t),
+        |cand AS (
+        |  SELECT DISTINCT b.doc_id AS id, a.doc_id AS dup_of
+        |  FROM banded a JOIN banded b ON a.band = b.band AND a.bucket = b.bucket
+        |  WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1),
+        |scored AS (
+        |  SELECT id, dup_of, jaccard FROM (
+        |    SELECT id, dup_of,
+        |      round(CAST(len(list_intersect(sb.hs, sa.hs)) AS DOUBLE) / CAST(len(list_distinct(list_cat(sb.hs, sa.hs))) AS DOUBLE), 4) AS jaccard
+        |    FROM cand JOIN sh sa ON sa.doc_id = dup_of JOIN sh sb ON sb.doc_id = id)
+        |  WHERE jaccard >= 0.4)
+        |SELECT id, dup_of, jaccard FROM scored
+        |QUALIFY row_number() OVER (PARTITION BY id ORDER BY jaccard DESC, dup_of) = 1""".stripMargin,
     "q_tokenize" ->
       """SELECT doc_id,
         |       array_to_string(list_transform(regexp_extract_all(lower(text), '\S+'),

@@ -101,6 +101,89 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** Shared kernel for the persisted MinHash index: per-doc shingle hashes
+    * and exploded (band, bucket) keys, under either hash kernel. */
+  private def shingleBands(df: DataFrame, idCol: String, textCol: String,
+                           numHashes: Int, bands: Int, shingleWidth: Int,
+                           hashKernel: String): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val base = df.select(col(idCol).as("id"),
+      (if (hashKernel == "md5") Md5MinHash.shingleHashes(col(textCol), shingleWidth)
+       else TextHashExprs.shingleHashes(col(textCol), shingleWidth)).as("sh"))
+    val bandCol =
+      if (hashKernel == "md5") Md5MinHash.minhashBands(col("sh"), numHashes, bands)
+      else MinHashSigExpr.minhashBands(col("sh"), numHashes, bands)
+    base.select(col("id"), col("sh"), posexplode(bandCol).as(Seq("band", "bucket")))
+  }
+
+  /**
+   * Persist a MinHash-LSH signature index for INCREMENTAL corpus dedup:
+   * each doc's (band, bucket) keys with its shingle-hash set, written as
+   * parquet partitioned by `p = pmod(bucket, nPartitions)` so a probe scans
+   * only the partitions its own buckets can live in. Shingle hashes ride
+   * next to the band keys (storage x bands) so candidate verification needs
+   * NO second corpus lookup — the one partition-pruned join returns
+   * everything the Jaccard check needs. This is the streaming-ingest shape:
+   * dedup each incoming batch against a 100 TB corpus at
+   * O(batch x bands + collided buckets), never O(corpus).
+   */
+  def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
+                        numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
+                        hashKernel: String = "xx", nPartitions: Int = 64): Unit =
+    shingleBands(df, idCol, textCol, numHashes, bands, shingleWidth, hashKernel)
+      .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType))
+      .write.mode("overwrite").partitionBy("p").parquet(path)
+
+  /**
+   * Dedup a new batch against a persisted MinHash index: returns
+   * (id, dup_of, jaccard) for every batch doc whose exact Jaccard against
+   * some indexed doc reaches `threshold` (dup_of = the best match, ties on
+   * the smaller indexed id). When `appendSurvivors` is set, the signatures
+   * of NON-duplicate batch docs are appended into the index's bucket
+   * partitions — sequential ingests then keep deduping against everything
+   * accepted so far, the exactly-the-stream-sink shape. Intra-batch
+   * near-dups are the caller's composition ([[minhashLsh]] + [[components]]
+   * on the batch) — this probe is strictly batch-vs-corpus.
+   *
+   * Parameters must match the index build; they are not stored (the index
+   * is plain parquet + layout convention, like [[Similarity.buildLshIndex]]).
+   */
+  def dedupAgainstIndex(newDocs: DataFrame, path: String, idCol: String, textCol: String,
+                        numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
+                        threshold: Double = 0.5, hashKernel: String = "xx",
+                        nPartitions: Int = 64, appendSurvivors: Boolean = false): DataFrame = {
+    val spark = newDocs.sparkSession
+    val batch = shingleBands(newDocs, idCol, textCol, numHashes, bands, shingleWidth, hashKernel)
+      .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType))
+    // probe only the partitions the batch's own buckets hash into — for a
+    // stream-sized batch that is a strict subset of the index directories
+    val probedPs = batch.select("p").distinct().collect().map(_.getInt(0)).sorted
+    val idx = spark.read.parquet(path)
+      .filter(col("p").isin(probedPs.map(Integer.valueOf).toSeq: _*))
+      .select(col("id").as("dup_of"), col("sh").as("sh_i"), col("band"), col("bucket"))
+    val cand = batch.join(idx, Seq("band", "bucket"))
+      .select(col("id"), col("dup_of"), col("sh"), col("sh_i"))
+      .dropDuplicates("id", "dup_of")
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sh"), col("sh_i"))).cast(DoubleType) /
+          size(array_union(col("sh"), col("sh_i"))).cast(DoubleType), 4))
+      .filter(col("jaccard") >= threshold)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("jaccard").desc, col("dup_of").asc)
+    val dupes = cand
+      .withColumn("__rn", row_number().over(w)).filter(col("__rn") === 1)
+      .select("id", "dup_of", "jaccard")
+    if (appendSurvivors) {
+      // materialize BEFORE mutating the index: the returned frame must not
+      // lazily re-probe a directory that now contains this batch's own
+      // signatures (every survivor would suddenly "match" itself at 1.0)
+      val mat = dupes.localCheckpoint(true)
+      batch.join(mat.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .write.mode("append").partitionBy("p").parquet(path)
+      mat
+    } else dupes
+  }
+
   /** Embedding-cosine near-duplicate pairs via MULTI-BAND random-hyperplane
     * LSH (same banding shape as [[minhashLsh]]): `bands` independent bucket
     * keys of `rowsPerBand` hyperplane signs each; a pair is a candidate when

@@ -53,6 +53,41 @@ class OpsSpec extends AnyFunSuite {
     assert(xx == md5) // same algorithm, different hash primitive
   }
 
+  test("incremental minhash index dedups batches against the corpus and grows with survivors") {
+    import graft.SparkTestBase
+    val idx = SparkTestBase.tempDir("mh-index") + "/idx"
+    val corpus = docs.filter(col("doc_id") <= 3)
+    Dedup.buildMinhashIndex(corpus, "doc_id", "text", idx,
+      numHashes = 32, bands = 16, shingleWidth = 3, nPartitions = 8)
+    // batch 1: an exact dup of doc 1 plus a fresh doc
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (11L, "entirely novel sentence with no overlap to the corpus at all today")
+    ).toDF("doc_id", "text")
+    val d1 = Dedup.dedupAgainstIndex(b1, idx, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4,
+      nPartitions = 8, appendSurvivors = true).collect()
+    assert(d1.map(_.getLong(0)).toSet == Set(10L), d1.mkString(","))
+    assert(d1.head.getLong(1) == 1L && d1.head.getDouble(2) == 1.0)
+    // batch 2: a near-dup of batch 1's SURVIVOR — only found because the
+    // survivor's signatures were appended
+    val b2 = Seq(
+      (20L, "entirely novel sentence with no overlap to the corpus at all tonight")
+    ).toDF("doc_id", "text")
+    val d2 = Dedup.dedupAgainstIndex(b2, idx, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4,
+      nPartitions = 8, appendSurvivors = true).collect()
+    assert(d2.length == 1 && d2.head.getLong(0) == 20L && d2.head.getLong(1) == 11L, d2.mkString(","))
+    // duplicates are NOT appended: re-probing the exact dup still resolves
+    // to the original corpus doc, not to id 10
+    val d3 = Dedup.dedupAgainstIndex(
+      Seq((30L, "the quick brown fox jumps over the lazy dog and runs far away home"))
+        .toDF("doc_id", "text"),
+      idx, "doc_id", "text", numHashes = 32, bands = 16, shingleWidth = 3,
+      threshold = 0.4, nPartitions = 8).collect()
+    assert(d3.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((30L, 1L)), d3.mkString(","))
+  }
+
   test("simhash is deterministic and exact dups have hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](4).longValue)).toMap
