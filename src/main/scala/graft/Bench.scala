@@ -629,6 +629,22 @@ object Bench {
     // All numeric formatting (f"" → java.util.Formatter) is locale-
     // sensitive; pin ROOT so the emitted JSON never grows comma decimals.
     java.util.Locale.setDefault(java.util.Locale.ROOT)
+    // Sweep tmpfs residue from a previous KILLED run before anything else:
+    // stale table dirs / shuffle dirs on /dev/shm are committed memory the
+    // OOM killer charges against THIS run's budget (an earlier round died
+    // to exactly that accumulation). Ballast files are kept — their pages
+    // are deliberately guest-owned across runs. Opt out when another graft
+    // JVM shares the tmpfs (SPARK_GRAFT_SHM_SWEEP=off).
+    if (!sys.env.get("SPARK_GRAFT_SHM_SWEEP").contains("off")) {
+      val shm = new java.io.File("/dev/shm")
+      if (shm.isDirectory) Option(shm.listFiles()).getOrElse(Array.empty)
+        .filter(f => f.getName.startsWith("graft-bench") ||
+          f.getName == "graft-spark-local" || f.getName.startsWith("graft-probe-"))
+        .foreach { f =>
+          System.err.println(s"[bench] sweeping stale tmpfs residue: ${f.getPath}")
+          try org.apache.commons.io.FileUtils.forceDelete(f) catch { case _: Throwable => () }
+        }
+    }
     val t0 = System.nanoTime()
     // Hard wall-clock budget for the WHOLE main: phases shrink or skip to
     // fit, so an external ~30-minute limit can never kill the run before

@@ -129,8 +129,17 @@ object Dedup {
    */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
                         numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
-                        hashKernel: String = "xx", nPartitions: Int = 64): Unit =
-    shingleBands(df, idCol, textCol, numHashes, bands, shingleWidth, hashKernel)
+                        hashKernel: String = "xx", nPartitions: Int = 64,
+                        maxBucket: Int = 100000,
+                        dropObs: Option[org.apache.spark.sql.Observation] = None): Unit =
+    // Same degenerate-bucket cap as [[minhashLsh]], applied at WRITE time:
+    // a boilerplate bucket holding B corpus docs would otherwise add B
+    // candidates to every future batch doc that touches it, forever. Capped
+    // buckets are dropped whole (their members are mutual near-dups of one
+    // boilerplate cluster — exact dedup handles those at O(n)).
+    capBuckets(
+      shingleBands(df, idCol, textCol, numHashes, bands, shingleWidth, hashKernel),
+      maxBucket, dropObs)
       .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType))
       .write.mode("overwrite").partitionBy("p").parquet(path)
 
@@ -151,14 +160,24 @@ object Dedup {
   def dedupAgainstIndex(newDocs: DataFrame, path: String, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                         threshold: Double = 0.5, hashKernel: String = "xx",
-                        nPartitions: Int = 64, appendSurvivors: Boolean = false): DataFrame = {
+                        nPartitions: Int = 64, appendSurvivors: Boolean = false,
+                        maxBucket: Int = 100000): DataFrame = {
     val spark = newDocs.sparkSession
-    val batch = shingleBands(newDocs, idCol, textCol, numHashes, bands, shingleWidth, hashKernel)
+    // The batch side carries the same degenerate-bucket cap as the index
+    // build: candidates per bucket are then <= maxBucket^2 even when the
+    // "batch" is itself corpus-sized (backfill runs), never unbounded.
+    val batch = capBuckets(
+      shingleBands(newDocs, idCol, textCol, numHashes, bands, shingleWidth, hashKernel),
+      maxBucket, dropObs = None)
       .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType))
     // probe only the partitions the batch's own buckets hash into — for a
     // stream-sized batch that is a strict subset of the index directories
     val probedPs = batch.select("p").distinct().collect().map(_.getInt(0)).sorted
-    val idx = spark.read.parquet(path)
+    // Explicit schema (identical to the batch side by construction): an
+    // index whose build dropped every bucket is an EMPTY parquet dir, and
+    // schema inference cannot read one — an empty corpus index must mean
+    // "no duplicates", not a crash.
+    val idx = spark.read.schema(batch.schema).parquet(path)
       .filter(col("p").isin(probedPs.map(Integer.valueOf).toSeq: _*))
       .select(col("id").as("dup_of"), col("sh").as("sh_i"), col("band"), col("bucket"))
     val cand = batch.join(idx, Seq("band", "bucket"))
@@ -178,6 +197,11 @@ object Dedup {
       // lazily re-probe a directory that now contains this batch's own
       // signatures (every survivor would suddenly "match" itself at 1.0)
       val mat = dupes.localCheckpoint(true)
+      // Appended survivors inherit the batch-side cap above; each append
+      // still adds up to maxBucket rows per bucket, so a long-lived bucket
+      // can exceed the cap across MANY appends — rebuild the index
+      // periodically (buildMinhashIndex over accepted docs) the way any
+      // LSM-shaped structure compacts.
       batch.join(mat.select(col("id")).distinct(), Seq("id"), "left_anti")
         .write.mode("append").partitionBy("p").parquet(path)
       mat

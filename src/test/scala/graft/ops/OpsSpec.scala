@@ -88,6 +88,37 @@ class OpsSpec extends AnyFunSuite {
     assert(d3.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((30L, 1L)), d3.mkString(","))
   }
 
+  test("minhash index build and probe drop degenerate buckets above maxBucket") {
+    import graft.SparkTestBase
+    val idx = SparkTestBase.tempDir("mh-cap") + "/idx"
+    // three identical docs: every band bucket holds all 3 of them
+    val boiler = Seq.tabulate(3)(i =>
+      (100L + i, "same boilerplate text repeated across the whole corpus here"))
+      .toDF("doc_id", "text")
+    Dedup.buildMinhashIndex(boiler, "doc_id", "text", idx,
+      numHashes = 32, bands = 16, shingleWidth = 3, nPartitions = 8, maxBucket = 2)
+    val probe = Seq((200L, "same boilerplate text repeated across the whole corpus here"))
+      .toDF("doc_id", "text")
+    // capped at build: the boilerplate buckets never made it into the index
+    assert(Dedup.dedupAgainstIndex(probe, idx, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4,
+      nPartitions = 8).isEmpty)
+    // uncapped build finds the exact dup
+    Dedup.buildMinhashIndex(boiler, "doc_id", "text", idx,
+      numHashes = 32, bands = 16, shingleWidth = 3, nPartitions = 8)
+    val hits = Dedup.dedupAgainstIndex(probe, idx, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4,
+      nPartitions = 8).collect()
+    assert(hits.length == 1 && hits.head.getLong(1) == 100L, hits.mkString(","))
+    // batch-side cap: a degenerate BATCH bucket is dropped before the join
+    val bigBatch = Seq.tabulate(4)(i =>
+      (300L + i, "same boilerplate text repeated across the whole corpus here"))
+      .toDF("doc_id", "text")
+    assert(Dedup.dedupAgainstIndex(bigBatch, idx, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4,
+      nPartitions = 8, maxBucket = 2).isEmpty)
+  }
+
   test("simhash is deterministic and exact dups have hamming 0") {
     val pairs = Dedup.simhashPairs(docs, "doc_id", "text").collect()
       .map(r => ((r.getLong(0), r.getLong(1)), r.getAs[Number](4).longValue)).toMap
