@@ -306,10 +306,12 @@ object Bench {
         (eps, (tally.cpuNs.sum() - c0).toDouble / ev)
       }
       // deep JIT/codegen warmup at both widths (the first runs in a JVM are
-      // 2-10x slower and would poison either level they landed on)
+      // 2-10x slower and would poison either level they landed on); warmup
+      // is charged to the series budget (see the isolated harness note)
+      val inJvmStart = System.nanoTime()
       val warmEv = math.max(events / 4, 500000L)
       (1 to 2).foreach { _ => leg(lo, warmEv); leg(hi, warmEv) }
-      val deadline = System.nanoTime() + budgetSec * 1000000000L
+      val deadline = inJvmStart + budgetSec * 1000000000L
       val pairs = scala.collection.mutable.Buffer.empty[PairStat]
       var i = 0
       while (i < maxPairs && (System.nanoTime() < deadline || pairs.isEmpty)) {
@@ -366,15 +368,38 @@ object Bench {
   def scalingPairsIsolated(lo: Int, hi: Int, events: Long, maxPairs: Int, budgetSec: Int,
                            mode: String = "cow",
                            onPair: PairStat => Unit = _ => (),
-                           strict: Boolean = false): (Seq[PairStat], PairStat, Double, Double) = {
-    def result(ps: Seq[PairStat]): (Seq[PairStat], PairStat, Double, Double) =
-      if (ps.isEmpty) (Nil, PairStat(0, 0, 0, 0, 0), 0.0, 0.0)
-      else {
-        def median(xs: Seq[Double]): Double = { val ss = xs.sorted; ss(ss.size / 2) }
-        (ps, ps.maxBy(p => p.lo + p.hi), median(ps.map(_.eff)), median(ps.map(_.effCpuNorm)))
-      }
+                           strict: Boolean = false): (Seq[PairStat], PairStat, Double, Double) =
+    scalingPairsIsolatedModes(lo, hi, events, maxPairs, budgetSec, Seq(mode),
+      (_, p) => onPair(p), strict)(mode)
+
+  def summarizePairs(ps: Seq[PairStat]): (Seq[PairStat], PairStat, Double, Double) =
+    if (ps.isEmpty) (Nil, PairStat(0, 0, 0, 0, 0), 0.0, 0.0)
+    else {
+      def median(xs: Seq[Double]): Double = { val ss = xs.sorted; ss(ss.size / 2) }
+      (ps, ps.maxBy(p => p.lo + p.hi), median(ps.map(_.eff)), median(ps.map(_.effCpuNorm)))
+    }
+
+  /** Multi-mode variant: ONE spawned-and-warmed worker pair serves every
+    * mode in `modes` (the per-leg go file carries the mode), because the
+    * spawn + warmup of two pinned JVMs costs minutes — paying it once per
+    * MODE ate the driver bench's section budget. `budgetSec` covers the
+    * whole phase (warmup included), split evenly across modes; a mode that
+    * finishes early donates its slack to the next. `maxPairs` is per mode. */
+  def scalingPairsIsolatedModes(lo: Int, hi: Int, events: Long, maxPairs: Int, budgetSec: Int,
+                                modes: Seq[String],
+                                onPair: (String, PairStat) => Unit = (_, _) => (),
+                                strict: Boolean = false): Map[String, (Seq[PairStat], PairStat, Double, Double)] = {
+    val empty = summarizePairs(Nil)
+    def fallbackAll(doneSoFar: Map[String, Seq[PairStat]], budget: Int): Map[String, (Seq[PairStat], PairStat, Double, Double)] =
+      modes.map { m =>
+        val have = doneSoFar.getOrElse(m, Nil)
+        m -> (if (have.nonEmpty) summarizePairs(have)
+              else if (strict) empty
+              else scalingPairs(lo, hi, events, maxPairs,
+                math.max(60, budget / math.max(1, modes.size)), m, onPair(m, _)))
+      }.toMap
     if (!new java.io.File("/usr/bin/taskset").exists())
-      return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, budgetSec, mode, onPair)
+      return fallbackAll(Map.empty, budgetSec)
     // Memory budget: parent RSS + 2 x worker heap + tmpfs data + headroom
     // must fit MemAvailable, or the host OOM killer ends the whole bench
     // (round 3's failure mode). reserve covers tmpfs tables/shuffle for
@@ -392,7 +417,7 @@ object Bench {
       if (availGb < 0) desiredGb // meminfo unreadable: trust the knob
       else math.min(desiredGb, (availGb - reserveGb) / 2)
     if (perWorkerGb < 4.0)
-      return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, budgetSec, mode, onPair)
+      return fallbackAll(Map.empty, budgetSec)
     // Pre-touch is OPT-IN and default OFF: on this Firecracker-style VM
     // every first-touch page fault exits to the VMM — measured ~75 MB/s
     // aggregate while two workers pre-touched 32g heaps (14 minutes of
@@ -434,7 +459,10 @@ object Bench {
         "-cp", sys.props("java.class.path"),
         "graft.ScalingWorker", id, width.toString, events.toString, dir.toString, buckets.toString)
       val pb = new ProcessBuilder(cmd: _*)
-      pb.environment().put("SPARK_GRAFT_MODE", mode)
+      pb.environment().put("SPARK_GRAFT_MODE", modes.head)
+      // warm every mode this series will measure — a cold runMor/runCow
+      // path on the first measured leg would poison that mode's first pair
+      pb.environment().put("SPARK_GRAFT_WARM_MODES", modes.distinct.mkString(","))
       pb.environment().put("SPARK_GRAFT_EPOCHS", scaleEpochs.toString)
       // Worker output lands in a per-id log (overwritten per run, kept
       // after it): a worker that dies mid-leg (GC death spiral, OOM, task
@@ -483,73 +511,89 @@ object Bench {
       procs += pLo
       if (await("ready_lo", System.nanoTime() + readySec * 1000000000L).isEmpty) {
         killWorkers()
-        return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode, onPair)
+        return fallbackAll(Map.empty, remainingBudget)
       }
       val pHi = spawn("hi", hi)
       procs += pHi
       if (await("ready_hi", System.nanoTime() + readySec * 1000000000L).isEmpty) {
         killWorkers()
-        return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode, onPair)
+        return fallbackAll(Map.empty, remainingBudget)
       }
-      val deadline = System.nanoTime() + budgetSec * 1000000000L
+      // Deadline counts from PHASE start, not from warmup end: spawning and
+      // warming two pinned JVMs can cost minutes, and leaving that
+      // unaccounted let one series silently eat every section after it (a
+      // rehearsal lost the whole COW series to the MOR warmup). Non-strict
+      // runs still always measure at least one pair per mode past the
+      // deadline. The budget is split evenly across modes; a mode finishing
+      // early donates its slack to the next (cumulative slice deadlines).
       val legSec = sys.env.getOrElse("SPARK_GRAFT_LEG_DEADLINE_SEC", "900").toLong
-      val pairs = scala.collection.mutable.Buffer.empty[PairStat]
-      var i = 0
-      var timeoutRetries = 1
-      // Non-strict runs must yield at least one pair even past the deadline
-      // (the driver artifact needs a number); strict evidence runs would
-      // rather return empty than measure a known-bad window.
-      while (i < maxPairs && (System.nanoTime() < deadline || (pairs.isEmpty && !strict))) {
-        // Weather gate: the workers idle-poll (50ms sleeps) between pairs,
-        // so probing on the parent while they wait is uncontended.
-        awaitQuietHost(deadline): Unit
-        // Per-LEG deadlines: one shared stamp let a slow lo leg eat the hi
-        // leg's entire allowance, so hi was declared dead the instant its
-        // go file landed. Each leg is preceded by a prep phase (worker
-        // faults its tmpfs ballast) under its own, longer deadline: a host
-        // page-supply stall absorbed during prep must not count against
-        // the leg, and serializing prep here keeps it off the other leg.
-        val prepSec = sys.env.getOrElse("SPARK_GRAFT_PREP_DEADLINE_SEC", "1800").toLong
-        def runLeg(id: String): Option[String] = {
-          java.nio.file.Files.writeString(dir.resolve(s"prep_${id}_$i"), "prep")
-          if (await(s"prepped_${id}_$i", System.nanoTime() + prepSec * 1000000000L).isEmpty) return None
-          java.nio.file.Files.writeString(dir.resolve(s"go_${id}_$i"), "go")
-          await(s"res_${id}_$i", System.nanoTime() + legSec * 1000000000L)
-        }
-        val rLo = runLeg("lo")
-        val rHi = runLeg("hi")
-        (rLo, rHi) match {
-          case (Some(a), Some(b)) =>
-            val Array(el, cl) = a.trim.split(" ").map(_.toDouble)
-            val Array(eh, ch) = b.trim.split(" ").map(_.toDouble)
-            val p = PairStat(el, eh, eh / (el * (hi.toDouble / lo)), cl, ch)
-            pairs += p
-            onPair(p)
-          case _ if procs.exists(!_.isAlive()) =>
-            procs.filter(!_.isAlive()).foreach(p =>
-              System.err.println(s"[bench] scaling worker pid ${p.pid()} DIED, exit ${scala.util.Try(p.exitValue()).getOrElse(-1)} — see graft-worker-*.log in tmpdir"))
-            if (pairs.isEmpty) {
-              killWorkers()
-              return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode, onPair)
+      val prepSec = sys.env.getOrElse("SPARK_GRAFT_PREP_DEADLINE_SEC", "1800").toLong
+      val byMode = scala.collection.mutable.Map.empty[String, scala.collection.mutable.Buffer[PairStat]]
+      var seq = 0 // GLOBAL leg index across modes: the workers' counters are monotonic
+      var fatal = false
+      modes.zipWithIndex.foreach { case (m, k) =>
+        if (!fatal) {
+          val modeDeadline = phaseStart + budgetSec * 1000000000L * (k + 1) / modes.size
+          val pairs = byMode.getOrElseUpdate(m, scala.collection.mutable.Buffer.empty)
+          var i = 0
+          var timeoutRetries = 1
+          // Non-strict runs must yield at least one pair per mode even past
+          // the deadline (the driver artifact needs a number); strict
+          // evidence runs would rather return empty than measure a known-bad
+          // window.
+          while (!fatal && i < maxPairs && (System.nanoTime() < modeDeadline || (pairs.isEmpty && !strict))) {
+            // Weather gate: the workers idle-poll (50ms sleeps) between
+            // pairs, so probing on the parent while they wait is uncontended.
+            awaitQuietHost(modeDeadline): Unit
+            // Per-LEG deadlines: one shared stamp let a slow lo leg eat the
+            // hi leg's entire allowance. Each leg is preceded by a prep
+            // phase (worker faults its tmpfs ballast) under its own, longer
+            // deadline: a host page-supply stall absorbed during prep must
+            // not count against the leg, and serializing prep here keeps it
+            // off the other leg. The go file carries the MODE for this leg.
+            def runLeg(id: String): Option[String] = {
+              java.nio.file.Files.writeString(dir.resolve(s"prep_${id}_$seq"), "prep")
+              if (await(s"prepped_${id}_$seq", System.nanoTime() + prepSec * 1000000000L).isEmpty) return None
+              java.nio.file.Files.writeString(dir.resolve(s"go_${id}_$seq"), m)
+              await(s"res_${id}_$seq", System.nanoTime() + legSec * 1000000000L)
             }
-            i = maxPairs // a worker died mid-series: keep what we have
-          case _ =>
-            // Both workers alive but a leg overran its deadline — host
-            // grinding (this VM's cold-memory weather), not a crash. The
-            // worker finishes the stale leg eventually and then services
-            // the next go, so the protocol stays in sync; retry one more
-            // pair before giving up on the isolated measurement.
-            if (timeoutRetries <= 0 || System.nanoTime() > deadline) {
-              if (pairs.isEmpty) {
-                killWorkers()
-                return if (strict) result(Nil) else scalingPairs(lo, hi, events, maxPairs, remainingBudget, mode, onPair)
-              }
-              i = maxPairs
-            } else timeoutRetries -= 1
+            val rLo = runLeg("lo")
+            val rHi = runLeg("hi")
+            (rLo, rHi) match {
+              case (Some(a), Some(b)) =>
+                val Array(el, cl) = a.trim.split(" ").map(_.toDouble)
+                val Array(eh, ch) = b.trim.split(" ").map(_.toDouble)
+                val p = PairStat(el, eh, eh / (el * (hi.toDouble / lo)), cl, ch)
+                pairs += p
+                onPair(m, p)
+              case _ if procs.exists(!_.isAlive()) =>
+                procs.filter(!_.isAlive()).foreach(p =>
+                  System.err.println(s"[bench] scaling worker pid ${p.pid()} DIED, exit ${scala.util.Try(p.exitValue()).getOrElse(-1)} — see graft-worker-*.log in tmpdir"))
+                fatal = true
+              case _ =>
+                // Both workers alive but a leg overran its deadline — host
+                // grinding (this VM's cold-memory weather), not a crash. The
+                // worker finishes the stale leg eventually and then services
+                // the next go, so the protocol stays in sync; retry one more
+                // pair before giving up on the isolated measurement.
+                if (timeoutRetries <= 0 || System.nanoTime() > modeDeadline) fatal = true
+                else timeoutRetries -= 1
+            }
+            seq += 1
+            i += 1
+          }
         }
-        i += 1
       }
-      result(pairs.toSeq)
+      // Kill + reap BEFORE any in-JVM fallback measurement (zero-pair modes)
+      // — dying pinned JVMs hold the same cores the fallback legs run on.
+      if (!strict && modes.exists(m => byMode.get(m).forall(_.isEmpty))) killWorkers()
+      modes.map { m =>
+        val ps = byMode.getOrElse(m, scala.collection.mutable.Buffer.empty[PairStat]).toSeq
+        m -> (if (ps.nonEmpty) summarizePairs(ps)
+              else if (strict) empty
+              else scalingPairs(lo, hi, events, maxPairs,
+                math.max(60, remainingBudget / modes.size), m, onPair(m, _)))
+      }.toMap
     } finally {
       try java.nio.file.Files.writeString(dir.resolve("stop"), "stop") catch { case _: Throwable => () }
       procs.foreach(_.waitFor(20, java.util.concurrent.TimeUnit.SECONDS))
@@ -730,31 +774,34 @@ object Bench {
     val lo = sys.env.getOrElse("SPARK_GRAFT_SCALE_LO", "8").toInt
     val hi4 = lo * 4
     val isolated = sys.env.getOrElse("SPARK_GRAFT_SCALE_ISOLATED", "true") == "true"
-    def runPairs(l: Int, h: Int, ev: Long, mp: Int, bs: Int, md: String = "cow") =
-      if (isolated) scalingPairsIsolated(l, h, ev, mp, bs, md)
-      else scalingPairs(l, h, ev, mp, bs, md)
 
-    // MOR series FIRST: deltas-only writes move ~40% fewer bytes/event, so
+    // MOR + COW in ONE isolated phase: a single spawned-and-warmed worker
+    // pair serves both modes (the go file names each leg's mode), so the
+    // minutes of spawn + warmup are paid once, not once per mode — the
+    // rehearsal lost the whole COW section to a second warmup. MOR first
+    // inside the phase: deltas-only writes move ~40% fewer bytes/event, so
     // on this bandwidth-capped host it is the fairest (and historically
     // best) test of whether the PLAN scales — if the clock runs out, the
     // strongest evidence is already on disk.
     if (remainingSec > 300) {
-      val (pairsMor, bestMor, effMorMedian, effMorNormMedian) = runPairs(lo, hi4,
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_EVENTS", "24000000").toLong,
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_ROUNDS", "5").toInt,
-        math.min(sys.env.getOrElse("SPARK_GRAFT_SCALE_MOR_BUDGET_SEC", "420").toInt, remainingSec - 240),
-        "mor")
-      sections += "scaling_mor" -> scalingJson(lo, hi4, pairsMor, bestMor, effMorMedian, effMorNormMedian)
-      flush()
-    }
-
-    if (remainingSec > 240) {
-      val (pairs, best, effMedian, effNormMedian) = runPairs(lo, hi4,
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "24000000").toLong,
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt,
-        math.min(sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "360").toInt, remainingSec - 180))
-      sections += "scaling" -> scalingJson(lo, hi4, pairs, best, effMedian, effNormMedian)
-      flush()
+      val ev = sys.env.getOrElse("SPARK_GRAFT_SCALE_EVENTS", "24000000").toLong
+      val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "5").toInt
+      val budget = math.min(sys.env.getOrElse("SPARK_GRAFT_SCALE_BUDGET_SEC", "780").toInt,
+        remainingSec - 200)
+      val res =
+        if (isolated) scalingPairsIsolatedModes(lo, hi4, ev, rounds, budget, Seq("mor", "cow"))
+        else Seq("mor", "cow").map(m =>
+          m -> scalingPairs(lo, hi4, ev, rounds, budget / 2, m)).toMap
+      val (pairsMor, bestMor, effMorMedian, effMorNormMedian) = res("mor")
+      if (pairsMor.nonEmpty) {
+        sections += "scaling_mor" -> scalingJson(lo, hi4, pairsMor, bestMor, effMorMedian, effMorNormMedian)
+        flush()
+      }
+      val (pairs, best, effMedian, effNormMedian) = res("cow")
+      if (pairs.nonEmpty) {
+        sections += "scaling" -> scalingJson(lo, hi4, pairs, best, effMedian, effNormMedian)
+        flush()
+      }
     }
 
     // Third series at 2 -> 8, where this VM still provides ~proportional

@@ -29,7 +29,7 @@ object ScalingWorker {
     // bucket count is fixed for the whole series by the parent (a property
     // of the table, not of this leg's width); <= 0 → derive from width
     val buckets = if (args.length > 4) args(4).toInt else -1
-    val mode = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow")
+    val defaultMode = sys.env.getOrElse("SPARK_GRAFT_MODE", "cow")
     val spark = Bench.mkSession(width)
     val mult = sys.env.getOrElse("SPARK_GRAFT_PART_MULT", "1").toInt
     spark.conf.set("spark.sql.shuffle.partitions", (width * mult).toString)
@@ -40,7 +40,7 @@ object ScalingWorker {
         if (m != null) tally.add(m.executorCpuTime)
       }
     })
-    def leg(ev: Long): (Double, Double) = {
+    def leg(ev: Long, mode: String): (Double, Double) = {
       org.apache.spark.graftbridge.Listeners.drain(spark.sparkContext)
       val c0 = tally.sum()
       val eps = Bench.cdcReplay(spark, ev, width, mode = mode, buckets = buckets)._1
@@ -116,7 +116,12 @@ object ScalingWorker {
     // deadline. 2 x 8M reaches the same code paths in a fraction of the time.
     val warmEv = math.min(math.max(events / 4, 500000L),
       sys.env.getOrElse("SPARK_GRAFT_WARM_EVENTS", "8000000").toLong)
-    leg(warmEv); leg(warmEv)
+    // One warmed worker pair can serve SEVERAL modes (the go file names the
+    // leg's mode) — warm each of them, or the first measured leg of a cold
+    // mode pays its JIT.
+    val warmModes = sys.env.getOrElse("SPARK_GRAFT_WARM_MODES", defaultMode)
+      .split(",").map(_.trim).filter(_.nonEmpty).distinct
+    warmModes.foreach { m => leg(warmEv, m); leg(warmEv, m) }
     // Pre-create the ballast inside the ready window too: the first fill is
     // the expensive one (fresh host pages), and paying it here — while the
     // parent is still waiting on ready rather than on a pair — keeps every
@@ -140,7 +145,11 @@ object ScalingWorker {
       if (exists(s"go_${id}_$seq")) {
         if (!exists(s"prepped_${id}_$seq")) fillBallast() // parent skipped prep
         dropBallast() // free it: the leg's tmpfs writes recycle these pages
-        val (eps, cpu) = leg(events)
+        // The go file's content is the leg's MODE (multi-mode series share
+        // one warmed worker pair); blank or legacy "go" = the env default.
+        val goMode = scala.util.Try(
+          java.nio.file.Files.readString(p.resolve(s"go_${id}_$seq")).trim).getOrElse("")
+        val (eps, cpu) = leg(events, if (goMode.isEmpty || goMode == "go") defaultMode else goMode)
         val tmp = p.resolve(s".res_${id}_$seq.tmp")
         java.nio.file.Files.writeString(tmp,
           String.format(java.util.Locale.ROOT, "%.1f %.2f",

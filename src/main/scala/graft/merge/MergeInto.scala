@@ -81,12 +81,14 @@ object MergeInto {
 
   def run(table: IceLiteTable, changes: DataFrame, epochKey: String,
           registryJson: Option[String] = None,
-          preDeduped: Option[DataFrame] = None): CommitStats =
-    withMergeConfs(table.spark) { runInner(table, changes, epochKey, registryJson, preDeduped) }
+          preDeduped: Option[DataFrame] = None,
+          extraLineage: Map[String, Long] = Map.empty): CommitStats =
+    withMergeConfs(table.spark) { runInner(table, changes, epochKey, registryJson, preDeduped, extraLineage) }
 
   private def runInner(table: IceLiteTable, changes: DataFrame, epochKey: String,
                        registryJson: Option[String],
-                       preDeduped: Option[DataFrame]): CommitStats = {
+                       preDeduped: Option[DataFrame],
+                       extraLineage: Map[String, Long]): CommitStats = {
     val snap = table.snapshot
     if (snap.committedEpochs.contains(epochKey)) {
       // Re-delivered epoch (at-least-once upstream): exactly-once via no-op.
@@ -121,7 +123,7 @@ object MergeInto {
 
     if (snap.writeMode == "mor")
       return runMor(table, changes, epochKey, registryJson, snap, afterSchema, newSchema, mark,
-        preDeduped)
+        preDeduped, extraLineage)
 
     // 2. Intra-batch dedup: last write per key by lsn, ONE ObjectHashAggregate
     // with map-side partial combine (see dedupeBatch). The winner set then
@@ -265,6 +267,11 @@ object MergeInto {
           schemaJson = newSchema.json,
           committedEpochs = snap.committedEpochs :+ epochKey,
           registryJson = registryJson.getOrElse(snap.registryJson),
+          // caller counters still land on a no-op epoch — e.g. a batch
+          // whose every event was suppressed by ingest dedup writes no
+          // data, but its suppression count must survive in the ledger
+          lineage = snap.lineage ++ extraLineage.map { case (k, v) =>
+            k -> (snap.lineage.getOrElse(k, 0L) + v) },
           parentVersion = snap.version,
           stats = Some(s0)))
         table.deleteDataFiles(newFiles.map(_.path))
@@ -284,7 +291,7 @@ object MergeInto {
 
       // 6. Atomic snapshot commit with epoch ledger + lineage counters.
       val keptFiles = snap.files.filterNot(f => affectedPaths.contains(f.path))
-      val lineage = updateLineage(snap.lineage, newFiles, stats)
+      val lineage = updateLineage(snap.lineage, newFiles, stats, extraLineage)
       table.commit(snap.copy(
         version = version,
         schemaJson = newSchema.json,
@@ -412,7 +419,8 @@ object MergeInto {
                      registryJson: Option[String], snap: Snapshot,
                      afterSchema: StructType, newSchema: StructType,
                      mark: String => Unit,
-                     preDeduped: Option[DataFrame] = None): CommitStats = {
+                     preDeduped: Option[DataFrame] = None,
+                     extraLineage: Map[String, Long] = Map.empty): CommitStats = {
     val key = snap.keyColumn
     val nBuckets = snap.numBuckets
     // Same one-shuffle shape as the COW path: cluster by bucket once, then
@@ -455,7 +463,7 @@ object MergeInto {
       files = snap.files ++ newFiles,
       committedEpochs = snap.committedEpochs :+ epochKey,
       registryJson = registryJson.getOrElse(snap.registryJson),
-      lineage = updateLineage(snap.lineage, newFiles, stats),
+      lineage = updateLineage(snap.lineage, newFiles, stats, extraLineage),
       parentVersion = snap.version,
       stats = Some(stats)))
     mark("mor commit")
@@ -610,7 +618,8 @@ object MergeInto {
     StructType(table.fields ++ added)
   }
 
-  private def updateLineage(prev: Map[String, Long], newFiles: Seq[DataFileMeta], s: CommitStats): Map[String, Long] = {
+  private def updateLineage(prev: Map[String, Long], newFiles: Seq[DataFileMeta], s: CommitStats,
+                            extra: Map[String, Long] = Map.empty): Map[String, Long] = {
     val perBucket = newFiles.groupBy(_.bucket).map { case (b, fs) =>
       s"applied.bucket.$b" -> (prev.getOrElse(s"applied.bucket.$b", 0L) + fs.map(_.rows).sum)
     }
@@ -618,7 +627,10 @@ object MergeInto {
       "applied.inserts" -> (prev.getOrElse("applied.inserts", 0L) + s.inserted),
       "applied.updates" -> (prev.getOrElse("applied.updates", 0L) + s.updated),
       "applied.deletes" -> (prev.getOrElse("applied.deletes", 0L) + s.deleted),
-      "applied.epochs" -> (prev.getOrElse("applied.epochs", 0L) + 1L))
+      "applied.epochs" -> (prev.getOrElse("applied.epochs", 0L) + 1L)) ++
+      // caller-supplied counters (e.g. ingest-dedup suppression) ride the
+      // same atomic commit as everything else
+      extra.map { case (k, v) => k -> (prev.getOrElse(k, 0L) + v) }
   }
 
   private def maxRecordsPerFile(spark: SparkSession): Long =

@@ -126,6 +126,13 @@ object Dedup {
    * everything the Jaccard check needs. This is the streaming-ingest shape:
    * dedup each incoming batch against a 100 TB corpus at
    * O(batch x bands + collided buckets), never O(corpus).
+   *
+   * On-disk layout is LSM-segment-shaped: `seg=<name>/p=<n>/part-*.parquet`.
+   * The build writes `seg=base`; [[dedupAgainstIndex]] appends survivor
+   * segments. A segment named by the ingest epoch can be idempotently
+   * REWRITTEN (dynamic partition overwrite), which is what gives the
+   * streaming sink exactly-once index maintenance under at-least-once
+   * batch redelivery.
    */
   def buildMinhashIndex(df: DataFrame, idCol: String, textCol: String, path: String,
                         numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
@@ -140,8 +147,9 @@ object Dedup {
     capBuckets(
       shingleBands(df, idCol, textCol, numHashes, bands, shingleWidth, hashKernel),
       maxBucket, dropObs)
+      .withColumn("seg", lit("base"))
       .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType))
-      .write.mode("overwrite").partitionBy("p").parquet(path)
+      .write.mode("overwrite").partitionBy("seg", "p").parquet(path)
 
   /**
    * Dedup a new batch against a persisted MinHash index: returns
@@ -156,12 +164,21 @@ object Dedup {
    *
    * Parameters must match the index build; they are not stored (the index
    * is plain parquet + layout convention, like [[Similarity.buildLshIndex]]).
+   *
+   * `segment` names the survivor segment for EXACTLY-ONCE ingest: the probe
+   * excludes that segment from the corpus view (a redelivered batch must
+   * not see its own first-attempt leftovers) and the append REWRITES it via
+   * dynamic partition overwrite, so re-running the same batch converges to
+   * the identical index state and the identical dupes frame. Without
+   * `segment`, appends accumulate under `seg=append` (fast path, not
+   * redelivery-safe). Self-matches (an indexed id probing itself) are
+   * always excluded.
    */
   def dedupAgainstIndex(newDocs: DataFrame, path: String, idCol: String, textCol: String,
                         numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                         threshold: Double = 0.5, hashKernel: String = "xx",
                         nPartitions: Int = 64, appendSurvivors: Boolean = false,
-                        maxBucket: Int = 100000): DataFrame = {
+                        maxBucket: Int = 100000, segment: Option[String] = None): DataFrame = {
     val spark = newDocs.sparkSession
     // The batch side carries the same degenerate-bucket cap as the index
     // build: candidates per bucket are then <= maxBucket^2 even when the
@@ -173,14 +190,20 @@ object Dedup {
     // probe only the partitions the batch's own buckets hash into — for a
     // stream-sized batch that is a strict subset of the index directories
     val probedPs = batch.select("p").distinct().collect().map(_.getInt(0)).sorted
-    // Explicit schema (identical to the batch side by construction): an
-    // index whose build dropped every bucket is an EMPTY parquet dir, and
-    // schema inference cannot read one — an empty corpus index must mean
-    // "no duplicates", not a crash.
-    val idx = spark.read.schema(batch.schema).parquet(path)
+    // Explicit schema (batch side + the seg partition column): an index
+    // whose build dropped every bucket is an EMPTY parquet dir, and schema
+    // inference cannot read one — an empty corpus index must mean "no
+    // duplicates", not a crash.
+    val idxSchema = org.apache.spark.sql.types.StructType(
+      batch.schema.fields :+ org.apache.spark.sql.types.StructField("seg", StringType))
+    val idx0 = spark.read.schema(idxSchema).parquet(path)
       .filter(col("p").isin(probedPs.map(Integer.valueOf).toSeq: _*))
+    // A redelivered batch must not dedup against its own first-attempt
+    // segment — partition-pruned out, then rewritten below.
+    val idx = segment.fold(idx0)(s => idx0.filter(col("seg") =!= s))
       .select(col("id").as("dup_of"), col("sh").as("sh_i"), col("band"), col("bucket"))
     val cand = batch.join(idx, Seq("band", "bucket"))
+      .filter(col("id") =!= col("dup_of")) // a doc is never its own dup
       .select(col("id"), col("dup_of"), col("sh"), col("sh_i"))
       .dropDuplicates("id", "dup_of")
       .withColumn("jaccard", round(
@@ -202,10 +225,46 @@ object Dedup {
       // can exceed the cap across MANY appends — rebuild the index
       // periodically (buildMinhashIndex over accepted docs) the way any
       // LSM-shaped structure compacts.
-      batch.join(mat.select(col("id")).distinct(), Seq("id"), "left_anti")
-        .write.mode("append").partitionBy("p").parquet(path)
+      val survivors = batch.join(mat.select(col("id")).distinct(), Seq("id"), "left_anti")
+        .withColumn("seg", lit(segment.getOrElse("append")))
+      segment match {
+        case Some(_) =>
+          // Idempotent: dynamic partition overwrite rewrites ONLY this
+          // batch's seg=<key> partitions — redelivery converges.
+          survivors.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("seg", "p").parquet(path)
+        case None =>
+          survivors.write.mode("append").partitionBy("seg", "p").parquet(path)
+      }
       mat
     } else dupes
+  }
+
+  /**
+   * Compact a MinHash index's accumulated survivor segments back into one
+   * `seg=base` generation — the LSM maintenance step the per-epoch appends
+   * assume. Re-applies the bucket cap GLOBALLY (per-append caps admit up to
+   * `maxBucket` rows per bucket per epoch, so a long-lived boilerplate
+   * bucket grows past the cap cumulatively). Rewrites via a sibling temp
+   * dir + swap; run it offline (no probes in flight), like any table
+   * compaction. No-op on an empty index.
+   */
+  def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                          nPartitions: Int = 64, maxBucket: Int = 100000): Unit = {
+    val cur = try spark.read.parquet(path).drop("seg", "p")
+      catch { case _: org.apache.spark.sql.AnalysisException => return }
+    val tmp = path.stripSuffix("/") + ".compacting"
+    capBuckets(cur, maxBucket, dropObs = None)
+      .withColumn("seg", lit("base"))
+      .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType))
+      .write.mode("overwrite").partitionBy("seg", "p").parquet(tmp)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(conf)
+    fs.delete(dst, true)
+    if (!fs.rename(new org.apache.hadoop.fs.Path(tmp), dst))
+      throw new java.io.IOException(s"compactMinhashIndex: rename $tmp -> $path failed")
   }
 
   /** Embedding-cosine near-duplicate pairs via MULTI-BAND random-hyperplane

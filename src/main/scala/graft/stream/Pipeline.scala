@@ -21,6 +21,31 @@ import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, T
  * `smt/DebeziumJsonDeserializer.java:56` — lost on restart there) is
  * persisted into every table snapshot and re-seeded on resume.
  */
+/** Ingest-time duplicate suppression for [[Pipeline.runFileStream]]: each
+  * batch's LWW-winning token sequences are probed against a persisted
+  * MinHash index ([[graft.ops.Dedup.buildMinhashIndex]] layout); events
+  * whose content near-duplicates an already-accepted document are dropped
+  * before the MERGE, and survivors' signatures are appended under a
+  * per-epoch index segment (idempotently rewritten on batch redelivery, so
+  * the dedup decision — like the table commit — is exactly-once).
+  *
+  * Rules: the probed content is the doc's LAST non-delete event in the
+  * batch (the only version LWW would keep); a duplicate verdict drops ALL
+  * of that doc's non-delete events in the batch; deletes always pass. A
+  * doc updating its own content never matches itself (self-exclusion), so
+  * routine updates flow; an update that morphs a doc into a near-copy of
+  * another accepted doc is suppressed. Parameters must match the index
+  * build. */
+case class DedupIngest(
+    indexPath: String,
+    threshold: Double = 0.5,
+    numHashes: Int = 64,
+    bands: Int = 16,
+    shingleWidth: Int = 3,
+    hashKernel: String = "xx",
+    nPartitions: Int = 64,
+    maxBucket: Int = 100000)
+
 object Pipeline {
 
   /** Run the pipeline over a file-tailed event stream until exhausted
@@ -33,7 +58,8 @@ object Pipeline {
       checkpointDir: String,
       streamId: String,
       stages: Seq[DataFrame => DataFrame] = Nil,
-      maxFilesPerTrigger: Int = 1): StreamingQuery = {
+      maxFilesPerTrigger: Int = 1,
+      dedupIngest: Option[DedupIngest] = None): StreamingQuery = {
     // Restore registry state from the table's last snapshot.
     val registryJson = table.snapshot.registryJson
     if (registryJson != null && registryJson.nonEmpty) {
@@ -70,9 +96,16 @@ object Pipeline {
         val needCache = stages.nonEmpty || autoCompact
         val base = if (needCache) batch.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) else batch
         try {
-          val transformed = stages.foldLeft(base)((df, stage) => stage(df))
+          val transformed0 = stages.foldLeft(base)((df, stage) => stage(df))
+          val (transformed, suppressed) = dedupIngest match {
+            case None => (transformed0, 0L)
+            case Some(di) => applyDedupIngest(transformed0, di, s"${streamId}_$epochId")
+          }
           val registrySnapshot = stages.collectFirst { case j: JsonDeserialize => j.registry.serialize }
-          table.merge(transformed, s"$streamId/$epochId", registrySnapshot): Unit
+          // suppression count rides the SAME atomic commit as the data —
+          // a redelivered epoch is a ledger no-op, so it never double-counts
+          val extra = if (dedupIngest.isDefined) Map("dedup.suppressed" -> suppressed) else Map.empty[String, Long]
+          table.merge(transformed, s"$streamId/$epochId", registrySnapshot, extra): Unit
           if (autoCompact) {
             // The file-tailed source delivers chunks in lsn order, so this
             // batch's max lsn is the stream's low-water mark: nothing at or
@@ -84,6 +117,30 @@ object Pipeline {
       }
       .trigger(Trigger.AvailableNow())
       .start()
+  }
+
+  /** See [[DedupIngest]]. Probes one content per doc (its LWW winner in
+    * this batch — several versions of one doc would otherwise race the
+    * candidate dedup nondeterministically), drops every non-delete event of
+    * duplicate docs, and lets the index append ride the epoch segment for
+    * redelivery idempotence. */
+  private[stream] def applyDedupIngest(batch: DataFrame, di: DedupIngest, segKey: String): (DataFrame, Long) = {
+    val latest = batch
+      .filter(col("op") =!= "d" && col("after.tokens").isNotNull)
+      .groupBy(col("doc_id"))
+      .agg(max_by(array_join(col("after.tokens"), " "), col("lsn")).as("__text"))
+    val dupes = graft.ops.Dedup.dedupAgainstIndex(latest, di.indexPath, "doc_id", "__text",
+      di.numHashes, di.bands, di.shingleWidth, di.threshold, di.hashKernel,
+      di.nPartitions, appendSurvivors = true, di.maxBucket,
+      segment = Some(segKey.replaceAll("[^A-Za-z0-9_.-]", "_")))
+    val nDup = dupes.count() // dupes is already materialized (checkpointed)
+    if (nDup > 0)
+      System.err.println(s"[pipeline] dedup-ingest $segKey: suppressed $nDup duplicate doc(s)")
+    val kept = batch
+      .join(dupes.select(col("id").as("doc_id"), lit(true).as("__dup")), Seq("doc_id"), "left")
+      .filter(col("op") === "d" || col("__dup").isNull)
+      .drop("__dup")
+    (kept, nDup)
   }
 
   /** Batch replay: apply the event stream to the table in `epochs` ordered

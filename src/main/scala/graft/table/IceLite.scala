@@ -230,9 +230,12 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
 
   /** MERGE a change batch into the table. See [[graft.merge.MergeInto]].
     * `registryJson` persists the SMT chain's schema-registry state in the
-    * same atomic commit (restored on resume by [[graft.stream.Pipeline]]). */
-  def merge(changes: DataFrame, epochKey: String, registryJson: Option[String] = None): CommitStats =
-    graft.merge.MergeInto.run(this, changes, epochKey, registryJson)
+    * same atomic commit (restored on resume by [[graft.stream.Pipeline]]);
+    * `extraLineage` adds caller counters (e.g. ingest-dedup suppression) to
+    * the snapshot's lineage map in that same commit. */
+  def merge(changes: DataFrame, epochKey: String, registryJson: Option[String] = None,
+            extraLineage: Map[String, Long] = Map.empty): CommitStats =
+    graft.merge.MergeInto.run(this, changes, epochKey, registryJson, extraLineage = extraLineage)
 
   private[graft] def commit(newSnap: Snapshot): Unit = IceLite.writeSnapshot(fs, rootP, newSnap)
 

@@ -88,6 +88,66 @@ class OpsSpec extends AnyFunSuite {
     assert(d3.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((30L, 1L)), d3.mkString(","))
   }
 
+  test("segment-keyed index append is idempotent under batch redelivery") {
+    import graft.SparkTestBase
+    val idx = SparkTestBase.tempDir("mh-redeliver") + "/idx"
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") <= 3), "doc_id", "text", idx,
+      numHashes = 32, bands = 16, shingleWidth = 3, nPartitions = 8)
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (11L, "entirely novel sentence with no overlap to the corpus at all today")
+    ).toDF("doc_id", "text")
+    def run() = Dedup.dedupAgainstIndex(b1, idx, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4,
+      nPartitions = 8, appendSurvivors = true, segment = Some("e1"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val first = run()
+    assert(first == Set((10L, 1L)), first.toString)
+    // count survivor signature rows in seg=e1 before and after redelivery
+    def segRows() = spark.read.parquet(idx).filter(col("seg") === "e1").count()
+    val rowsAfterFirst = segRows()
+    assert(rowsAfterFirst > 0)
+    // redelivery: same batch, same segment — same dupes (own segment is
+    // excluded from the corpus view), same on-disk state (rewrite, not
+    // double-append)
+    val second = run()
+    assert(second == first, second.toString)
+    assert(segRows() == rowsAfterFirst)
+    // a LATER segment dedups against e1's survivors
+    val d2 = Dedup.dedupAgainstIndex(
+      Seq((20L, "entirely novel sentence with no overlap to the corpus at all tonight"))
+        .toDF("doc_id", "text"),
+      idx, "doc_id", "text", numHashes = 32, bands = 16, shingleWidth = 3,
+      threshold = 0.4, nPartitions = 8, segment = Some("e2")).collect()
+    assert(d2.length == 1 && d2.head.getLong(1) == 11L, d2.mkString(","))
+  }
+
+  test("compacting the index folds segments into base without changing probe results") {
+    import graft.SparkTestBase
+    val idx = SparkTestBase.tempDir("mh-compact") + "/idx"
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") <= 3), "doc_id", "text", idx,
+      numHashes = 32, bands = 16, shingleWidth = 3, nPartitions = 8)
+    Dedup.dedupAgainstIndex(
+      Seq((11L, "entirely novel sentence with no overlap to the corpus at all today"))
+        .toDF("doc_id", "text"),
+      idx, "doc_id", "text", numHashes = 32, bands = 16, shingleWidth = 3,
+      threshold = 0.4, nPartitions = 8, appendSurvivors = true, segment = Some("e1"))
+      .collect(): Unit
+    val probe = Seq(
+      (30L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (31L, "entirely novel sentence with no overlap to the corpus at all tonight")
+    ).toDF("doc_id", "text")
+    def hits() = Dedup.dedupAgainstIndex(probe, idx, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4, nPartitions = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = hits()
+    assert(before == Set((30L, 1L), (31L, 11L)), before.toString)
+    Dedup.compactMinhashIndex(spark, idx, nPartitions = 8)
+    assert(hits() == before)
+    val segs = spark.read.parquet(idx).select("seg").distinct().collect().map(_.getString(0)).toSet
+    assert(segs == Set("base"), segs.toString)
+  }
+
   test("minhash index build and probe drop degenerate buckets above maxBucket") {
     import graft.SparkTestBase
     val idx = SparkTestBase.tempDir("mh-cap") + "/idx"

@@ -98,6 +98,72 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("dedup-ingest suppresses near-duplicate content at the merge sink") {
+    import graft.ops.Dedup
+    import spark.implicits._
+    // (doc_id, op, tokens, lsn) -> ChangeGen-shaped envelope
+    def mkEvents(rows: Seq[(String, String, Seq[Int], Long)]) =
+      rows.toDF("doc_id", "op", "tokens", "lsn").select(
+        col("doc_id"), col("op"),
+        lit(null).cast(ChangeGen.payloadSchema).as("before"),
+        when(col("op") === "d", lit(null).cast(ChangeGen.payloadSchema))
+          .otherwise(struct(col("doc_id").as("doc_id"), col("tokens").as("tokens"),
+            size(col("tokens")).as("n_tok"), lit("src_0").as("source"))).as("after"),
+        (lit(1700000000000L) + col("lsn")).as("ts_ms"),
+        struct(col("lsn").as("lsn"), lit("public.documents").as("table")).as("source"),
+        lit(null).cast("string").as("metadata"),
+        col("lsn"))
+
+    val tokA = 1 to 30
+    val tokB = 200 to 230
+    val tokC = (1 to 29) :+ 99        // near-dup of A (shares 27/31 3-grams)
+    val tokD = 500 to 530             // novel
+    val tokB2 = 200 to 232            // B's own updated content (self, passes)
+    val tokE = (200 to 229) :+ 777    // near-dup of B's ORIGINAL content
+
+    val srcDir = SparkTestBase.tempDir("dedup-src")
+    val root = SparkTestBase.tempDir("dedup-table")
+    val ckpt = SparkTestBase.tempDir("dedup-ckpt")
+    val idx = SparkTestBase.tempDir("dedup-idx") + "/idx"
+    // cold start: empty corpus index
+    Dedup.buildMinhashIndex(Seq.empty[(String, String)].toDF("doc_id", "text"),
+      "doc_id", "text", idx, numHashes = 32, bands = 16, nPartitions = 8)
+    val di = DedupIngest(idx, threshold = 0.5, numHashes = 32, bands = 16, nPartitions = 8)
+
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    mkEvents(Seq(("doc_A", "c", tokA, 0L), ("doc_B", "c", tokB, 1L)))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Pipeline.runFileStream(spark, srcDir, table, ckpt, "dq",
+      dedupIngest = Some(di)).awaitTermination()
+    assert(table.read().count() == 2) // both accepted, both indexed
+
+    mkEvents(Seq(("doc_C", "c", tokC, 2L), ("doc_D", "c", tokD, 3L),
+      ("doc_B", "u", tokB2, 4L), ("doc_E", "c", tokE, 5L)))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Pipeline.runFileStream(spark, srcDir, table, ckpt, "dq",
+      dedupIngest = Some(di)).awaitTermination()
+
+    val state = table.read().select("doc_id", "tokens").as[(String, Seq[Int])]
+      .collect().toMap
+    // C (near-dup of A) and E (near-dup of B's original) suppressed;
+    // B's self-update applied; D accepted
+    assert(state.keySet == Set("doc_A", "doc_B", "doc_D"), state.keySet.toString)
+    assert(state("doc_B") == tokB2)
+    // survivor segments landed per epoch; later batches dedup against them:
+    // a near-dup of D (accepted in epoch 1) is suppressed in epoch 2
+    mkEvents(Seq(("doc_F", "c", (500 to 529) :+ 9, 6L)))
+      .coalesce(1).write.mode("append").parquet(srcDir)
+    Pipeline.runFileStream(spark, srcDir, table, ckpt, "dq",
+      dedupIngest = Some(di)).awaitTermination()
+    assert(table.read().count() == 3)
+    val segs = spark.read.parquet(idx).select("seg").distinct()
+      .as[String].collect().toSet
+    assert(segs.exists(_.startsWith("dq_")), segs.toString)
+    // suppression counts ride the table's lineage (same atomic commit):
+    // C + E in epoch 1, F in epoch 2 = 3 total
+    assert(table.snapshot.lineage("dedup.suppressed") == 3L)
+  }
+
   test("restart from checkpoint resumes without double-applying") {
     val cfg = GenConfig(numDocs = 80, numEvents = 1200, seed = 33, withMetadata = false)
     val srcDir = SparkTestBase.tempDir("resume-src")
