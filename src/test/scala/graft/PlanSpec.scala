@@ -66,6 +66,20 @@ class PlanSpec extends AnyFunSuite {
     assert(raw"PartitionFilters: \[[^\]]*bucket".r.findFirstIn(p).isDefined, p)
   }
 
+  test("minhash index probe scan prunes to the batch's own bucket partitions") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val idx = SparkTestBase.tempDir("plan-mh-index") + "/idx"
+    Dedup.buildMinhashIndex(docs, "doc_id", "text", idx,
+      numHashes = 32, bands = 8, nPartitions = 16)
+    val df = Dedup.dedupAgainstIndex(docs.filter(col("doc_id") < 3), idx,
+      "doc_id", "text", numHashes = 32, bands = 8, nPartitions = 16, threshold = 0.4)
+    val p = plan(df)
+    // the index scan carries a partition filter on p — a batch probe reads
+    // O(|its own buckets|) directories, never the 100 TB corpus index
+    assert(raw"PartitionFilters: \[[^\]]*\bp#".r.findFirstIn(p).isDefined, p)
+  }
+
   test("ANN top-k broadcasts the query side and never shuffles candidates") {
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val p = plan(Similarity.bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 3))
