@@ -495,6 +495,56 @@ object SparkEntry {
       Multimodal.extractFeatures(media)
         .select("media_id", "modality", "width", "height", "mean_px",
           "sample_rate", "n_samples", "rms", "n_frames")
+    }),
+
+    // ---- event-time windowed aggregation (same plans run streaming with a
+    // watermark — see graft.stream.Windowed and WindowedSpec) ----
+    "q_window_tumbling" -> ((s, dir) =>
+      graft.stream.Windowed.tumbling(T(s, dir, "events"),
+        "ts", "1 hour", "10 minutes", Seq("event_type"))),
+    "q_window_sliding" -> ((s, dir) =>
+      graft.stream.Windowed.sliding(T(s, dir, "events"),
+        "ts", "1 hour", "30 minutes", "10 minutes", Seq("event_type"))),
+    "q_session_window" -> ((s, dir) =>
+      graft.stream.Windowed.sessions(T(s, dir, "events"),
+        "ts", "6 hours", "10 minutes", Seq("user_id"))),
+
+    // ---- corpus curation: deterministic sampling / quotas / shuffle ----
+    "q_sample_stratified" -> ((s, dir) =>
+      graft.ops.Curate.stratifiedSample(T(s, dir, "documents"),
+        col("lang"), col("doc_id"),
+        Map("en" -> 0.25, "zh" -> 0.9), defaultFraction = 0.5, salt = "cur1")
+        .select("doc_id", "lang", "source")),
+    "q_quota_per_source" -> ((s, dir) =>
+      graft.ops.Curate.quotaPerStratum(T(s, dir, "documents"),
+        col("source"), Seq(col("n_chars").desc, col("doc_id")), n = 5)
+        .select("doc_id", "source", "n_chars")),
+    "q_shuffle_shards" -> ((s, dir) =>
+      graft.ops.Curate.deterministicShuffle(T(s, dir, "documents"),
+        col("doc_id"), shards = 8, salt = "sh1")
+        .select("doc_id", "shard", "pos")),
+
+    // ---- incremental CDC-out: net changes between two table snapshots ----
+    "q_cdc_changes" -> ((s, dir) => {
+      // Replay the derived stream in 4 epochs into a MOR table, snapshot the
+      // version after epoch 2, then read the NET changes epoch-3..4 produced
+      // (insert/update/delete per key; carried rows dropped). The oracle
+      // recomputes both LWW states from the raw events and diffs them.
+      val ch = derivedChanges(s, dir)
+      val lsnMax = ch.agg(max("lsn")).head().getLong(0) + 1
+      val per = math.max(1L, (lsnMax + 3) / 4)
+      val root = java.nio.file.Files.createTempDirectory("graft-changes").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8,
+        properties = Map("write.mode" -> "mor"))
+      var midV = -1L
+      (0 until 4).foreach { e =>
+        val chunk = ch.filter(col("lsn") >= e * per && col("lsn") < math.min(lsnMax, (e + 1) * per))
+        table.merge(chunk, s"chg/$e")
+        if (e == 1) midV = table.snapshot.version
+      }
+      table.changesBetween(midV, table.snapshot.version)
+        .select(col("doc_id"), col("change_op"), col("lsn"),
+          array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
     })
   )
 
@@ -1036,6 +1086,101 @@ object SparkEntry {
         |  CASE WHEN md = 1 THEN CAST(800 + (id % 10) * 160 AS INT) END AS n_samples,
         |  CASE WHEN md = 1 THEN CAST(1000 + (id % 50) * 100 AS DOUBLE) END AS rms,
         |  CASE WHEN md = 2 THEN CAST(2 + (id // 3) % 3 AS INT) END AS n_frames
-        |FROM d""".stripMargin
+        |FROM d""".stripMargin,
+
+    // Tumbling windows: whole-second, hour-aligned starts — pure integer
+    // epoch arithmetic on both sides.
+    "q_window_tumbling" ->
+      """SELECT CAST(epoch_us(ts) // 3600000000 * 3600 AS BIGINT) AS w_start,
+        |       CAST(epoch_us(ts) // 3600000000 * 3600 + 3600 AS BIGINT) AS w_end,
+        |       event_type, count(*) AS n,
+        |       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2, 3""".stripMargin,
+    // Sliding 1h/30min: each event lands in exactly 2 windows (k = 0, 1).
+    "q_window_sliding" ->
+      """SELECT CAST((epoch_us(ts) // 1800000000 - offs.k) * 1800 AS BIGINT) AS w_start,
+        |       CAST((epoch_us(ts) // 1800000000 - offs.k) * 1800 + 3600 AS BIGINT) AS w_end,
+        |       event_type, count(*) AS n,
+        |       CAST(round(sum(value), 2) AS DOUBLE) AS total_value
+        |FROM events CROSS JOIN (VALUES (0), (1)) AS offs(k)
+        |GROUP BY 1, 2, 3""".stripMargin,
+    // Session windows (gap 6h): the SQL islands construction — a session
+    // break is a silence STRICTLY longer than the gap; session start = first
+    // event (exact integer microseconds). Spark's session merge is inclusive
+    // at the boundary (windows [ts, ts+gap) merge when adjacent, verified in
+    // WindowedSpec), so the break condition is > gap, not >=.
+    "q_session_window" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us FROM events),
+        |flagged AS (
+        |  SELECT user_id, us,
+        |         CASE WHEN us - lag(us) OVER (PARTITION BY user_id ORDER BY us)
+        |                   > 21600000000 THEN 1
+        |              WHEN lag(us) OVER (PARTITION BY user_id ORDER BY us) IS NULL THEN 1
+        |              ELSE 0 END AS new_s
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, us,
+        |         sum(new_s) OVER (PARTITION BY user_id ORDER BY us
+        |                          ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(us) AS s_start_us, count(*) AS n
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
+
+    // Deterministic stratified sampling: integer per-million die on the
+    // md5-lower-64 of doc_id + salt, per-stratum thresholds.
+    "q_sample_stratified" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE md5_number_lower(CAST(doc_id AS VARCHAR) || ':cur1') % 1000000 <
+        |      CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 900000
+        |                ELSE 500000 END""".stripMargin,
+    "q_quota_per_source" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         row_number() OVER (PARTITION BY source
+        |                            ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents) WHERE rn <= 5""".stripMargin,
+    // Deterministic global shuffle: shard = unsigned md5 mod 8; position =
+    // md5 hex order within the shard (lowercase hex sorts identically in
+    // both engines).
+    "q_shuffle_shards" ->
+      """SELECT doc_id,
+        |       CAST(md5_number_lower(CAST(doc_id AS VARCHAR) || ':sh1') % 8 AS INT) AS shard,
+        |       CAST(row_number() OVER (
+        |         PARTITION BY md5_number_lower(CAST(doc_id AS VARCHAR) || ':sh1') % 8
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':sh1'), doc_id) AS INT) AS pos
+        |FROM documents""".stripMargin,
+
+    // CDC-out: diff of the two LWW folds (state after epoch 2 of 4 vs final)
+    // over the derived change stream; carried keys (same winner lsn) drop.
+    "q_cdc_changes" ->
+      """WITH ch AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+        |         CASE event_type WHEN 'error' THEN 'd' WHEN 'signup' THEN 'c'
+        |              ELSE 'u' END AS op,
+        |         event_id AS lsn,
+        |         CAST(user_id AS INT) AS t0, CAST(event_id % 97 AS INT) AS t1,
+        |         event_type AS source
+        |  FROM events),
+        |cut AS (SELECT ((max(lsn) + 1 + 3) // 4) * 2 AS c FROM ch),
+        |bw AS (SELECT doc_id, max(lsn) AS blsn, arg_max(op, lsn) AS bop
+        |       FROM ch, cut WHERE lsn < c GROUP BY doc_id),
+        |aw AS (SELECT doc_id, max(lsn) AS alsn, arg_max(op, lsn) AS aop,
+        |              arg_max(t0, lsn) AS t0, arg_max(t1, lsn) AS t1,
+        |              arg_max(source, lsn) AS src
+        |       FROM ch GROUP BY doc_id)
+        |SELECT aw.doc_id,
+        |       CASE WHEN (bw.doc_id IS NULL OR bop = 'd') AND aop <> 'd' THEN 'insert'
+        |            WHEN bop <> 'd' AND aop <> 'd' AND alsn <> blsn THEN 'update'
+        |            WHEN bop <> 'd' AND aop = 'd' THEN 'delete' END AS change_op,
+        |       alsn AS lsn,
+        |       CASE WHEN aop <> 'd'
+        |            THEN CAST(t0 AS VARCHAR) || ',' || CAST(t1 AS VARCHAR) END AS tokens_s,
+        |       CASE WHEN aop <> 'd' THEN CAST(2 AS INT) END AS n_tok,
+        |       CASE WHEN aop <> 'd' THEN src END AS source
+        |FROM aw LEFT JOIN bw ON aw.doc_id = bw.doc_id
+        |WHERE CASE WHEN (bw.doc_id IS NULL OR bop = 'd') AND aop <> 'd' THEN 'insert'
+        |           WHEN bop <> 'd' AND aop <> 'd' AND alsn <> blsn THEN 'update'
+        |           WHEN bop <> 'd' AND aop = 'd' THEN 'delete' END IS NOT NULL""".stripMargin
   )
 }

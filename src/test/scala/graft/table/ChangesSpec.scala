@@ -1,0 +1,115 @@
+package graft.table
+
+import graft.SparkTestBase
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Incremental CDC-out (`changesBetween`): net per-key changes between two
+  * snapshots, identical across COW and MOR, carried rows silent, and
+  * version-bound sanity. */
+class ChangesSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val payload = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType, containsNull = false)),
+    StructField("n_tok", IntegerType),
+    StructField("source", StringType)))
+
+  /** (doc_id, op, lsn) -> change frame in the merge's input shape. */
+  private def changes(rows: Seq[(String, String, Long)]): DataFrame =
+    rows.toDF("doc_id", "op", "lsn").select(
+      col("doc_id"), col("op"), col("lsn"),
+      when(col("op") =!= "d", struct(
+        col("doc_id"),
+        array(lit(7), col("lsn").cast(IntegerType)).as("tokens"),
+        lit(2).as("n_tok"),
+        concat(lit("s"), col("lsn")).as("source")))
+        .as("after"))
+
+  private def collectChanges(df: DataFrame): Set[(String, String, Option[Long])] =
+    df.select("doc_id", "change_op", "lsn").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+
+  private def runMode(mode: String): Set[(String, String, Option[Long])] = {
+    val root = SparkTestBase.tempDir(s"chg-$mode")
+    val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 4,
+      properties = Map("write.mode" -> mode))
+    // epoch 1: k1 insert, k2 insert, k3 insert, k4 insert+delete
+    t.merge(changes(Seq(
+      ("k1", "c", 1), ("k2", "c", 2), ("k3", "c", 3),
+      ("k4", "c", 4), ("k4", "d", 5))), "e1")
+    val v1 = t.snapshot.version
+    // epoch 2: k2 updated, k3 deleted, k5 inserted, k6 insert+delete (net
+    // nothing), k4 resurrected (dead before -> insert)
+    t.merge(changes(Seq(
+      ("k2", "u", 10), ("k3", "d", 11), ("k5", "c", 12),
+      ("k6", "c", 13), ("k6", "d", 14), ("k4", "u", 15))), "e2")
+    val out = collectChanges(t.changesBetween(v1, t.snapshot.version))
+    // sanity: from == to -> empty
+    assert(t.changesBetween(v1, v1).count() == 0)
+    out
+  }
+
+  test("net changes classified; carried keys silent; COW == MOR") {
+    val expected = Set(
+      ("k2", "update", Some(10L)),
+      ("k3", "delete", Some(11L)),
+      ("k5", "insert", Some(12L)),
+      ("k4", "insert", Some(15L)))
+    // k1 carried (same lsn both sides) and k6 dead-both-sides emit NOTHING
+    val cow = runMode("cow")
+    val mor = runMode("mor")
+    assert(cow == expected, s"cow: $cow")
+    assert(mor == expected, s"mor: $mor")
+  }
+
+  test("payload columns carry the after-state; deletes carry nulls") {
+    val root = SparkTestBase.tempDir("chg-payload")
+    val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 2)
+    t.merge(changes(Seq(("a", "c", 1), ("b", "c", 2))), "e1")
+    val v1 = t.snapshot.version
+    t.merge(changes(Seq(("a", "u", 9), ("b", "d", 8))), "e2")
+    val rows = t.changesBetween(v1, t.snapshot.version)
+      .select("doc_id", "change_op", "source", "n_tok").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSet
+    assert(rows == Set(
+      ("a", "update", Some("s9"), Some(2)),
+      ("b", "delete", None, None)), rows.toString)
+  }
+
+  test("changesBetween reads only buckets that gained a file") {
+    val root = SparkTestBase.tempDir("chg-prune")
+    val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 8)
+    t.merge(changes((0 until 32).map(i => (s"k$i", "c", i.toLong))), "e1")
+    val v1 = t.snapshot.version
+    t.merge(changes(Seq(("k0", "u", 100L))), "e2")
+    val from = t.snapshotAt(v1)
+    val to = t.snapshot
+    val fromPaths = from.files.map(_.path).toSet
+    val touched = to.files.filterNot(f => fromPaths(f.path)).map(_.bucket).toSet
+    assert(touched.nonEmpty && touched.size < 8, s"single-key update touched $touched")
+    val df = t.changesBetween(v1, to.version)
+    val read = df.inputFiles
+    assert(read.nonEmpty)
+    // every scanned file belongs to a touched bucket (partition dir encodes it)
+    read.foreach { p =>
+      assert(touched.exists(b => p.contains(s"__bucket=$b/")),
+        s"read an untouched bucket's file: $p (touched: $touched)")
+    }
+    assert(collectChanges(df) == Set(("k0", "update", Some(100L))))
+  }
+
+  test("changesBetween rejects inverted version ranges") {
+    val root = SparkTestBase.tempDir("chg-bad")
+    val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 2)
+    t.merge(changes(Seq(("a", "c", 1))), "e1")
+    val v = t.snapshot.version
+    intercept[IllegalArgumentException](t.changesBetween(v, v - 1))
+  }
+}
