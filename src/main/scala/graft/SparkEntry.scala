@@ -530,6 +530,32 @@ object SparkEntry {
       // version after epoch 2, then read the NET changes epoch-3..4 produced
       // (insert/update/delete per key; carried rows dropped). The oracle
       // recomputes both LWW states from the raw events and diffs them.
+      val (table, midV) = replayedTable(s, dir)
+      table.changesBetween(midV, table.snapshot.version)
+        .select(col("doc_id"), col("change_op"), col("lsn"),
+          array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
+    }),
+    "q_cdc_incr_agg" -> ((s, dir) => {
+      // Incremental view maintenance: per-source (sum n_tok, count) kept
+      // current from the mid-replay base aggregate + the pre/post-image
+      // change frame — NO rescan of the final table. The oracle computes the
+      // same aggregate from scratch over the final LWW state: incremental
+      // must equal from-scratch exactly.
+      val (table, midV) = replayedTable(s, dir)
+      val base = table.readVersion(midV).groupBy(col("source"))
+        .agg(sum(col("n_tok")).cast(LongType).as("sum_n_tok"), count(lit(1)).as("n"))
+      val changes = table.changesBetween(midV, table.snapshot.version, includeBefore = true)
+      graft.table.Maintain.sumCount(base, changes, "source", "n_tok")
+    })
+  )
+
+  /** Derived stream replayed in 4 epochs into a MOR IceLite table; returns
+    * (table, snapshot version after epoch 2). Memoized per data dir — the
+    * CDC-out queries share one replay per JVM. */
+  private val replayMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, (graft.table.IceLiteTable, Long)]()
+  private def replayedTable(s: SparkSession, dir: String): (graft.table.IceLiteTable, Long) =
+    replayMemo.computeIfAbsent(dir, _ => {
       val ch = derivedChanges(s, dir)
       val lsnMax = ch.agg(max("lsn")).head().getLong(0) + 1
       val per = math.max(1L, (lsnMax + 3) / 4)
@@ -542,11 +568,8 @@ object SparkEntry {
         table.merge(chunk, s"chg/$e")
         if (e == 1) midV = table.snapshot.version
       }
-      table.changesBetween(midV, table.snapshot.version)
-        .select(col("doc_id"), col("change_op"), col("lsn"),
-          array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
+      (table, midV)
     })
-  )
 
   def oracleSql: Map[String, String] = Map(
     "q_cdc_replay" ->
@@ -1181,6 +1204,21 @@ object SparkEntry {
         |FROM aw LEFT JOIN bw ON aw.doc_id = bw.doc_id
         |WHERE CASE WHEN (bw.doc_id IS NULL OR bop = 'd') AND aop <> 'd' THEN 'insert'
         |           WHEN bop <> 'd' AND aop <> 'd' AND alsn <> blsn THEN 'update'
-        |           WHEN bop <> 'd' AND aop = 'd' THEN 'delete' END IS NOT NULL""".stripMargin
+        |           WHEN bop <> 'd' AND aop = 'd' THEN 'delete' END IS NOT NULL""".stripMargin,
+    // Incremental == from-scratch: the oracle aggregates the FINAL LWW state
+    // directly; the Spark side maintained it from the mid-replay base plus
+    // retraction deltas.
+    "q_cdc_incr_agg" ->
+      """WITH ch AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+        |         CASE event_type WHEN 'error' THEN 'd' WHEN 'signup' THEN 'c'
+        |              ELSE 'u' END AS op,
+        |         event_id AS lsn, event_type AS source
+        |  FROM events),
+        |aw AS (SELECT doc_id, arg_max(op, lsn) AS aop, arg_max(source, lsn) AS src
+        |       FROM ch GROUP BY doc_id)
+        |SELECT src AS source, CAST(sum(2) AS BIGINT) AS sum_n_tok,
+        |       count(*) AS n
+        |FROM aw WHERE aop <> 'd' GROUP BY src""".stripMargin
   )
 }

@@ -314,7 +314,11 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     * nothing. Deletes emit null payload columns with the tombstone's lsn
     * (null lsn if the tombstone was itself compacted away by `toVersion`).
     */
-  def changesBetween(fromVersion: Long, toVersion: Long): DataFrame = {
+  /** `includeBefore = true` additionally emits the PRE-image payload as
+    * `before_<col>` columns (null for inserts) — the retraction side that
+    * incremental view maintenance needs (see [[Maintain]]). */
+  def changesBetween(fromVersion: Long, toVersion: Long,
+                     includeBefore: Boolean = false): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.merge.MergeInto.{DELETED, LSN}
     require(fromVersion <= toVersion,
@@ -346,11 +350,16 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     }
 
     val before = side(from).select(
-      col(key).as("__bk"), col(LSN).as("__blsn"), col(DELETED).as("__bdel"))
+      col(key).as("__bk") +: col(LSN).as("__blsn") +: col(DELETED).as("__bdel") +:
+        payloadCols.map(c => col(c).as(s"__b_$c")): _*)
     val after = side(to)
     val j = after.join(before, after(key) === before("__bk"), "full_outer")
     val liveB = col("__bk").isNotNull && !col("__bdel")
     val liveA = after(key).isNotNull && !after(DELETED)
+    val beforeImage =
+      if (includeBefore)
+        payloadCols.map(c => when(liveB, col(s"__b_$c")).otherwise(lit(null)).as(s"before_$c"))
+      else Nil
     j.withColumn("change_op",
         when(!liveB && liveA, lit("insert"))
           .when(liveB && liveA && col(LSN) =!= col("__blsn"), lit("update"))
@@ -360,7 +369,8 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
         coalesce(after(key), col("__bk")).as(key) +:
           col("change_op") +:
           when(after(key).isNotNull, col(LSN)).as("lsn") +:
-          payloadCols.map(c => when(liveA, col(c)).otherwise(lit(null)).as(c)): _*)
+          (payloadCols.map(c => when(liveA, col(c)).otherwise(lit(null)).as(c)) ++
+            beforeImage): _*)
   }
 
   def vacuum(keepSnapshots: Int = 1): Int = {

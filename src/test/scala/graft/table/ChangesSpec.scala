@@ -105,6 +105,36 @@ class ChangesSpec extends AnyFunSuite {
     assert(collectChanges(df) == Set(("k0", "update", Some(100L))))
   }
 
+  test("pre/post images + Maintain.sumCount == from-scratch aggregate") {
+    val root = SparkTestBase.tempDir("chg-incr")
+    val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 4)
+    // sources are per-row here (concat "s"+lsn in changes()), so an update
+    // MOVES a key between groups — the retraction algebra's hard case
+    t.merge(changes(Seq(("a", "c", 1), ("b", "c", 2), ("c", "c", 3), ("d", "c", 4))), "e1")
+    val v1 = t.snapshot.version
+    t.merge(changes(Seq(("a", "u", 10), ("b", "d", 11), ("e", "c", 12))), "e2")
+
+    val ch = t.changesBetween(v1, t.snapshot.version, includeBefore = true)
+    val img = ch.select("doc_id", "change_op", "source", "before_source").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)), Option(r.getString(3))))
+      .toSet
+    assert(img == Set(
+      ("a", "update", Some("s10"), Some("s1")), // group moved s1 -> s10
+      ("b", "delete", None, Some("s2")),        // pre-image on the retraction
+      ("e", "insert", Some("s12"), None)), img.toString)
+
+    val base = t.readVersion(v1).groupBy(col("source"))
+      .agg(sum(col("n_tok")).cast("long").as("sum_n_tok"), count(lit(1)).as("n"))
+    val maintained = Maintain.sumCount(base, ch, "source", "n_tok")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val scratch = t.read().groupBy(col("source"))
+      .agg(sum(col("n_tok")).cast("long").as("sum_n_tok"), count(lit(1)).as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(maintained == scratch, s"maintained $maintained != scratch $scratch")
+    // groups s1 (a left) and s2 (b deleted) must have VANISHED, not linger at 0
+    assert(!maintained.exists(r => r._1 == "s1" || r._1 == "s2"), maintained.toString)
+  }
+
   test("changesBetween rejects inverted version ranges") {
     val root = SparkTestBase.tempDir("chg-bad")
     val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 2)
