@@ -450,6 +450,24 @@ object SparkEntry {
       Similarity.lshTopKMultiProbe(emb.filter(col("vec_id") < 10), emb, k = 5, bits = 4, dim = dim)
         .select(col("qid"), col("cid"), col("rank").cast(IntegerType).as("rank"))
     }),
+    "q_embed_pq" -> ((s, dir) => {
+      // Product quantization (ADC): 64 dims -> 4 codes over 8-entry
+      // md5-derived codebooks; the oracle recomputes encode + LUT + the
+      // exact fold-order arithmetic in SQL.
+      val emb = T(s, dir, "embeddings")
+      val dim = embDim(s, dir)
+      Similarity.pqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        dim = dim, m = 4, ksub = 8)
+    }),
+    "q_embed_ivfpq" -> ((s, dir) => {
+      // IVF routing + PQ scoring with nprobe = nCells: every list probed, so
+      // the result must equal PQ-flat exactly (same oracle) while the
+      // two-level plan (cell join instead of crossJoin) is exercised.
+      val emb = T(s, dir, "embeddings")
+      val dim = embDim(s, dir)
+      Similarity.ivfPqTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        nCells = 4, nprobe = 4, dim = dim, m = 4, ksub = 8)
+    }),
     "q_embed_dedup" -> ((s, dir) => {
       val emb = T(s, dir, "embeddings")
       val dim = embDim(s, dir)
@@ -1205,6 +1223,13 @@ object SparkEntry {
         |WHERE CASE WHEN (bw.doc_id IS NULL OR bop = 'd') AND aop <> 'd' THEN 'insert'
         |           WHEN bop <> 'd' AND aop <> 'd' AND alsn <> blsn THEN 'update'
         |           WHEN bop <> 'd' AND aop = 'd' THEN 'delete' END IS NOT NULL""".stripMargin,
+    // PQ/ADC: encode (argmin of per-subspace squared distance to md5-derived
+    // codebooks), query LUT, and the score arithmetic all recomputed with
+    // the SAME left-fold order as the Spark expressions (bit-identical
+    // doubles; ties broken by cid both sides). q_embed_ivfpq probes every
+    // cell (nprobe = nCells) and must therefore match this same oracle.
+    "q_embed_pq" -> pqOracleSql,
+    "q_embed_ivfpq" -> pqOracleSql,
     // Incremental == from-scratch: the oracle aggregates the FINAL LWW state
     // directly; the Spark side maintained it from the mid-replay base plus
     // retraction deltas.
@@ -1221,4 +1246,46 @@ object SparkEntry {
         |       count(*) AS n
         |FROM aw WHERE aop <> 'd' GROUP BY src""".stripMargin
   )
+
+  private val pqOracleSql: String =
+    """WITH cent AS (
+      |  SELECT ms.m, js.j, list_transform(range(0,16), d ->
+      |    md5_number_lower('pq_' || ms.m || '_' || js.j || '_' || d)::DOUBLE / 18446744073709551616.0 * 2 - 1) AS comp
+      |  FROM (SELECT unnest(range(0,4)) AS m) ms CROSS JOIN (SELECT unnest(range(0,8)) AS j) js),
+      |cn AS (
+      |  SELECT m, j,
+      |         list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0,16), d -> comp[d+1]*comp[d+1])), (s,x) -> s+x) AS n2
+      |  FROM cent),
+      |e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+      |d2 AS (
+      |  SELECT e.vec_id, c.m, c.j,
+      |         list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0,16), d ->
+      |           (v[c.m*16 + d + 1] - comp[d+1]) * (v[c.m*16 + d + 1] - comp[d+1]))), (s,x) -> s+x) AS dist2
+      |  FROM e CROSS JOIN cent c),
+      |enc AS (
+      |  SELECT vec_id, m,
+      |         CAST(list_position(list(dist2 ORDER BY j), list_min(list(dist2 ORDER BY j))) - 1 AS INT) AS code
+      |  FROM d2 GROUP BY vec_id, m),
+      |lut AS (
+      |  SELECT e.vec_id AS qid, c.m, c.j,
+      |         list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0,16), d -> v[c.m*16 + d + 1] * comp[d+1])), (s,x) -> s+x) AS dp
+      |  FROM e CROSS JOIN cent c
+      |  WHERE e.vec_id < 10),
+      |qn AS (
+      |  SELECT vec_id AS qid,
+      |         sqrt(list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(0,64), d -> v[d+1]*v[d+1])), (s,x) -> s+x)) AS qnorm
+      |  FROM e WHERE vec_id < 10),
+      |parts AS (
+      |  SELECT l.qid, en.vec_id AS cid, en.m, l.dp, n.n2
+      |  FROM enc en
+      |  JOIN lut l ON l.m = en.m AND l.j = en.code
+      |  JOIN cn n ON n.m = en.m AND n.j = en.code),
+      |agg AS (
+      |  SELECT qid, cid,
+      |         list_reduce(list_prepend(0.0::DOUBLE, list(dp ORDER BY m)), (s,x) -> s+x) AS adc,
+      |         list_reduce(list_prepend(0.0::DOUBLE, list(n2 ORDER BY m)), (s,x) -> s+x) AS rec2
+      |  FROM parts WHERE qid <> cid GROUP BY qid, cid),
+      |sc AS (SELECT qid, cid, adc / (qn.qnorm * sqrt(rec2)) AS score FROM agg JOIN qn USING (qid))
+      |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY score DESC, cid) AS INT) AS rank
+      |FROM sc QUALIFY rank <= 5""".stripMargin
 }

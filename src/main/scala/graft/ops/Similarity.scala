@@ -205,6 +205,145 @@ object Similarity {
     rankTopK(scored, Seq("qid"), k).select("qid", "cid", "sim", "rank")
   }
 
+  // ---- product quantization (PQ) ------------------------------------------
+  // The compressed-index ANN path: a D-dim float vector becomes M small
+  // integer codes (one per subspace), cutting candidate storage from 4D
+  // bytes to M bytes — at 100 TB this is what makes the candidate side fit
+  // in memory/cache. Scoring is asymmetric (ADC): the query stays exact, a
+  // candidate is approximated by its per-subspace codebook centroids, so
+  // each candidate costs M lookups instead of D multiplies. Codebooks are
+  // md5-derived (deterministic, SQL-reproducible — same convention as the
+  // IVF/LSH constants; a trained k-means codebook would slot in here
+  // unchanged, determinism is what the oracle gates need). No-residual
+  // variant (codes quantize the raw vector, not cell residuals) — the same
+  // choice faiss exposes as IndexIVFPQ(by_residual=false).
+
+  /** Codebook centroid (subspace `m`, code `j`): subDim components in
+    * [-1, 1), md5-derived. */
+  def pqCentroid(m: Int, j: Int, subDim: Int): Seq[Double] =
+    (0 until subDim).map(d => md5Unit(s"pq_${m}_${j}_$d") * 2 - 1)
+
+  /** ||centroid||^2 by the same left fold both engines use. */
+  private def pqCentNorm2(m: Int, j: Int, subDim: Int): Double =
+    pqCentroid(m, j, subDim).foldLeft(0.0)((s, x) => s + x * x)
+
+  /** Encode a vector column to `m` PQ codes: code_m = argmin_j of the
+    * squared distance between the m-th subvector and codebook entry j
+    * (first argmin on exact-double ties -> deterministic). Adds `codes`
+    * (array<int>, length m). */
+  def pqEncode(df: DataFrame, vecCol: String, dim: Int, m: Int, ksub: Int): DataFrame = {
+    val subDim = dim / m
+    require(m * subDim == dim, s"dim $dim not divisible by m $m")
+    val codes = array((0 until m).map { mm =>
+      val d2 = array((0 until ksub).map { j =>
+        val cent = pqCentroid(mm, j, subDim)
+        (0 until subDim).foldLeft(lit(0.0)) { (s, d) =>
+          val diff = element_at(col(vecCol), mm * subDim + d + 1).cast(DoubleType) - lit(cent(d))
+          s + diff * diff
+        }
+      }: _*)
+      (array_position(d2, array_min(d2)) - 1).cast(IntegerType)
+    }: _*)
+    df.withColumn("codes", codes)
+  }
+
+  /** PQ-flat top-k by asymmetric distance: per query, a (m x ksub) lookup
+    * table of subspace dots is computed ONCE and broadcast with the query;
+    * each candidate is scored from its codes by m table lookups. The
+    * approximate cosine is adc / (||q|| * ||reconstruction||), with the
+    * reconstruction norm exact from per-centroid norms (subspaces are
+    * orthogonal coordinate blocks). Candidates may arrive pre-encoded
+    * (`codes` column, the persisted-index case) — encoded on the fly
+    * otherwise. */
+  def pqTopK(queries: DataFrame, candidates: DataFrame, k: Int, dim: Int, m: Int, ksub: Int,
+             qId: String = "vec_id", cId: String = "vec_id",
+             qVec: String = "embedding", cVec: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    val enc =
+      if (candidates.columns.contains("codes")) candidates.select(col(cId).as("cid"), col("codes"))
+      else pqEncode(candidates.select(col(cId).as("cid"), col(cVec)), cVec, dim, m, ksub)
+        .select(col("cid"), col("codes"))
+    // query-side LUT: lut[m][j] = dot(q_m, cent_{m,j}); qnorm over all dims
+    def lutFor(vec: Column): Column = array((0 until m).map { mm =>
+      array((0 until ksub).map { j =>
+        val cent = pqCentroid(mm, j, subDim)
+        (0 until subDim).foldLeft(lit(0.0)) { (s, d) =>
+          s + element_at(vec, mm * subDim + d + 1).cast(DoubleType) * lit(cent(d))
+        }
+      }: _*)
+    }: _*)
+    val qnorm = sqrt((0 until dim).foldLeft(lit(0.0)) { (s, d) =>
+      val x = element_at(col(qVec), d + 1).cast(DoubleType); s + x * x
+    })
+    val q = queries.select(col(qId).as("qid"), lutFor(col(qVec)).as("lut"), qnorm.as("qn"))
+    // candidate-side: adc = left fold over m of lut[m][code_m]; rec norm
+    // from the centroid-norm literal table, same fold order
+    val norms = (0 until m).map(mm => (0 until ksub).map(j => pqCentNorm2(mm, j, subDim)))
+    val adc = (0 until m).foldLeft(lit(0.0)) { (s, mm) =>
+      s + element_at(element_at(col("lut"), mm + 1), element_at(col("codes"), mm + 1) + 1)
+    }
+    val rec2 = (0 until m).foldLeft(lit(0.0)) { (s, mm) =>
+      s + element_at(typedlit(norms(mm)), element_at(col("codes"), mm + 1) + 1)
+    }
+    val scored = enc.crossJoin(broadcast(q))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", adc / (col("qn") * sqrt(rec2)))
+    rankTopK(scored, Seq("qid"), k).select("qid", "cid", "rank")
+  }
+
+  /** IVF-PQ: coarse routing by nearest IVF cell (argmax dot, `nprobe`
+    * nearest cells probed per query) + PQ/ADC scoring inside the probed
+    * lists — the classical two-level compressed index: probe cost
+    * O(N * nprobe / nCells) candidates x m lookups each. With
+    * nprobe = nCells it degenerates to exactly [[pqTopK]] (pinned in
+    * OpsSpec). */
+  def ivfPqTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                nCells: Int, nprobe: Int, dim: Int, m: Int, ksub: Int,
+                qId: String = "vec_id", cId: String = "vec_id",
+                qVec: String = "embedding", cVec: String = "embedding"): DataFrame = {
+    val subDim = dim / m
+    val cents = ivfCentroids(nCells, dim)
+    def dotsArr(vec: Column): Column = array(cents.map(c => dotWith(vec, c)): _*)
+    val argmaxCell = "CAST(array_position(__dots, array_max(__dots)) - 1 AS INT)"
+    val probeCells =
+      s"""transform(slice(array_sort(
+         |  transform(sequence(0, ${nCells - 1}), i -> struct(element_at(__dots, i + 1) AS d, i AS i)),
+         |  (a, b) -> CASE WHEN a.d > b.d THEN -1 WHEN a.d < b.d THEN 1
+         |            WHEN a.i < b.i THEN -1 ELSE 1 END), 1, $nprobe), x -> CAST(x.i AS INT))""".stripMargin
+    val c = pqEncode(
+      candidates.select(col(cId).as("cid"), col(cVec))
+        .withColumn("__dots", dotsArr(col(cVec)))
+        .withColumn("cell", expr(argmaxCell)).drop("__dots"),
+      cVec, dim, m, ksub).select(col("cid"), col("cell"), col("codes"))
+    def lutFor(vec: Column): Column = array((0 until m).map { mm =>
+      array((0 until ksub).map { j =>
+        val cent = pqCentroid(mm, j, subDim)
+        (0 until subDim).foldLeft(lit(0.0)) { (s, d) =>
+          s + element_at(vec, mm * subDim + d + 1).cast(DoubleType) * lit(cent(d))
+        }
+      }: _*)
+    }: _*)
+    val qnorm = sqrt((0 until dim).foldLeft(lit(0.0)) { (s, d) =>
+      val x = element_at(col("__qv"), d + 1).cast(DoubleType); s + x * x
+    })
+    val q = queries.select(col(qId).as("qid"), col(qVec).as("__qv"))
+      .withColumn("lut", lutFor(col("__qv"))).withColumn("qn", qnorm)
+      .withColumn("__dots", dotsArr(col("__qv")))
+      .withColumn("cell", explode(expr(probeCells)))
+      .select("qid", "lut", "qn", "cell")
+    val norms = (0 until m).map(mm => (0 until ksub).map(j => pqCentNorm2(mm, j, subDim)))
+    val adc = (0 until m).foldLeft(lit(0.0)) { (s, mm) =>
+      s + element_at(element_at(col("lut"), mm + 1), element_at(col("codes"), mm + 1) + 1)
+    }
+    val rec2 = (0 until m).foldLeft(lit(0.0)) { (s, mm) =>
+      s + element_at(typedlit(norms(mm)), element_at(col("codes"), mm + 1) + 1)
+    }
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", adc / (col("qn") * sqrt(rec2)))
+    rankTopK(scored, Seq("qid"), k).select("qid", "cid", "rank")
+  }
+
   /** Multi-probe LSH top-k: each query probes its own bucket PLUS the `bits`
     * buckets at Hamming distance 1 (one sign flipped) — the standard
     * multi-probe recall lever: a near neighbour that disagrees on exactly

@@ -214,6 +214,63 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out(0).getAs[Double]("sim") - 1.0) < 1e-9)
   }
 
+  test("PQ encode is deterministic, in-range, and identical vectors share codes") {
+    def pseudo(i: Int, d: Int): Float = {
+      val h = scala.util.hashing.MurmurHash3.productHash((i, d))
+      (h % 1000) / 1000.0f
+    }
+    val base = (0 until 40).map(i => (i.toLong, Array.tabulate(8)(d => pseudo(i, d))))
+    val plusDup = base :+ (100L, base(7)._2.clone())
+    val vecs = plusDup.toDF("vec_id", "embedding")
+    val enc = Similarity.pqEncode(vecs, "embedding", dim = 8, m = 2, ksub = 4)
+      .select("vec_id", "codes").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc.values.forall(c => c.length == 2 && c.forall(j => j >= 0 && j < 4)))
+    assert(enc(100L) == enc(7L), "identical vectors must share PQ codes")
+    val enc2 = Similarity.pqEncode(vecs.repartition(7), "embedding", 8, 2, 4)
+      .select("vec_id", "codes").collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(enc == enc2, "codes changed under repartitioning")
+  }
+
+  test("IVF-PQ with nprobe = nCells equals PQ-flat exactly") {
+    def pseudo(i: Int, d: Int): Float = {
+      val h = scala.util.hashing.MurmurHash3.productHash((i, d, 3))
+      (h % 1000) / 1000.0f
+    }
+    val vecs = (0 until 60).map(i => (i.toLong, Array.tabulate(8)(d => pseudo(i, d))))
+      .toDF("vec_id", "embedding")
+    val q = vecs.filter(col("vec_id") < 5)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.select("qid", "cid", "rank").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val flat = norm(Similarity.pqTopK(q, vecs, k = 3, dim = 8, m = 2, ksub = 4))
+    val ivf = norm(Similarity.ivfPqTopK(q, vecs, k = 3, nCells = 3, nprobe = 3, dim = 8, m = 2, ksub = 4))
+    assert(flat == ivf, s"flat $flat != ivfpq $ivf")
+    // narrower probe returns a subset-shaped result (<= k per query), all
+    // drawn from the flat candidate ordering's universe
+    val narrow = norm(Similarity.ivfPqTopK(q, vecs, k = 3, nCells = 3, nprobe = 1, dim = 8, m = 2, ksub = 4))
+    assert(narrow.map(_._1).subsetOf(flat.map(_._1)), "unknown qid appeared")
+    assert(narrow.size <= flat.size)
+  }
+
+  test("PQ ADC ranks a planted exact duplicate first (pre-encoded index path)") {
+    def pseudo(i: Int, d: Int): Float = {
+      val h = scala.util.hashing.MurmurHash3.productHash((i, d, 9))
+      (h % 1000) / 1000.0f
+    }
+    val base = (0 until 50).map(i => (i.toLong, Array.tabulate(16)(d => pseudo(i, d))))
+    val plusDup = base :+ (100L, base(5)._2.clone())
+    val vecs = plusDup.toDF("vec_id", "embedding")
+    // pre-encoded candidates: the persisted-index path (codes stored, floats
+    // not needed at probe time)
+    val encoded = Similarity.pqEncode(vecs, "embedding", 16, 4, 8)
+      .select("vec_id", "codes")
+    val out = Similarity.pqTopK(vecs.filter(col("vec_id") === 5), encoded, k = 3,
+      dim = 16, m = 4, ksub = 8).orderBy("rank").collect()
+    // the dup shares ALL codes with the query -> maximal ADC score
+    assert(out(0).getAs[Long]("cid") == 100L, out.mkString(", "))
+  }
+
   test("embedding near-dup pairs finds the duplicate") {
     def pseudo2(i: Int, d: Int): Float = {
       val h = scala.util.hashing.MurmurHash3.productHash((i * 31, d))
