@@ -87,6 +87,37 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"candidate side must not sort-merge:\n$p")
   }
 
+  test("deterministic sampling is a codegen'd scan-side filter, no shuffle") {
+    val df = graft.ops.Curate.stratifiedSample(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      col("lang"), col("doc_id"), Map("en" -> 0.25), 0.5)
+      .select("doc_id", "lang")
+    val p = plan(df)
+    assert(!p.contains("Exchange"), s"sampling must not shuffle:\n$p")
+    assert(p.contains("*(1)"), s"sampling filter must stay in whole-stage codegen:\n$p")
+  }
+
+  test("per-stratum quota plans a map-side (Partial) WindowGroupLimit") {
+    // the bounded top-n must run BEFORE the exchange too — at corpus scale
+    // the shuffle then carries at most n rows per stratum per partition
+    val df = graft.ops.Curate.quotaPerStratum(
+      spark.read.parquet(s"$sf/documents.parquet"),
+      col("source"), Seq(col("n_chars").desc, col("doc_id")), 5)
+    val p = plan(df)
+    assert(p.contains("WindowGroupLimit") &&
+      raw"WindowGroupLimit .*Partial".r.findFirstIn(p).isDefined,
+      s"expected partial+final WindowGroupLimit:\n$p")
+  }
+
+  test("PQ top-k broadcasts the query LUT and never shuffles the code index") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val dim = emb.select(size(col("embedding"))).head().getInt(0)
+    val p = plan(Similarity.pqTopK(emb.filter(col("vec_id") < 3), emb, k = 3,
+      dim = dim, m = 4, ksub = 8))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), s"code index must not sort-merge:\n$p")
+  }
+
   test("context-window packing plans exactly one shuffle") {
     // the chunk assembly's (shard, chunk) grouping must reuse the window
     // stage's hash(shard) partitioning — a second exchange would reshuffle
