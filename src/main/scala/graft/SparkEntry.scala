@@ -515,6 +515,28 @@ object SparkEntry {
           "sample_rate", "n_samples", "rms", "n_frames")
     }),
 
+    "q_decontaminate" -> ((s, dir) => {
+      // Benchmark decontamination: docs with doc_id % 10 == 0 play the eval
+      // set; survivors share NO 3-word shingle with it (md5 kernel — the
+      // oracle recomputes the hashes and the overlap test in SQL).
+      val docs = T(s, dir, "documents")
+      val bench = docs.filter(col("doc_id") % 10 === 0)
+      val corpus = docs.filter(col("doc_id") % 10 =!= 0)
+      Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+        shingleWidth = 3, hashKernel = "md5")
+        .select("doc_id", "lang", "source")
+    }),
+    "q_redact" -> ((s, dir) => {
+      // PII scrub over text with one synthesized email + phone per row (the
+      // corpus itself is PII-free); global replacement + the pre-scrub count.
+      val withPii = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" contact: user"), col("doc_id"),
+          lit("@example.com or 555-123-4567")).as("text2"))
+      withPii.select(col("doc_id"),
+        TextOps.redactPii(col("text2")).as("clean"),
+        TextOps.piiCount(col("text2")).as("n_pii"))
+    }),
+
     // ---- event-time windowed aggregation (same plans run streaming with a
     // watermark — see graft.stream.Windowed and WindowedSpec) ----
     "q_window_tumbling" -> ((s, dir) =>
@@ -1128,6 +1150,39 @@ object SparkEntry {
         |  CASE WHEN md = 1 THEN CAST(1000 + (id % 50) * 100 AS DOUBLE) END AS rms,
         |  CASE WHEN md = 2 THEN CAST(2 + (id // 3) % 3 AS INT) END AS n_frames
         |FROM d""".stripMargin,
+
+    // Decontamination: same md5 shingle construction as the dedup oracles
+    // (lowercased words, 3-word windows, whole-text fallback under 3 words);
+    // a survivor shares no shingle hash with any benchmark doc. Equality-only
+    // use, so the unsigned md5_number_lower values compare directly.
+    "q_decontaminate" ->
+      """WITH w AS (SELECT doc_id, lang, source,
+        |                 regexp_extract_all(lower(text), '\S+') AS ws FROM documents),
+        |sh AS (
+        |  SELECT doc_id, lang, source, list_distinct(list_transform(
+        |    CASE WHEN len(ws) >= 3
+        |         THEN list_transform(range(1, len(ws) - 1), i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])
+        |         ELSE [array_to_string(ws, ' ')] END,
+        |    s -> md5_number_lower(s))) AS hs
+        |  FROM w)
+        |SELECT c.doc_id, c.lang, c.source
+        |FROM sh c
+        |WHERE c.doc_id % 10 <> 0
+        |  AND NOT EXISTS (
+        |    SELECT 1 FROM sh b
+        |    WHERE b.doc_id % 10 = 0 AND len(list_intersect(c.hs, b.hs)) > 0)""".stripMargin,
+    "q_redact" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |         text || ' contact: user' || doc_id || '@example.com or 555-123-4567' AS text2
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(text2,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS clean,
+        |  CAST(len(regexp_extract_all(text2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |     + len(regexp_extract_all(text2, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS INT) AS n_pii
+        |FROM p""".stripMargin,
 
     // Tumbling windows: whole-second, hour-aligned starts — pure integer
     // epoch arithmetic on both sides.

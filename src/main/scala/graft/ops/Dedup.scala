@@ -395,6 +395,32 @@ object Dedup {
       (col("id") === col("lbl")).as("keep"))
   }
 
+  /** Benchmark decontamination: drop every corpus document sharing at least
+    * one w-word shingle with the benchmark/eval set — the standard guard
+    * against test-set leakage into training data. Plan shape: corpus
+    * shingles explode to (id, hash) and hash-join the DISTINCT benchmark
+    * shingle set (eval suites are MBs vs a 100 TB corpus — broadcast by
+    * construction); contaminated ids anti-join the corpus. Cost is one pass
+    * over the corpus text plus a
+    * semi-join keyed on the shingle hash, never an all-pairs comparison.
+    * `hashKernel` "xx" (default, fastest) or "md5" (SQL-reproducible — the
+    * oracle recomputes the hashes). */
+  def decontaminate(corpus: DataFrame, idCol: String, textCol: String,
+                    benchmark: DataFrame, benchTextCol: String,
+                    shingleWidth: Int = 3,
+                    hashKernel: String = "xx"): DataFrame = {
+    def sh(c: Column): Column =
+      if (hashKernel == "md5") Md5MinHash.shingleHashes(c, shingleWidth)
+      else TextHashExprs.shingleHashes(c, shingleWidth)
+    val corpusShingles = corpus.select(col(idCol), explode(sh(col(textCol))).as("__h"))
+    val benchShingles = benchmark
+      .select(explode(sh(col(benchTextCol))).as("__h")).distinct()
+    val contaminated = corpusShingles
+      .join(broadcast(benchShingles), Seq("__h"))
+      .select(idCol).distinct()
+    corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
   /** Drop (band, bucket) groups larger than `maxBucket` from a banded
     * (… , band, bucket) frame before its self-join. One extra aggregation on
     * the (tiny) (band, bucket) key space; when `dropObs` is given, the count

@@ -64,6 +64,28 @@ object TextOps {
     pmod(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(1000000007L))
   }
 
+  /** Email addresses — the RE2-compatible subset (no backrefs/lookaround),
+    * so the same pattern string runs verbatim in any SQL engine's regex. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** North-American-style phone shapes (555-123-4567, 555.123.4567 etc.). */
+  val PhonePattern = "[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+  /** PII scrub for training text: global regex redaction of emails and
+    * phone-shaped numbers (pure expressions — linear scan, no shuffle; the
+    * pattern set is deliberately RE2-safe and oracle-reproducible). Order
+    * matters and is fixed: emails first, then phones. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      PhonePattern, "<PHONE>")
+
+  /** Count of redactions [[redactPii]] would make (emails + phones) —
+    * curation pipelines filter/score on PII density before scrubbing. */
+  def piiCount(text: Column): Column =
+    (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0)))).cast(IntegerType)
+
   /** Per-language stopword hit count (multiset: repeated stopwords count). */
   def stopwordHits(text: Column, lang: String): Column =
     size(filter(words(text), w => w.isin(LangProfiles.stopwords(lang): _*)))

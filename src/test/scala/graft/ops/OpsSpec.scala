@@ -478,6 +478,36 @@ class OpsSpec extends AnyFunSuite {
     assert(obs2.get("dropped_buckets").asInstanceOf[Long] > 0)
   }
 
+  test("decontamination drops exactly the docs sharing a shingle with the benchmark") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "completely unrelated content about spark plans"),
+      (3L, "xx yy quick brown fox zz"), // shares shingle "quick brown fox"
+      (4L, "short one"), // < 3 words vs benchmark: whole-text shingle differs
+      (10L, "benchmark doc with quick brown fox inside")).toDF("doc_id", "text")
+    val bench = docs.filter(col("doc_id") === 10)
+    val corpus = docs.filter(col("doc_id") =!= 10)
+    for (kernel <- Seq("xx", "md5")) {
+      val kept = Dedup.decontaminate(corpus, "doc_id", "text", bench, "text",
+        shingleWidth = 3, hashKernel = kernel)
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(kept == Set(2L, 4L), s"kernel=$kernel kept $kept")
+    }
+  }
+
+  test("PII redaction scrubs emails and phones and counts them") {
+    val df = Seq(
+      (1L, "reach me at a.b+c@mail-host.org today"),
+      (2L, "call 555-123-4567 or 555.987.6543"),
+      (3L, "nothing sensitive here")).toDF("id", "text")
+    val out = df.select(col("id"), TextOps.redactPii(col("text")).as("clean"),
+      TextOps.piiCount(col("text")).as("n")).collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2)))).toMap
+    assert(out(1L) == (("reach me at <EMAIL> today", 1)))
+    assert(out(2L) == (("call <PHONE> or <PHONE>", 2)))
+    assert(out(3L) == (("nothing sensitive here", 0)))
+  }
+
   test("quality features penalize junk") {
     val df = Seq(
       (1L, "this is a perfectly normal english sentence with many common words in it"),
