@@ -232,19 +232,8 @@ object Similarity {
     * (first argmin on exact-double ties -> deterministic). Adds `codes`
     * (array<int>, length m). */
   def pqEncode(df: DataFrame, vecCol: String, dim: Int, m: Int, ksub: Int): DataFrame = {
-    val subDim = dim / m
-    require(m * subDim == dim, s"dim $dim not divisible by m $m")
-    val codes = array((0 until m).map { mm =>
-      val d2 = array((0 until ksub).map { j =>
-        val cent = pqCentroid(mm, j, subDim)
-        (0 until subDim).foldLeft(lit(0.0)) { (s, d) =>
-          val diff = element_at(col(vecCol), mm * subDim + d + 1).cast(DoubleType) - lit(cent(d))
-          s + diff * diff
-        }
-      }: _*)
-      (array_position(d2, array_min(d2)) - 1).cast(IntegerType)
-    }: _*)
-    df.withColumn("codes", codes)
+    require(m * (dim / m) == dim, s"dim $dim not divisible by m $m")
+    df.withColumn("codes", PqExprs.pqCodes(col(vecCol), dim, m, ksub))
   }
 
   /** PQ-flat top-k by asymmetric distance: per query, a (m x ksub) lookup
@@ -264,18 +253,11 @@ object Similarity {
       else pqEncode(candidates.select(col(cId).as("cid"), col(cVec)), cVec, dim, m, ksub)
         .select(col("cid"), col("codes"))
     // query-side LUT: lut[m][j] = dot(q_m, cent_{m,j}); qnorm over all dims
-    def lutFor(vec: Column): Column = array((0 until m).map { mm =>
-      array((0 until ksub).map { j =>
-        val cent = pqCentroid(mm, j, subDim)
-        (0 until subDim).foldLeft(lit(0.0)) { (s, d) =>
-          s + element_at(vec, mm * subDim + d + 1).cast(DoubleType) * lit(cent(d))
-        }
-      }: _*)
-    }: _*)
     val qnorm = sqrt((0 until dim).foldLeft(lit(0.0)) { (s, d) =>
       val x = element_at(col(qVec), d + 1).cast(DoubleType); s + x * x
     })
-    val q = queries.select(col(qId).as("qid"), lutFor(col(qVec)).as("lut"), qnorm.as("qn"))
+    val q = queries.select(col(qId).as("qid"),
+      PqExprs.pqLut(col(qVec), dim, m, ksub).as("lut"), qnorm.as("qn"))
     // candidate-side: adc = left fold over m of lut[m][code_m]; rec norm
     // from the centroid-norm literal table, same fold order
     val norms = (0 until m).map(mm => (0 until ksub).map(j => pqCentNorm2(mm, j, subDim)))
@@ -315,19 +297,11 @@ object Similarity {
         .withColumn("__dots", dotsArr(col(cVec)))
         .withColumn("cell", expr(argmaxCell)).drop("__dots"),
       cVec, dim, m, ksub).select(col("cid"), col("cell"), col("codes"))
-    def lutFor(vec: Column): Column = array((0 until m).map { mm =>
-      array((0 until ksub).map { j =>
-        val cent = pqCentroid(mm, j, subDim)
-        (0 until subDim).foldLeft(lit(0.0)) { (s, d) =>
-          s + element_at(vec, mm * subDim + d + 1).cast(DoubleType) * lit(cent(d))
-        }
-      }: _*)
-    }: _*)
     val qnorm = sqrt((0 until dim).foldLeft(lit(0.0)) { (s, d) =>
       val x = element_at(col("__qv"), d + 1).cast(DoubleType); s + x * x
     })
     val q = queries.select(col(qId).as("qid"), col(qVec).as("__qv"))
-      .withColumn("lut", lutFor(col("__qv"))).withColumn("qn", qnorm)
+      .withColumn("lut", PqExprs.pqLut(col("__qv"), dim, m, ksub)).withColumn("qn", qnorm)
       .withColumn("__dots", dotsArr(col("__qv")))
       .withColumn("cell", explode(expr(probeCells)))
       .select("qid", "lut", "qn", "cell")

@@ -135,6 +135,25 @@ class ChangesSpec extends AnyFunSuite {
     assert(!maintained.exists(r => r._1 == "s1" || r._1 == "s2"), maintained.toString)
   }
 
+  test("changesBetween spans additive schema evolution (old rows read null)") {
+    val root = SparkTestBase.tempDir("chg-evolve")
+    val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 2)
+    t.merge(changes(Seq(("a", "c", 1), ("b", "c", 2))), "e1")
+    val v1 = t.snapshot.version
+    // epoch 2 evolves the payload: adds a `lang` column
+    val evolved = changes(Seq(("a", "u", 9), ("c", "c", 10)))
+      .withColumn("after",
+        when(col("after").isNotNull,
+          col("after").withField("lang", concat(lit("L"), col("lsn")))))
+    t.merge(evolved, "e2")
+    val rows = t.changesBetween(v1, t.snapshot.version)
+      .select("doc_id", "change_op", "source", "lang").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    assert(rows == Set(
+      ("a", "update", "s9", "L9"),
+      ("c", "insert", "s10", "L10")), rows.toString)
+  }
+
   test("changesBetween rejects inverted version ranges") {
     val root = SparkTestBase.tempDir("chg-bad")
     val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 2)
