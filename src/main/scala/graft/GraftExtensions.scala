@@ -145,11 +145,33 @@ object GraftExtensions {
     (children: Seq[Expression]) =>
       graft.ops.Md5ModExpr(children(0), constInt(children(1), "md5_mod", "n")))
 
+  val pqCodesDescriptor: Descriptor = (
+    FunctionIdentifier("pq_codes"),
+    info("pq_codes", "pq_codes(vec, dim, m, ksub) - product-quantization codes: per-subspace argmin against md5-derived codebooks."),
+    (children: Seq[Expression]) =>
+      graft.ops.PqCodesExpr(children(0),
+        constInt(children(1), "pq_codes", "dim"),
+        constInt(children(2), "pq_codes", "m"),
+        constInt(children(3), "pq_codes", "ksub")))
+
+  val redactPiiDescriptor: Descriptor = (
+    FunctionIdentifier("redact_pii"),
+    info("redact_pii", "redact_pii(text) - global scrub of emails and phone-shaped numbers (<EMAIL>/<PHONE>)."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextOps.redactPii(asCol(children(0)))))
+
+  val piiCountDescriptor: Descriptor = (
+    FunctionIdentifier("pii_count"),
+    info("pii_count", "pii_count(text) - count of email + phone matches redact_pii would scrub."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextOps.piiCount(asCol(children(0)))))
+
   val allDescriptors: Seq[Descriptor] = Seq(
     kafkaMurmur2Descriptor, kafkaPartitionDescriptor, tokenGenDescriptor,
     simhashDescriptor, shingleHashesDescriptor, minhashSigDescriptor,
     minhashBandsDescriptor, cosineSimDescriptor, lshBucketDescriptor,
-    tokenizeMd5Descriptor, md5ModDescriptor)
+    tokenizeMd5Descriptor, md5ModDescriptor,
+    pqCodesDescriptor, redactPiiDescriptor, piiCountDescriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

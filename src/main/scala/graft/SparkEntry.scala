@@ -526,6 +526,16 @@ object SparkEntry {
         shingleWidth = 3, hashKernel = "md5")
         .select("doc_id", "lang", "source")
     }),
+    "q_dedup_segments" -> ((s, dir) => {
+      // Intra-doc repetition: the text is doubled sentence-wise, the op must
+      // collapse it back and report the repetition ratio (first occurrences
+      // kept, order preserved — the oracle rebuilds that with windows).
+      val t2 = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(". "), col("text")).as("text2"))
+      t2.select(col("doc_id"),
+        TextOps.dedupSegments(col("text2"), "\\. ", ". ").as("clean"),
+        TextOps.segmentDupRatio(col("text2"), "\\. ").as("dup_ratio"))
+    }),
     "q_redact" -> ((s, dir) => {
       // PII scrub over text with one synthesized email + phone per row (the
       // corpus itself is PII-free); global replacement + the pre-scrub count.
@@ -1171,6 +1181,19 @@ object SparkEntry {
         |  AND NOT EXISTS (
         |    SELECT 1 FROM sh b
         |    WHERE b.doc_id % 10 = 0 AND len(list_intersect(c.hs, b.hs)) > 0)""".stripMargin,
+    "q_dedup_segments" ->
+      """WITH t AS (SELECT doc_id, text || '. ' || text AS text2 FROM documents),
+        |l AS (SELECT doc_id, string_split_regex(text2, '\. ') AS segs FROM t),
+        |u AS (SELECT doc_id, unnest(list_transform(range(1, len(segs) + 1),
+        |                            i -> {'pos': i, 'seg': segs[i]})) AS s FROM l),
+        |f AS (SELECT doc_id, s.pos AS pos, s.seg AS seg,
+        |             row_number() OVER (PARTITION BY doc_id, s.seg ORDER BY s.pos) AS rn
+        |      FROM u),
+        |clean AS (SELECT doc_id, string_agg(seg, '. ' ORDER BY pos) AS clean
+        |          FROM f WHERE rn = 1 GROUP BY doc_id),
+        |stats AS (SELECT doc_id, count(*) AS n, count(DISTINCT seg) AS nd FROM f GROUP BY doc_id)
+        |SELECT c.doc_id, c.clean, CAST(st.n - st.nd AS DOUBLE) / st.n AS dup_ratio
+        |FROM clean c JOIN stats st ON c.doc_id = st.doc_id""".stripMargin,
     "q_redact" ->
       """WITH p AS (
         |  SELECT doc_id,

@@ -86,6 +86,20 @@ object TextOps {
     (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) +
       size(regexp_extract_all(text, lit(PhonePattern), lit(0)))).cast(IntegerType)
 
+  /** Intra-document repetition removal (Gopher-style): split on
+    * `delimRegex`, keep the FIRST occurrence of each segment in order, join
+    * back with `joiner`. Pure expressions — `array_distinct` preserves
+    * first-occurrence order in Spark (pinned in OpsSpec). */
+  def dedupSegments(text: Column, delimRegex: String, joiner: String): Column =
+    array_join(array_distinct(split(text, delimRegex)), joiner)
+
+  /** Fraction of segments that are repeats of an earlier one — the
+    * repetition quality signal curation filters on. */
+  def segmentDupRatio(text: Column, delimRegex: String): Column = {
+    val segs = split(text, delimRegex)
+    (size(segs) - size(array_distinct(segs))).cast(DoubleType) / size(segs)
+  }
+
   /** Per-language stopword hit count (multiset: repeated stopwords count). */
   def stopwordHits(text: Column, lang: String): Column =
     size(filter(words(text), w => w.isin(LangProfiles.stopwords(lang): _*)))

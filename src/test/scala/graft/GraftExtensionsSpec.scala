@@ -88,6 +88,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sqlRow.getSeq[Int](0).forall(t => t >= 0 && t < 32000))
   }
 
+  test("pq_codes / redact_pii / pii_count are SQL-callable and agree with the Scala API") {
+    GraftExtensions.register(spark)
+    import org.apache.spark.sql.functions._
+    val sqlRow = spark.sql(
+      """SELECT pq_codes(array(0.1F, -0.2F, 0.3F, 0.4F, -0.5F, 0.6F, 0.7F, -0.8F), 8, 2, 4) AS codes,
+        |       redact_pii('mail a@b.co or 555-123-4567') AS clean,
+        |       pii_count('mail a@b.co or 555-123-4567') AS n""".stripMargin).head()
+    val apiRow = spark.range(1).select(
+      graft.ops.PqExprs.pqCodes(
+        array(Seq(0.1f, -0.2f, 0.3f, 0.4f, -0.5f, 0.6f, 0.7f, -0.8f).map(lit(_)): _*), 8, 2, 4).as("codes"),
+      graft.ops.TextOps.redactPii(lit("mail a@b.co or 555-123-4567")).as("clean"),
+      graft.ops.TextOps.piiCount(lit("mail a@b.co or 555-123-4567")).as("n")).head()
+    assert(sqlRow.getSeq[Int](0) == apiRow.getSeq[Int](0), "pq_codes mismatch")
+    assert(sqlRow.getString(1) == "mail <EMAIL> or <PHONE>" && sqlRow.getString(1) == apiRow.getString(1))
+    assert(sqlRow.getInt(2) == 2 && apiRow.getInt(2) == 2)
+  }
+
   test("kernel shape arguments must be constants") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

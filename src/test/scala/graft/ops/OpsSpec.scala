@@ -495,6 +495,15 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("segment dedup keeps first occurrences in order and reports the ratio") {
+    val df = Seq((1L, "a b. c d. a b. e f. c d")).toDF("id", "text")
+    val out = df.select(
+      TextOps.dedupSegments(col("text"), "\\. ", ". ").as("clean"),
+      TextOps.segmentDupRatio(col("text"), "\\. ").as("r")).head()
+    assert(out.getString(0) == "a b. c d. e f", out.getString(0))
+    assert(math.abs(out.getDouble(1) - 0.4) < 1e-12) // 2 repeats of 5 segments
+  }
+
   test("PII redaction scrubs emails and phones and counts them") {
     val df = Seq(
       (1L, "reach me at a.b+c@mail-host.org today"),
