@@ -62,6 +62,16 @@ object GraftExtensions {
     }
   }
 
+  private def constStr(e: Expression, fn: String, arg: String): String = {
+    require(e.foldable, s"$fn: argument '$arg' must be a constant")
+    e.eval() match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be a string constant, got $other")
+    }
+  }
+
   private def asCol(e: Expression) = org.apache.spark.sql.graftbridge.Exprs.column(e)
   // eager conversion: the analyzer must see a plain Catalyst tree, not a
   // ColumnNodeExpression leaf, to resolve the HOF lambdas inside
@@ -166,12 +176,53 @@ object GraftExtensions {
     (children: Seq[Expression]) =>
       asExpr(graft.ops.TextOps.piiCount(asCol(children(0)))))
 
+  val langIdDescriptor: Descriptor = (
+    FunctionIdentifier("lang_id"),
+    info("lang_id", "lang_id(text) - heuristic language id (en/fr/de/es/und) by stopword-hit argmax."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextOps.langIdCol(asCol(children(0)))))
+
+  val tokenCountDescriptor: Descriptor = (
+    FunctionIdentifier("token_count"),
+    info("token_count", "token_count(text) - whitespace token count."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextOps.wsTokenCount(asCol(children(0)))))
+
+  val bpeTokenCountDescriptor: Descriptor = (
+    FunctionIdentifier("bpe_token_count"),
+    info("bpe_token_count", "bpe_token_count(text) - GPT-2-style pretokenizer count (letter runs, digit runs, punct)."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextOps.bpeTokenCount(asCol(children(0)))))
+
+  val docFingerprintDescriptor: Descriptor = (
+    FunctionIdentifier("doc_fingerprint"),
+    info("doc_fingerprint", "doc_fingerprint(text) - order-sensitive positional structural fingerprint mod 1e9+7."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextOps.fingerprint(asCol(children(0)))))
+
+  val dedupSegmentsDescriptor: Descriptor = (
+    FunctionIdentifier("dedup_segments"),
+    info("dedup_segments", "dedup_segments(text, delimRegex, joiner) - drop repeated segments, keep first occurrences in order."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextOps.dedupSegments(asCol(children(0)),
+        constStr(children(1), "dedup_segments", "delimRegex"),
+        constStr(children(2), "dedup_segments", "joiner"))))
+
+  val segmentDupRatioDescriptor: Descriptor = (
+    FunctionIdentifier("segment_dup_ratio"),
+    info("segment_dup_ratio", "segment_dup_ratio(text, delimRegex) - fraction of segments repeating an earlier one."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextOps.segmentDupRatio(asCol(children(0)),
+        constStr(children(1), "segment_dup_ratio", "delimRegex"))))
+
   val allDescriptors: Seq[Descriptor] = Seq(
     kafkaMurmur2Descriptor, kafkaPartitionDescriptor, tokenGenDescriptor,
     simhashDescriptor, shingleHashesDescriptor, minhashSigDescriptor,
     minhashBandsDescriptor, cosineSimDescriptor, lshBucketDescriptor,
     tokenizeMd5Descriptor, md5ModDescriptor,
-    pqCodesDescriptor, redactPiiDescriptor, piiCountDescriptor)
+    pqCodesDescriptor, redactPiiDescriptor, piiCountDescriptor,
+    langIdDescriptor, tokenCountDescriptor, bpeTokenCountDescriptor,
+    docFingerprintDescriptor, dedupSegmentsDescriptor, segmentDupRatioDescriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

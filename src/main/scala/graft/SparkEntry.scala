@@ -442,6 +442,17 @@ object SparkEntry {
       Similarity.ivfTopK(emb.filter(col("vec_id") < 10), emb, k = 5, nCells = 8, nprobe = 1, dim = dim)
         .select(col("qid"), col("cid"), col("rank").cast(IntegerType).as("rank"))
     }),
+    "q_embed_kmeans" -> ((s, dir) => {
+      // TRAINED-quantizer IVF: 2 Lloyd's iterations from the 4 smallest-id
+      // seeds, queries probe their 2 nearest cells. The oracle retrains the
+      // identical k-means in SQL — centroid updates are quantized to 6 dp
+      // with pure double arithmetic so engine summation-order drift can't
+      // diverge the trajectories.
+      val emb = T(s, dir, "embeddings")
+      Similarity.kmeansIvfTopK(emb.filter(col("vec_id") < 10), emb, k = 5,
+        nCells = 4, nprobe = 2, iters = 2)
+        .select(col("qid"), col("cid"), col("rank").cast(IntegerType).as("rank"))
+    }),
     "q_embed_multiprobe" -> ((s, dir) => {
       // Multi-probe LSH: own bucket + all Hamming-distance-1 buckets; the
       // oracle recomputes the probe set (XOR of each bit) in SQL.
@@ -535,6 +546,12 @@ object SparkEntry {
       t2.select(col("doc_id"),
         TextOps.dedupSegments(col("text2"), "\\. ", ". ").as("clean"),
         TextOps.segmentDupRatio(col("text2"), "\\. ").as("dup_ratio"))
+    }),
+    "q_corpus_stats" -> ((s, dir) => {
+      // Per-source corpus profile (exact mode: DISTINCT + linear-interpolated
+      // quantiles — both engines share the definition; the approx mode is the
+      // 100 TB path and is exercised in OpsSpec instead).
+      TextOps.corpusProfile(T(s, dir, "documents"))
     }),
     "q_redact" -> ((s, dir) => {
       // PII scrub over text with one synthesized email + phone per row (the
@@ -928,6 +945,60 @@ object SparkEntry {
         |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
         |FROM scored
         |QUALIFY rank <= 5""".stripMargin,
+    // k-means retrained end-to-end in SQL: seeds = 4 smallest vec_ids,
+    // 2 unrolled Lloyd's iterations, centroid updates quantized to 6 dp via
+    // floor(x*1e6+0.5)/1e6 — PURE double arithmetic, bit-identical in both
+    // engines, absorbing each engine's float-summation-order drift in avg().
+    // Distances use the same left fold as Spark's aggregate(); argmin ties
+    // break to the lowest cell (row_number ... ORDER BY dist, cell).
+    "q_embed_kmeans" ->
+      """WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS v FROM embeddings),
+        |dims AS (SELECT unnest(range(0,64)) AS d),
+        |c0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cell, v AS cv
+        |       FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= 4),
+        |a0 AS (SELECT vec_id, v, cell FROM (
+        |         SELECT e.vec_id, e.v, c0.cell,
+        |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |                  list_reduce(list_prepend(0.0::DOUBLE,
+        |                    list_transform(range(0,64), d -> (v[d+1] - cv[d+1]) * (v[d+1] - cv[d+1]))),
+        |                    (s, x) -> s + x) ASC, c0.cell) AS rn
+        |         FROM e CROSS JOIN c0) WHERE rn = 1),
+        |m0 AS (SELECT cell, d, floor(avg(v[d+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |       FROM a0 CROSS JOIN dims GROUP BY cell, d),
+        |c1 AS (SELECT c0.cell, list(COALESCE(m0.m, c0.cv[dims.d + 1]) ORDER BY dims.d) AS cv
+        |       FROM c0 CROSS JOIN dims LEFT JOIN m0 ON m0.cell = c0.cell AND m0.d = dims.d
+        |       GROUP BY c0.cell),
+        |a1 AS (SELECT vec_id, v, cell FROM (
+        |         SELECT e.vec_id, e.v, c1.cell,
+        |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |                  list_reduce(list_prepend(0.0::DOUBLE,
+        |                    list_transform(range(0,64), d -> (v[d+1] - cv[d+1]) * (v[d+1] - cv[d+1]))),
+        |                    (s, x) -> s + x) ASC, c1.cell) AS rn
+        |         FROM e CROSS JOIN c1) WHERE rn = 1),
+        |m1 AS (SELECT cell, d, floor(avg(v[d+1]) * 1000000.0 + 0.5) / 1000000.0 AS m
+        |       FROM a1 CROSS JOIN dims GROUP BY cell, d),
+        |c2 AS (SELECT c1.cell, list(COALESCE(m1.m, c1.cv[dims.d + 1]) ORDER BY dims.d) AS cv
+        |       FROM c1 CROSS JOIN dims LEFT JOIN m1 ON m1.cell = c1.cell AND m1.d = dims.d
+        |       GROUP BY c1.cell),
+        |af AS (SELECT vec_id, v, cell FROM (
+        |         SELECT e.vec_id, e.v, c2.cell,
+        |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |                  list_reduce(list_prepend(0.0::DOUBLE,
+        |                    list_transform(range(0,64), d -> (v[d+1] - cv[d+1]) * (v[d+1] - cv[d+1]))),
+        |                    (s, x) -> s + x) ASC, c2.cell) AS rn
+        |         FROM e CROSS JOIN c2) WHERE rn = 1),
+        |qp AS (SELECT vec_id AS qid, v AS qv, cell FROM (
+        |         SELECT e.vec_id, e.v, c2.cell,
+        |                row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |                  list_reduce(list_prepend(0.0::DOUBLE,
+        |                    list_transform(range(0,64), d -> (v[d+1] - cv[d+1]) * (v[d+1] - cv[d+1]))),
+        |                    (s, x) -> s + x) ASC, c2.cell) AS rn
+        |         FROM e CROSS JOIN c2 WHERE e.vec_id < 10) WHERE rn <= 2),
+        |scored AS (SELECT qp.qid, af.vec_id AS cid, list_cosine_similarity(qp.qv, af.v) AS sim
+        |           FROM qp JOIN af ON af.cell = qp.cell AND af.vec_id <> qp.qid)
+        |SELECT qid, cid, CAST(row_number() OVER (PARTITION BY qid ORDER BY sim DESC, cid) AS INT) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5""".stripMargin,
     "q_embed_multiprobe" ->
       """WITH p AS (
         |  SELECT pid, list_transform(range(0,64), d ->
@@ -1194,6 +1265,16 @@ object SparkEntry {
         |stats AS (SELECT doc_id, count(*) AS n, count(DISTINCT seg) AS nd FROM f GROUP BY doc_id)
         |SELECT c.doc_id, c.clean, CAST(st.n - st.nd AS DOUBLE) / st.n AS dup_ratio
         |FROM clean c JOIN stats st ON c.doc_id = st.doc_id""".stripMargin,
+    "q_corpus_stats" ->
+      """WITH w AS (SELECT source, text, len(regexp_extract_all(text, '\S+')) AS wc FROM documents)
+        |SELECT source,
+        |       count(*) AS n_docs,
+        |       count(DISTINCT md5(text)) AS distinct_texts,
+        |       CAST(sum(wc) AS BIGINT) AS total_tokens,
+        |       floor(avg(wc) * 1000000.0 + 0.5) / 1000000.0 AS tok_mean,
+        |       quantile_cont(wc, 0.5) AS tok_p50,
+        |       quantile_cont(wc, 0.9) AS tok_p90
+        |FROM w GROUP BY source""".stripMargin,
     "q_redact" ->
       """WITH p AS (
         |  SELECT doc_id,

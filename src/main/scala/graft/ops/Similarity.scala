@@ -340,4 +340,91 @@ object Similarity {
       .withColumn("sim", cosine(col("qv"), col("cv")))
     rankTopK(scored, Seq("qid"), k).select("qid", "cid", "sim", "rank")
   }
+
+  // ---- k-means-trained IVF -------------------------------------------------
+  // The md5-derived IVF centroids above are data-independent; on real
+  // corpora a TRAINED coarse quantizer cuts probe cost 2-5x at equal recall
+  // (faiss's default). Training is Lloyd's iterations expressed as Spark
+  // jobs: assignment is a map-side argmin against broadcast centroids (no
+  // shuffle of the vectors), the update is one partial-aggregating
+  // groupBy(cell, dim) whose shuffle is O(partitions x k x dim) rows —
+  // a pass over 100 TB of vectors moves kilobytes. Determinism for the SQL
+  // oracle: seeds are the k smallest-id vectors, every updated component is
+  // rounded to 6 dp (absorbs float-summation order differences between
+  // engines), empty cells keep their previous centroid, argmin ties break
+  // to the lowest cell.
+
+  /** Squared L2 distance of a double-array column to a literal centroid,
+    * left-fold order (both engines reduce lists left-to-right). */
+  private def l2With(vec: Column, cent: Seq[Double]): Column =
+    aggregate(zip_with(vec, typedlit(cent), (x, c) => (x - c) * (x - c)),
+      lit(0.0), (s, x) => s + x)
+
+  /** Adds `out` = index of the nearest centroid (min L2, first-match ties ->
+    * lowest cell). `vecCol` must already be array<double>. */
+  private def withNearestCell(df: DataFrame, vecCol: String,
+                              cents: Seq[Seq[Double]], out: String): DataFrame =
+    df.withColumn("__d", array(cents.map(c => l2With(col(vecCol), c)): _*))
+      .withColumn(out, expr("CAST(array_position(__d, array_min(__d)) - 1 AS INT)"))
+      .drop("__d")
+
+  /** Train `k` coarse-quantizer centroids with `iters` Lloyd's iterations.
+    * Returns the k x dim centroid matrix (driver-held; k*dim doubles). */
+  def kmeansCentroids(candidates: DataFrame, k: Int, iters: Int,
+                      cId: String = "vec_id", cVec: String = "embedding"): Seq[Seq[Double]] = {
+    val c = candidates.select(col(cId).cast(LongType).as("cid"),
+      transform(col(cVec), x => x.cast(DoubleType)).as("cv"))
+    var cents: Seq[Seq[Double]] = c.orderBy("cid").limit(k).collect()
+      .map(r => r.getSeq[Double](1): Seq[Double]).toSeq
+    var it = 0
+    while (it < iters) {
+      // per-(cell, dim) mean: posexplode keeps the whole update inside one
+      // partial-aggregating hash agg; only k x dim x partitions rows shuffle
+      // 6-dp quantization as PURE double arithmetic (floor(x*1e6+0.5)/1e6):
+      // bit-identical in any IEEE engine given the same avg, unlike round()
+      // whose BigDecimal-vs-C++ implementations differ in the last ulp
+      val upd = withNearestCell(c, "cv", cents, "cell")
+        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+        .groupBy("cell", "pos")
+        .agg((floor(avg(col("x")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("m"))
+        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+      cents = cents.zipWithIndex.map { case (old, cell) =>
+        old.indices.map(d => upd.getOrElse((cell, d), old(d)))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** IVF-flat top-k over a TRAINED quantizer: like [[ivfTopK]] but cells
+    * come from [[kmeansCentroids]] (argmin L2 instead of argmax dot — the
+    * standard k-means geometry). Each query probes its `nprobe` nearest
+    * cells; candidates live in exactly one inverted list, so no per-pair
+    * dedup is needed before ranking. */
+  def kmeansIvfTopK(queries: DataFrame, candidates: DataFrame, k: Int,
+                    nCells: Int, nprobe: Int, iters: Int,
+                    qId: String = "vec_id", cId: String = "vec_id",
+                    qVec: String = "embedding", cVec: String = "embedding"): DataFrame = {
+    val cents = kmeansCentroids(candidates, nCells, iters, cId, cVec)
+    val c = withNearestCell(
+      candidates.select(col(cId).as("cid"),
+        transform(col(cVec), x => x.cast(DoubleType)).as("cv")),
+      "cv", cents, "cell")
+    val q0 = queries.select(col(qId).as("qid"),
+      transform(col(qVec), x => x.cast(DoubleType)).as("qv"))
+    // nprobe nearest cells, by distance asc then cell asc (deterministic)
+    val probeCells =
+      s"""transform(slice(array_sort(
+         |  transform(sequence(0, ${nCells - 1}), i -> struct(element_at(__d, i + 1) AS d, i AS i)),
+         |  (a, b) -> CASE WHEN a.d < b.d THEN -1 WHEN a.d > b.d THEN 1
+         |            WHEN a.i < b.i THEN -1 ELSE 1 END), 1, $nprobe), x -> CAST(x.i AS INT))""".stripMargin
+    val q =
+      if (nprobe <= 1) withNearestCell(q0, "qv", cents, "cell")
+      else q0.withColumn("__d", array(cents.map(cc => l2With(col("qv"), cc)): _*))
+        .withColumn("cell", explode(expr(probeCells))).drop("__d")
+    val scored = c.join(broadcast(q), Seq("cell"))
+      .filter(col("cid") =!= col("qid"))
+      .withColumn("sim", cosine(col("qv"), col("cv")))
+    rankTopK(scored, Seq("qid"), k).select("qid", "cid", "sim", "rank")
+  }
 }

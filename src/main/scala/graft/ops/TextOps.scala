@@ -56,6 +56,32 @@ object TextOps {
           - when(col("n_words") < 5, 0.3).otherwise(0.0), lit(1.0)), lit(0.0)), 4))
   }
 
+  /** Per-source corpus profile: doc counts, content-distinct counts, token
+    * totals and exact quantiles — the summary a curation run reports per
+    * shard/source. `approx = true` switches to the sketch aggregates
+    * (approx_count_distinct / percentile_approx) for the 100 TB path where
+    * exact DISTINCT and exact quantiles would hold per-group sorted state;
+    * the oracle gate uses the exact mode (both engines define linear-
+    * interpolated quantiles identically). */
+  def corpusProfile(df: DataFrame, textCol: String = "text",
+                    groupCol: String = "source", approx: Boolean = false): DataFrame = {
+    val d = df.withColumn("__wc", wsTokenCount(col(textCol)))
+    val distinctTexts =
+      if (approx) approx_count_distinct(md5(col(textCol))).as("distinct_texts")
+      else countDistinct(md5(col(textCol))).as("distinct_texts")
+    def pct(p: Double) =
+      if (approx) expr(s"percentile_approx(__wc, $p, 10000)").cast(DoubleType)
+      else expr(s"percentile(__wc, $p)")
+    d.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        distinctTexts,
+        sum(col("__wc")).cast(LongType).as("total_tokens"),
+        (floor(avg(col("__wc")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("tok_mean"),
+        pct(0.5).as("tok_p50"),
+        pct(0.9).as("tok_p90"))
+  }
+
   /** Positional structural fingerprint: sum_i(i * len(word_i)) mod P —
     * order-sensitive (a shuffled document fingerprints differently), cheap,
     * and reproducible in plain SQL for the oracle. 1-based positions. */
@@ -103,6 +129,18 @@ object TextOps {
   /** Per-language stopword hit count (multiset: repeated stopwords count). */
   def stopwordHits(text: Column, lang: String): Column =
     size(filter(words(text), w => w.isin(LangProfiles.stopwords(lang): _*)))
+
+  /** Scalar form of [[langId]] for the SQL surface: argmax of per-language
+    * stopword hits via array_position (first match = earliest language on
+    * ties — the same semantics as langId's strict-`>` fold; equivalence is
+    * pinned in OpsSpec). */
+  def langIdCol(t: Column): Column = {
+    val scores = array(LangProfiles.langs.map(l => stopwordHits(t, l).cast(DoubleType)): _*)
+    val mx = array_max(scores)
+    when(mx <= 0, lit("und"))
+      .otherwise(element_at(typedlit(LangProfiles.langs),
+        array_position(scores, mx).cast(IntegerType)))
+  }
 
   /** Heuristic language ID: argmax of per-language stopword hit counts;
     * ties keep the earlier language in [[LangProfiles.langs]] order (strict

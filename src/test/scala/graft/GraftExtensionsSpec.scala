@@ -105,6 +105,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(sqlRow.getInt(2) == 2 && apiRow.getInt(2) == 2)
   }
 
+  test("text-analysis ops are SQL-callable: lang_id, counts, fingerprint, segment dedup") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT lang_id('the cat is on the mat and it is warm') AS lang,
+        |       token_count('one two  three') AS tc,
+        |       bpe_token_count('ab12, cd') AS bc,
+        |       doc_fingerprint('ab cde') AS fp,
+        |       dedup_segments('a b. c d. a b', '\\. ', '. ') AS ds,
+        |       segment_dup_ratio('a b. c d. a b', '\\. ') AS sr""".stripMargin).head()
+    assert(r.getString(0) == "en")
+    assert(r.getInt(1) == 3)
+    assert(r.getInt(2) == 4) // "ab", "12", ",", "cd"
+    assert(r.getLong(3) == (1L * 2 + 2L * 3)) // 1*len("ab") + 2*len("cde")
+    assert(r.getString(4) == "a b. c d")
+    assert(math.abs(r.getDouble(5) - 1.0 / 3) < 1e-12)
+  }
+
   test("kernel shape arguments must be constants") {
     GraftExtensions.register(spark)
     val e = intercept[Exception] {

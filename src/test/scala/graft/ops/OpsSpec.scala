@@ -360,6 +360,54 @@ class OpsSpec extends AnyFunSuite {
     assert(ivfAll == exact)
   }
 
+  test("k-means IVF: training is deterministic, recall sane, nprobe=nCells exact") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val queries = emb.filter(col("vec_id") < 20)
+    val k = 5
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("qid").cast("long"), col("cid").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // deterministic across runs (seeds fixed, updates 6-dp quantized)
+    val c1 = Similarity.kmeansCentroids(emb, 4, 2)
+    val c2 = Similarity.kmeansCentroids(emb, 4, 2)
+    assert(c1 == c2)
+    assert(c1.size == 4 && c1.forall(_.size == 64))
+    // every trained component is on the 1e-6 grid (floor(x*1e6+0.5)/1e6)
+    assert(c1.flatten.forall(x => math.abs(x * 1e6 - math.rint(x * 1e6)) < 1e-6))
+    val exact = pairs(Similarity.bruteForceTopK(queries, emb, k))
+    val km2 = pairs(Similarity.kmeansIvfTopK(queries, emb, k, nCells = 4, nprobe = 2, iters = 2))
+    val kmAll = pairs(Similarity.kmeansIvfTopK(queries, emb, k, nCells = 4, nprobe = 4, iters = 2))
+    val r2km = km2.intersect(exact).size.toDouble / exact.size
+    info(f"k-means IVF recall@$k nprobe2of4=$r2km%.3f")
+    assert(r2km >= 0.5) // trained quantizer at half the cells probed
+    assert(kmAll == exact) // probing every cell degenerates to brute force
+  }
+
+  test("langIdCol (scalar SQL form) agrees with langId (DataFrame form)") {
+    val d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val both = TextOps.langId(d, "text", "lp")
+      .withColumn("lc", TextOps.langIdCol(col("text")))
+    assert(both.filter(col("lp") =!= col("lc")).count() == 0)
+  }
+
+  test("corpus profile: exact stats correct; approx mode tracks exact") {
+    val d = Seq(
+      ("a", "one two three"), ("a", "one two three"), ("a", "four five"),
+      ("b", "six")).toDF("source", "text")
+    val ex = TextOps.corpusProfile(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = ex("a")
+    assert(a.getAs[Long]("n_docs") == 3 && a.getAs[Long]("distinct_texts") == 2)
+    assert(a.getAs[Long]("total_tokens") == 8)
+    assert(math.abs(a.getAs[Double]("tok_mean") - 8.0 / 3) < 1e-6)
+    assert(a.getAs[Double]("tok_p50") == 3.0 && ex("b").getAs[Long]("n_docs") == 1)
+    // approx mode (the 100 TB path): same shape, near-exact on tiny input
+    val ap = TextOps.corpusProfile(d, approx = true).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(ap("a").getAs[Long]("n_docs") == 3)
+    assert(math.abs(ap("a").getAs[Double]("tok_p50") - 3.0) <= 1.0)
+  }
+
   test("media codecs round-trip: PNG decode, WAV decode, resize, frame sampling") {
     // real ImageIO decode of a synthesized PNG
     val png = MediaCodec.encodePng(20, 10, 77)
