@@ -827,6 +827,27 @@ object Bench {
       flush()
     }
 
+    // Accumulated evidence runs (graft.Scaling, pinned two-JVM methodology,
+    // weather-gated quiet-window pairs built up across many runs — see
+    // BASELINE.md "Scaling efficiency"): embedded verbatim so the round
+    // artifact carries the full evidence base, not just whatever host
+    // weather this single in-run window got. Each file states its own
+    // methodology, host controls, and every raw pair.
+    Seq("scaling_evidence_cow" -> "SCALING_LOCAL.json",
+        "scaling_evidence_mor" -> "SCALING_LOCAL_MOR.json").foreach { case (key, f) =>
+      try {
+        val p = java.nio.file.Paths.get(f)
+        if (java.nio.file.Files.exists(p)) {
+          val txt = java.nio.file.Files.readString(p).trim
+          // embed only if it parses as JSON (a corrupt file must not break
+          // the round artifact)
+          new com.fasterxml.jackson.databind.ObjectMapper().readTree(txt)
+          sections += key -> txt
+        }
+      } catch { case _: Throwable => () }
+    }
+    flush()
+
     flush(partial = false)
     finalPrinted = true
     println(latestJson)
