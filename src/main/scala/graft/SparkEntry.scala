@@ -553,6 +553,15 @@ object SparkEntry {
       // 100 TB path and is exercised in OpsSpec instead).
       TextOps.corpusProfile(T(s, dir, "documents"))
     }),
+    "q_token_ngrams" -> ((s, dir) => {
+      // Top-20 token bigrams over the md5 tokenizer at a small vocab (1000:
+      // collisions make real repeat counts); ties broken by the gram itself,
+      // compared elementwise as int lists in both engines.
+      val toks = T(s, dir, "documents")
+        .select(graft.ops.TextHashExprs.tokenizeMd5(col("text"), 1000).as("tokens"))
+      TextOps.topTokenNgrams(toks, "tokens", n = 2, topN = 20)
+        .select(array_join(col("gram").cast("array<string>"), ",").as("gram_s"), col("cnt"))
+    }),
     "q_redact" -> ((s, dir) => {
       // PII scrub over text with one synthesized email + phone per row (the
       // corpus itself is PII-free); global replacement + the pre-scrub count.
@@ -1275,6 +1284,16 @@ object SparkEntry {
         |       quantile_cont(wc, 0.5) AS tok_p50,
         |       quantile_cont(wc, 0.9) AS tok_p90
         |FROM w GROUP BY source""".stripMargin,
+    "q_token_ngrams" ->
+      """WITH toks AS (
+        |  SELECT list_transform(regexp_extract_all(lower(text), '\S+'),
+        |    w -> CAST(md5_number_lower(w) % 1000 AS INT)) AS t
+        |  FROM documents),
+        |g AS (SELECT unnest(list_transform(range(0, len(t) - 1), i -> t[i+1:i+2])) AS gram
+        |      FROM toks),
+        |c AS (SELECT gram, count(*) AS cnt FROM g GROUP BY gram)
+        |SELECT array_to_string(list_transform(gram, x -> CAST(x AS VARCHAR)), ',') AS gram_s, cnt
+        |FROM c ORDER BY cnt DESC, gram ASC LIMIT 20""".stripMargin,
     "q_redact" ->
       """WITH p AS (
         |  SELECT doc_id,

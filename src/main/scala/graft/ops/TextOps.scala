@@ -82,6 +82,24 @@ object TextOps {
         pct(0.9).as("tok_p90"))
   }
 
+  /** Top-N most frequent token n-grams over a token-array column — the
+    * vocab / contamination diagnostic a curation run reports. One explode
+    * feeding a partial-aggregating hash agg: the only full shuffle carries
+    * (distinct gram, count) pairs, and topN is a TakeOrdered (bounded heap
+    * per partition), not a global sort. Ties deterministic: count desc,
+    * then gram lexicographic asc (both engines compare int lists
+    * elementwise). */
+  def topTokenNgrams(df: DataFrame, tokensCol: String, n: Int, topN: Int): DataFrame = {
+    val t = col(tokensCol)
+    val grams = when(size(t) >= n,
+      transform(sequence(lit(0), size(t) - n), i => slice(t, i + lit(1), lit(n))))
+      .otherwise(typedlit(Seq.empty[Seq[Int]]))
+    df.select(explode(grams).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+      .limit(topN)
+  }
+
   /** Positional structural fingerprint: sum_i(i * len(word_i)) mod P —
     * order-sensitive (a shuffled document fingerprints differently), cheap,
     * and reproducible in plain SQL for the oracle. 1-based positions. */

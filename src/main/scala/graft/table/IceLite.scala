@@ -373,6 +373,53 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
             beforeImage): _*)
   }
 
+  /** Metadata table (Iceberg's `table$history` analog): one row per
+    * snapshot version with parent, epoch count, write mode and the commit
+    * stats — driver-side metadata only, no data files touched. */
+  def history: DataFrame = {
+    import spark.implicits._
+    val cur = IceLite.currentVersion(fs, rootP)
+      .getOrElse(throw new IllegalStateException(s"No IceLite table at $root"))
+    (0L to cur).map { v =>
+      val s = IceLite.readSnapshot(fs, rootP, v)
+      (s.version, s.parentVersion, s.committedEpochs.size.toLong, s.files.size.toLong,
+        s.files.map(_.rows).sum, s.writeMode,
+        s.stats.map(_.epochKey).getOrElse(""),
+        s.lineage.getOrElse("rollback.to", -1L))
+    }.toDF("version", "parent_version", "epochs", "data_files", "rows",
+      "write_mode", "last_epoch", "rollback_to")
+  }
+
+  /** Metadata table (`table$files` analog): the current snapshot's data
+    * files with per-file stats — what the merge's adaptive pruning reads. */
+  def filesMeta: DataFrame = {
+    import spark.implicits._
+    snapshot.files
+      .map(f => (f.path, f.bucket, f.rows, f.minKey, f.maxKey, f.tombstones, f.fullRange))
+      .toDF("path", "bucket", "rows", "min_key", "max_key", "tombstones", "full_range")
+  }
+
+  /** Roll the table back to an earlier snapshot by committing a NEW version
+    * whose content equals `version`'s (Iceberg-style rollback: history is
+    * append-only, nothing is deleted — time travel to the undone versions
+    * keeps working until [[vacuum]] reclaims their files). The epoch ledger
+    * reverts too, so epochs merged after `version` become replayable —
+    * exactly-once redelivery semantics hold across the rollback. Returns
+    * the new current version. */
+  def rollbackTo(version: Long): Long = {
+    val cur = snapshot
+    require(version < cur.version,
+      s"rollbackTo($version): target must precede current version ${cur.version}")
+    val target = snapshotAt(version)
+    val rolled = target.copy(
+      version = cur.version + 1,
+      parentVersion = cur.version,
+      lineage = target.lineage + ("rollback.to" -> version) + ("rollback.from" -> cur.version),
+      stats = None)
+    commit(rolled)
+    rolled.version
+  }
+
   def vacuum(keepSnapshots: Int = 1): Int = {
     val current = IceLite.currentVersion(fs, rootP).getOrElse(return 0)
     val keepFrom = math.max(0, current - keepSnapshots + 1)

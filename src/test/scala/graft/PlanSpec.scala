@@ -87,6 +87,26 @@ class PlanSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"), s"candidate side must not sort-merge:\n$p")
   }
 
+  test("k-means IVF probe broadcasts queries; candidates never sort-merge") {
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val p = plan(Similarity.kmeansIvfTopK(
+      emb.filter(col("vec_id") < 5), emb, k = 3, nCells = 4, nprobe = 2, iters = 1))
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin"), s"candidate side must not sort-merge:\n$p")
+  }
+
+  test("token n-gram top-N partially aggregates before the shuffle") {
+    import org.apache.spark.sql.functions.typedlit
+    val d = spark.range(100).select(typedlit(Seq(1, 2, 3, 4)).as("tokens"))
+    val df = graft.ops.TextOps.topTokenNgrams(d, "tokens", 2, 5)
+    df.collect()
+    val p = plan(df)
+    // partial_count before the exchange = map-side combine; top-N is a
+    // TakeOrdered, never a global Sort+Limit materialization
+    assert(p.contains("partial_count") || p.contains("Partial"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("deterministic sampling is a codegen'd scan-side filter, no shuffle") {
     val df = graft.ops.Curate.stratifiedSample(
       spark.read.parquet(s"$sf/documents.parquet"),

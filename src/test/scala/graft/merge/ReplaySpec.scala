@@ -29,7 +29,10 @@ class ReplaySpec extends AnyFunSuite {
   }
 
   private def tableState(table: graft.table.IceLiteTable): Map[String, (Seq[Int], Int, String)] =
-    table.read().select("doc_id", "tokens", "n_tok", "source").collect()
+    tableState2(table.read())
+
+  private def tableState2(df: org.apache.spark.sql.DataFrame): Map[String, (Seq[Int], Int, String)] =
+    df.select("doc_id", "tokens", "n_tok", "source").collect()
       .map(r => r.getString(0) -> ((r.getSeq[Int](1), r.getInt(2), r.getString(3)))).toMap
 
   test("multi-epoch replay matches the oracle fold with token-array equality") {
@@ -232,6 +235,39 @@ class ReplaySpec extends AnyFunSuite {
     table.merge(ChangeGen.events(spark, cfg.copy(startLsn = 200, numEvents = 200)), "s/1")
     assert(table.readVersion(1).count() == v1Count)
     assert(table.snapshot.lineage("applied.epochs") == 2L)
+  }
+
+  test("rollback reverts state AND the epoch ledger; history stays readable") {
+    val root = SparkTestBase.tempDir("icelite-rollback")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val cfg = GenConfig(numDocs = 30, numEvents = 200, seed = 31, withMetadata = false)
+    table.merge(ChangeGen.events(spark, cfg), "s/0")
+    val goodState = tableState(table)
+    val goodVersion = table.snapshot.version
+    val bad = ChangeGen.events(spark, cfg.copy(startLsn = 200, numEvents = 200))
+    table.merge(bad, "s/1")
+    assert(tableState(table) != goodState)
+    // rollback = NEW version with the old content (append-only history)
+    val newV = table.rollbackTo(goodVersion)
+    assert(newV == table.snapshot.version && newV > goodVersion + 1)
+    assert(tableState(table) == goodState)
+    assert(table.snapshot.lineage("rollback.to") == goodVersion)
+    // the undone version is still time-travel readable
+    assert(table.readVersion(newV - 1).count() > 0)
+    // the rolled-back epoch is REPLAYABLE again (ledger reverted) and
+    // re-merging it reproduces the pre-rollback state exactly
+    assert(!table.isEpochCommitted("s/1"))
+    table.merge(bad, "s/1")
+    assert(tableState(table) == tableState2(table.readVersion(newV - 1)))
+    // a rollback to a non-past version is rejected
+    intercept[IllegalArgumentException] { table.rollbackTo(table.snapshot.version) }
+    // metadata tables reflect the history and the live files
+    val h = table.history.collect().map(r => r.getLong(0) -> r).toMap
+    assert(h.size == table.snapshot.version + 1)
+    assert(h(newV).getLong(7) == goodVersion) // rollback_to recorded
+    assert(h(table.snapshot.version).getLong(1) == newV) // parent chain
+    val files = table.filesMeta.collect()
+    assert(files.nonEmpty && files.map(_.getLong(2)).sum == table.readInternal().count())
   }
 
   test("vacuum removes unreferenced files and keeps readable state") {

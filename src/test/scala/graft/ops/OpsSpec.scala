@@ -390,6 +390,15 @@ class OpsSpec extends AnyFunSuite {
     assert(both.filter(col("lp") =!= col("lc")).count() == 0)
   }
 
+  test("top token n-grams: counts, short-array guard, deterministic ties") {
+    val d = Seq(Seq(1, 2, 3, 1, 2), Seq(1, 2), Seq(9)).toDF("tokens")
+    val out = TextOps.topTokenNgrams(d, "tokens", 2, 10).collect()
+    assert(out.length == 3) // [9] yields no bigram
+    assert(out(0).getSeq[Int](0) == Seq(1, 2) && out(0).getLong(1) == 3)
+    // cnt=1 ties order by the gram itself
+    assert(out(1).getSeq[Int](0) == Seq(2, 3) && out(2).getSeq[Int](0) == Seq(3, 1))
+  }
+
   test("corpus profile: exact stats correct; approx mode tracks exact") {
     val d = Seq(
       ("a", "one two three"), ("a", "one two three"), ("a", "four five"),
