@@ -215,6 +215,18 @@ object GraftExtensions {
       asExpr(graft.ops.TextOps.segmentDupRatio(asCol(children(0)),
         constStr(children(1), "segment_dup_ratio", "delimRegex"))))
 
+  val urlCountDescriptor: Descriptor = (
+    FunctionIdentifier("url_count"),
+    info("url_count", "url_count(text) - number of http(s) URL matches."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextOps.urlCount(asCol(children(0)))))
+
+  val urlCharRatioDescriptor: Descriptor = (
+    FunctionIdentifier("url_char_ratio"),
+    info("url_char_ratio", "url_char_ratio(text) - fraction of characters inside URLs."),
+    (children: Seq[Expression]) =>
+      asExpr(graft.ops.TextOps.urlCharRatio(asCol(children(0)))))
+
   val allDescriptors: Seq[Descriptor] = Seq(
     kafkaMurmur2Descriptor, kafkaPartitionDescriptor, tokenGenDescriptor,
     simhashDescriptor, shingleHashesDescriptor, minhashSigDescriptor,
@@ -222,7 +234,8 @@ object GraftExtensions {
     tokenizeMd5Descriptor, md5ModDescriptor,
     pqCodesDescriptor, redactPiiDescriptor, piiCountDescriptor,
     langIdDescriptor, tokenCountDescriptor, bpeTokenCountDescriptor,
-    docFingerprintDescriptor, dedupSegmentsDescriptor, segmentDupRatioDescriptor)
+    docFingerprintDescriptor, dedupSegmentsDescriptor, segmentDupRatioDescriptor,
+    urlCountDescriptor, urlCharRatioDescriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

@@ -553,6 +553,28 @@ object SparkEntry {
       // 100 TB path and is exercised in OpsSpec instead).
       TextOps.corpusProfile(T(s, dir, "documents"))
     }),
+    "q_curate_filter" -> ((s, dir) => {
+      // One-call quality gate over a corpus with synthesized defects: every
+      // doc_id % 5 gets sentence-doubled (repetition gate), % 3 gets an
+      // email (PII gate), % 7 gets link spam (URL gate); survivors pass all.
+      val d = T(s, dir, "documents").select(col("doc_id"), concat(
+        col("text"),
+        when(pmod(col("doc_id"), lit(5)) === 0, concat(lit(". "), col("text"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit(" a@b.co")).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          lit(" http://spam.spam/aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa"))
+          .otherwise(lit(""))).as("text"))
+      graft.ops.Curate.qualityFilter(d).select("doc_id")
+    }),
+    "q_url_stats" -> ((s, dir) => {
+      // URL density over text with synthesized links (the corpus itself is
+      // URL-free): count + character fraction, exact int/int arithmetic.
+      val t2 = T(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"), lit(" visit https://ex"), col("doc_id"),
+          lit(".org/x now or http://a.io")).as("t2"))
+      t2.select(col("doc_id"), TextOps.urlCount(col("t2")).as("n_urls"),
+        TextOps.urlCharRatio(col("t2")).as("url_ratio"))
+    }),
     "q_token_ngrams" -> ((s, dir) => {
       // Top-20 token bigrams over the md5 tokenizer at a small vocab (1000:
       // collisions make real repeat counts); ties broken by the gram itself,
@@ -1284,6 +1306,35 @@ object SparkEntry {
         |       quantile_cont(wc, 0.5) AS tok_p50,
         |       quantile_cont(wc, 0.9) AS tok_p90
         |FROM w GROUP BY source""".stripMargin,
+    "q_curate_filter" ->
+      """WITH t AS (SELECT doc_id,
+        |  text
+        |  || CASE WHEN doc_id % 5 = 0 THEN '. ' || text ELSE '' END
+        |  || CASE WHEN doc_id % 3 = 0 THEN ' a@b.co' ELSE '' END
+        |  || CASE WHEN doc_id % 7 = 0 THEN ' http://spam.spam/aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa' ELSE '' END AS t2
+        |  FROM documents),
+        |s AS (SELECT doc_id, t2,
+        |  len(regexp_extract_all(t2, '\S+')) AS nw,
+        |  string_split_regex(t2, '\. ') AS segs,
+        |  COALESCE(list_sum(list_transform(regexp_extract_all(t2, 'https?://\S+'), u -> len(u))), 0) AS uc,
+        |  len(regexp_extract_all(t2, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |    + len(regexp_extract_all(t2, '[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}')) AS pii
+        |  FROM t)
+        |SELECT doc_id FROM s
+        |WHERE nw >= 5
+        |  AND CAST(len(segs) - len(list_distinct(segs)) AS DOUBLE) / len(segs) <= 0.3
+        |  AND CAST(uc AS DOUBLE) / len(t2) <= 0.02
+        |  AND pii <= 0""".stripMargin,
+    "q_url_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |  text || ' visit https://ex' || doc_id || '.org/x now or http://a.io' AS t2
+        |  FROM documents)
+        |SELECT doc_id,
+        |       CAST(len(regexp_extract_all(t2, 'https?://\S+')) AS INT) AS n_urls,
+        |       CAST(COALESCE(list_sum(list_transform(regexp_extract_all(t2, 'https?://\S+'),
+        |                                             u -> len(u))), 0) AS DOUBLE)
+        |         / len(t2) AS url_ratio
+        |FROM t""".stripMargin,
     "q_token_ngrams" ->
       """WITH toks AS (
         |  SELECT list_transform(regexp_extract_all(lower(text), '\S+'),

@@ -99,4 +99,22 @@ object Curate {
       .withColumnRenamed("__shard", "shard")
       .drop("__tag")
   }
+
+  /** One-call curation gate: keep rows passing the standard quality
+    * filters — minimum token count, intra-doc repetition ratio, URL
+    * character density, PII hits. All pure expressions, so the whole gate
+    * is a single codegen'd scan-side filter: no shuffle, pushes past
+    * column pruning, and composes with sampling/quotas downstream.
+    * Empty/degenerate texts (zero segments) fail closed. */
+  def qualityFilter(df: DataFrame, textCol: String = "text",
+                    minWords: Int = 5, maxDupRatio: Double = 0.3,
+                    maxUrlRatio: Double = 0.02, maxPii: Int = 0,
+                    segmentDelim: String = "\\. "): DataFrame = {
+    val t = col(textCol)
+    df.filter(
+      TextOps.wsTokenCount(t) >= minWords &&
+        TextOps.segmentDupRatio(t, segmentDelim) <= maxDupRatio &&
+        TextOps.urlCharRatio(t) <= maxUrlRatio &&
+        TextOps.piiCount(t) <= maxPii)
+  }
 }

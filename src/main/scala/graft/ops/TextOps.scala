@@ -108,6 +108,21 @@ object TextOps {
     pmod(aggregate(weighted, lit(0L), (acc, x) => acc + x), lit(1000000007L))
   }
 
+  /** URLs — RE2-safe, shared verbatim with the SQL oracle. */
+  val UrlPattern = "https?://\\S+"
+
+  /** URL match count — link-density curation signal. */
+  def urlCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(UrlPattern), lit(0))).cast(IntegerType)
+
+  /** Fraction of characters inside URLs — boilerplate / link-farm signal. */
+  def urlCharRatio(text: Column): Column = {
+    val urlChars = aggregate(
+      transform(regexp_extract_all(text, lit(UrlPattern), lit(0)), u => length(u)),
+      lit(0), (s, x) => s + x)
+    urlChars.cast(DoubleType) / nullif(length(text).cast(DoubleType), lit(0.0))
+  }
+
   /** Email addresses — the RE2-compatible subset (no backrefs/lookaround),
     * so the same pattern string runs verbatim in any SQL engine's regex. */
   val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -120,6 +120,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getLong(3) == (1L * 2 + 2L * 3)) // 1*len("ab") + 2*len("cde")
     assert(r.getString(4) == "a b. c d")
     assert(math.abs(r.getDouble(5) - 1.0 / 3) < 1e-12)
+    val u = spark.sql(
+      "SELECT url_count('x http://a.io y') AS n, url_char_ratio('x http://a.io y') AS r").head()
+    assert(u.getInt(0) == 1 && math.abs(u.getDouble(1) - 11.0 / 15) < 1e-12)
   }
 
   test("kernel shape arguments must be constants") {

@@ -87,4 +87,16 @@ class CurateSpec extends AnyFunSuite {
     val sizes = byShard.values.map(_.size)
     assert(sizes.max < 2 * sizes.min, s"shards unbalanced: $sizes")
   }
+
+  test("quality filter gates on words, repetition, URLs, and PII independently") {
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog today"), // pass
+      (2L, "too short"), // fails minWords
+      (3L, "aa bb cc dd ee. aa bb cc dd ee. aa bb cc dd ee"), // fails dup ratio
+      (4L, "good words here with a link http://x.y/aaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaaa plus more"), // fails URL
+      (5L, "clean text of many proper words mail me a.b@c.de thanks")) // fails PII
+      .toDF("id", "text")
+    val kept = Curate.qualityFilter(rows).select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L), kept.toString)
+  }
 }

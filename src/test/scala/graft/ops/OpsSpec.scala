@@ -390,6 +390,18 @@ class OpsSpec extends AnyFunSuite {
     assert(both.filter(col("lp") =!= col("lc")).count() == 0)
   }
 
+  test("URL density: count and character ratio") {
+    val d = Seq((1L, "see https://a.io/x and http://b.co end"),
+                (2L, "no links at all here")).toDF("id", "text")
+    val out = d.select(col("id"), TextOps.urlCount(col("text")).as("n"),
+      TextOps.urlCharRatio(col("text")).as("r")).collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getInt(1) == 2)
+    val expected = ("https://a.io/x".length + "http://b.co".length).toDouble /
+      "see https://a.io/x and http://b.co end".length
+    assert(math.abs(out(1L).getDouble(2) - expected) < 1e-12)
+    assert(out(2L).getInt(1) == 0 && out(2L).getDouble(2) == 0.0)
+  }
+
   test("top token n-grams: counts, short-array guard, deterministic ties") {
     val d = Seq(Seq(1, 2, 3, 1, 2), Seq(1, 2), Seq(9)).toDF("tokens")
     val out = TextOps.topTokenNgrams(d, "tokens", 2, 10).collect()

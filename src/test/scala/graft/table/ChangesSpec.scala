@@ -154,6 +154,39 @@ class ChangesSpec extends AnyFunSuite {
       ("c", "insert", "s10", "L10")), rows.toString)
   }
 
+  test("CdcOut exports incrementally, exactly-once, and replays committed ranges") {
+    val root = SparkTestBase.tempDir("cdcout-table")
+    val out = SparkTestBase.tempDir("cdcout-export") + "/exp"
+    val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 4)
+    t.merge(changes(Seq(("k1", "c", 1), ("k2", "c", 2))), "e1")
+    // first export covers (0, v1]
+    val Some((f1, t1)) = CdcOut.exportLatest(t, out): @unchecked
+    assert(f1 == 0 && t1 == t.snapshot.version)
+    // idempotent: nothing new -> no-op, high-water unchanged
+    assert(CdcOut.exportLatest(t, out).isEmpty)
+    assert(CdcOut.exportedThrough(t, out) == t1)
+    // more commits -> next export covers exactly (v1, v2]
+    t.merge(changes(Seq(("k2", "u", 10), ("k3", "c", 11), ("k1", "d", 12))), "e2")
+    val Some((f2, t2)) = CdcOut.exportLatest(t, out): @unchecked
+    assert(f2 == t1 && t2 == t.snapshot.version)
+    val replay = CdcOut.readExports(t, out)
+    val byKey = replay.select("doc_id", "change_op", "__export_to").collect()
+      .map(r => (r.getString(0), r.getLong(2)) -> r.getString(1)).toMap
+    assert(byKey(("k1", t1)) == "insert" && byKey(("k1", t2)) == "delete")
+    assert(byKey(("k2", t2)) == "update" && byKey(("k3", t2)) == "insert")
+    // crash-shaped: a data directory WITHOUT its marker is invisible to the
+    // high-water scan and gets overwritten by the re-run
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    t.merge(changes(Seq(("k5", "c", 20))), "e3")
+    val v3 = t.snapshot.version
+    val uncommitted = new org.apache.hadoop.fs.Path(s"$out/range_${t2}_$v3")
+    fs.mkdirs(uncommitted) // simulated partial write, no _committed
+    assert(CdcOut.exportedThrough(t, out) == t2)
+    val Some((f3, t3)) = CdcOut.exportLatest(t, out): @unchecked
+    assert(f3 == t2 && t3 == v3)
+    assert(CdcOut.readExports(t, out).filter(col("doc_id") === "k5").count() == 1)
+  }
+
   test("changesBetween rejects inverted version ranges") {
     val root = SparkTestBase.tempDir("chg-bad")
     val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 2)
