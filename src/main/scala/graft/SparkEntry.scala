@@ -644,6 +644,32 @@ object SparkEntry {
         .agg(sum(col("n_tok")).cast(LongType).as("sum_n_tok"), count(lit(1)).as("n"))
       val changes = table.changesBetween(midV, table.snapshot.version, includeBefore = true)
       graft.table.Maintain.sumCount(base, changes, "source", "n_tok")
+    }),
+    "q_scd2" -> ((s, dir) => {
+      // SCD2 history from the derived change stream: one row per version
+      // with [valid_from, valid_to) LSN intervals; deletes terminate the
+      // prior version and emit nothing; a key's last non-delete event is
+      // current. Single exchange + in-partition sort (lead window).
+      graft.table.Temporal.scd2(derivedChanges(s, dir), "doc_id", "lsn", "op", "after")
+        .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+          col("n_tok"), col("source"), col("valid_from"), col("valid_to"),
+          col("is_current"))
+    }),
+    "q_asof_join" -> ((s, dir) => {
+      // Temporal point lookup: every 17th event probes its user's state 3
+      // LSNs earlier. Union+window as-of (O(probes+versions), no range-join
+      // fan-out); oracle = DuckDB's native ASOF LEFT JOIN — an independent
+      // implementation of the same semantics.
+      val versions = derivedChanges(s, dir)
+        .select(col("doc_id"), col("lsn"), col("op"), col("after.source").as("source"))
+      val probes = T(s, dir, "events")
+        .filter(col("event_id") % 17 === 0)
+        .select(col("event_id").as("probe_id"),
+          col("user_id").cast(StringType).as("doc_id"),
+          (col("event_id") - 3).as("as_of"))
+      graft.table.Temporal.asofJoin(versions, probes, "doc_id", "lsn", "as_of")
+        .select(col("probe_id"), col("doc_id"), col("as_of"),
+          col("lsn").as("ver_lsn"), col("op").as("ver_op"), col("source").as("ver_source"))
     })
   )
 
@@ -1473,7 +1499,37 @@ object SparkEntry {
         |       FROM ch GROUP BY doc_id)
         |SELECT src AS source, CAST(sum(2) AS BIGINT) AS sum_n_tok,
         |       count(*) AS n
-        |FROM aw WHERE aop <> 'd' GROUP BY src""".stripMargin
+        |FROM aw WHERE aop <> 'd' GROUP BY src""".stripMargin,
+    "q_scd2" ->
+      """WITH ch AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+        |         CASE event_type WHEN 'error' THEN 'd' WHEN 'signup' THEN 'c'
+        |              ELSE 'u' END AS op,
+        |         CAST(event_id AS BIGINT) AS lsn, event_type, user_id, event_id
+        |  FROM events),
+        |v AS (SELECT *, lead(lsn) OVER (PARTITION BY doc_id ORDER BY lsn) AS valid_to
+        |      FROM ch)
+        |SELECT doc_id,
+        |       CAST(CAST(user_id AS INT) AS VARCHAR) || ',' || CAST(CAST(event_id % 97 AS INT) AS VARCHAR) AS tokens_s,
+        |       2 AS n_tok, event_type AS source,
+        |       lsn AS valid_from, valid_to,
+        |       valid_to IS NULL AS is_current
+        |FROM v WHERE op <> 'd'""".stripMargin,
+    "q_asof_join" ->
+      """WITH ch AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+        |         CASE event_type WHEN 'error' THEN 'd' WHEN 'signup' THEN 'c'
+        |              ELSE 'u' END AS op,
+        |         CAST(event_id AS BIGINT) AS lsn,
+        |         CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS source
+        |  FROM events),
+        |p AS (SELECT CAST(event_id AS BIGINT) AS probe_id,
+        |             CAST(user_id AS VARCHAR) AS doc_id,
+        |             CAST(event_id - 3 AS BIGINT) AS as_of
+        |      FROM events WHERE event_id % 17 = 0)
+        |SELECT p.probe_id, p.doc_id, p.as_of,
+        |       ch.lsn AS ver_lsn, ch.op AS ver_op, ch.source AS ver_source
+        |FROM p ASOF LEFT JOIN ch ON p.doc_id = ch.doc_id AND p.as_of >= ch.lsn""".stripMargin
   )
 
   private val pqOracleSql: String =
