@@ -66,6 +66,45 @@ object SparkEntry {
       when(op === "d", lit(null).cast(derivedPayloadType)).otherwise(payload).as("after"))
   }
 
+  /** Derived PARTIAL-update stream (patch semantics: null column =
+    * unchanged): signups carry the full row, other updates carry only ONE
+    * column — source on even LSNs, n_tok (= lsn % 50) on odd — and errors
+    * delete. Exercises the column-level fold end to end. */
+  private def derivedPatchChanges(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val op = when(col("event_type") === "error", "d")
+      .when(col("event_type") === "signup", "c")
+      .otherwise("u")
+    val even = col("event_id") % 2 === 0
+    val payload = struct(
+      col("user_id").cast(StringType).as("doc_id"),
+      when(op === "c",
+        array(col("user_id").cast(IntegerType), (col("event_id") % 97).cast(IntegerType)))
+        .as("tokens"),
+      when(op === "c", lit(2))
+        .when(op === "u" && !even, (col("event_id") % 50).cast(IntegerType))
+        .as("n_tok"),
+      when(op === "c" || (op === "u" && even), col("event_type")).as("source"))
+    ev.select(
+      col("user_id").cast(StringType).as("doc_id"),
+      op.as("op"),
+      col("event_id").as("lsn"),
+      when(op === "d", lit(null).cast(derivedPayloadType)).otherwise(payload).as("after"))
+  }
+
+  /** Patch-mode replay (write.merge.fold = patch) in 4 epochs; final state
+    * must equal the DuckDB column-level fold of the raw stream. */
+  private def patchReplay(s: SparkSession, dir: String, mode: String): DataFrame = {
+    val root = java.nio.file.Files.createTempDirectory(s"graft-patch-$mode").toString
+    val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8,
+      properties = Map("write.mode" -> mode, "write.merge.fold" -> "patch"))
+    val changes = derivedPatchChanges(s, dir)
+    val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+    Pipeline.replayBatch(s, changes, table, s"patch-$mode", epochs = 4, lsnMax = lsnMax)
+    table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+      col("n_tok"), col("source"))
+  }
+
   /** Flagship: full CDC replay through the IceLite MERGE sink on sf0.001. */
   def entry(spark: SparkSession): DataFrame =
     cdcMergeReplay(spark, "/root/testdata/sf0.001")
@@ -670,7 +709,9 @@ object SparkEntry {
       graft.table.Temporal.asofJoin(versions, probes, "doc_id", "lsn", "as_of")
         .select(col("probe_id"), col("doc_id"), col("as_of"),
           col("lsn").as("ver_lsn"), col("op").as("ver_op"), col("source").as("ver_source"))
-    })
+    }),
+    "q_merge_patch" -> ((s, dir) => patchReplay(s, dir, "cow")),
+    "q_merge_patch_mor" -> ((s, dir) => patchReplay(s, dir, "mor"))
   )
 
   /** Derived stream replayed in 4 epochs into a MOR IceLite table; returns
@@ -1529,8 +1570,36 @@ object SparkEntry {
         |      FROM events WHERE event_id % 17 = 0)
         |SELECT p.probe_id, p.doc_id, p.as_of,
         |       ch.lsn AS ver_lsn, ch.op AS ver_op, ch.source AS ver_source
-        |FROM p ASOF LEFT JOIN ch ON p.doc_id = ch.doc_id AND p.as_of >= ch.lsn""".stripMargin
+        |FROM p ASOF LEFT JOIN ch ON p.doc_id = ch.doc_id AND p.as_of >= ch.lsn""".stripMargin,
+    "q_merge_patch" -> patchOracleSql,
+    "q_merge_patch_mor" -> patchOracleSql
   )
+
+  /** Column-level patch fold recomputed from the raw stream: per key, drop
+    * everything at or before the last delete, then take each column's last
+    * non-null value (tokens set only by creates, n_tok by creates/odd
+    * updates, source by creates/even updates — mirroring
+    * [[derivedPatchChanges]]). Shared by the COW and MOR patch queries:
+    * both table modes must converge to this exact state. */
+  private val patchOracleSql: String =
+    """WITH ch AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+      |         CASE event_type WHEN 'error' THEN 'd' WHEN 'signup' THEN 'c'
+      |              ELSE 'u' END AS op,
+      |         CAST(event_id AS BIGINT) AS lsn, event_type, user_id, event_id
+      |  FROM events),
+      |dd AS (SELECT doc_id, coalesce(max(CASE WHEN op='d' THEN lsn END), -1) AS dl
+      |       FROM ch GROUP BY doc_id),
+      |live AS (SELECT c.* FROM ch c JOIN dd ON c.doc_id = dd.doc_id
+      |         WHERE c.op <> 'd' AND c.lsn > dd.dl)
+      |SELECT doc_id,
+      |       max_by(CAST(CAST(user_id AS INT) AS VARCHAR) || ',' || CAST(CAST(event_id % 97 AS INT) AS VARCHAR), lsn)
+      |         FILTER (WHERE op = 'c') AS tokens_s,
+      |       max_by(CASE WHEN op='c' THEN 2 ELSE CAST(event_id % 50 AS INT) END, lsn)
+      |         FILTER (WHERE op = 'c' OR (op = 'u' AND event_id % 2 = 1)) AS n_tok,
+      |       max_by(event_type, lsn)
+      |         FILTER (WHERE op = 'c' OR (op = 'u' AND event_id % 2 = 0)) AS source
+      |FROM live GROUP BY doc_id""".stripMargin
 
   private val pqOracleSql: String =
     """WITH cent AS (

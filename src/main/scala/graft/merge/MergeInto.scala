@@ -2,7 +2,7 @@ package graft.merge
 
 import graft.hashing.KafkaMurmur2
 import graft.table.{CommitStats, DataFileMeta, IceLiteTable, Snapshot}
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StructField, StructType}
 import org.apache.spark.storage.StorageLevel
@@ -45,12 +45,23 @@ object MergeInto {
     * filter tombstones; `compactTombstones` reclaims them once the stream's
     * low-water mark passes their LSN. */
   val DELETED = "__deleted"
+  /** Patch tables only (`write.merge.fold = patch`): the max delete-LSN a
+    * stored MOR delta row already absorbed when its batch was folded. The
+    * read-time patch resolve feeds it back into [[PatchFoldAgg]] so column
+    * values from OLDER deltas never leak past a mid-batch delete. COW
+    * tables never need it (the delete is applied at merge time); files
+    * without the column read as null. */
+  val RESET = "__reset"
 
   /** Physical file schema for a user-facing payload schema. */
-  def dataSchemaOf(payload: StructType): StructType =
+  def dataSchemaOf(payload: StructType): StructType = dataSchemaOf(payload, patch = false)
+
+  def dataSchemaOf(payload: StructType, patch: Boolean): StructType =
     StructType(payload.fields ++ Seq(
       StructField(LSN, org.apache.spark.sql.types.LongType, nullable = false),
-      StructField(DELETED, org.apache.spark.sql.types.BooleanType, nullable = false)))
+      StructField(DELETED, org.apache.spark.sql.types.BooleanType, nullable = false)) ++
+      (if (patch) Seq(StructField(RESET, org.apache.spark.sql.types.LongType, nullable = true))
+       else Nil))
 
   /** Public dedup kernel for callers that pipeline epochs: materializing
     * epoch N+1's winner set (cache + count) while epoch N's merge/write runs
@@ -118,8 +129,14 @@ object MergeInto {
     val afterSchema = changes.schema("after").dataType.asInstanceOf[StructType]
     val newSchema = evolveSchema(snap.schema, afterSchema)
     val payloadCols = newSchema.fieldNames.toSeq
-    // Physical file schema = payload + LSN high-water mark + tombstone flag.
-    val dataSchema = dataSchemaOf(newSchema)
+    // Patch tables fold partial updates column-wise (see [[PatchFoldAgg]]);
+    // the caller-supplied preDeduped contract is LWW-shaped, so reject it.
+    val patch = snap.fold == "patch"
+    require(!(patch && preDeduped.isDefined),
+      "preDeduped is a last-write-wins winner set; patch tables fold their own batches")
+    // Physical file schema = payload + LSN high-water mark + tombstone flag
+    // (+ the patch reset watermark on patch tables).
+    val dataSchema = dataSchemaOf(newSchema, patch)
 
     if (snap.writeMode == "mor")
       return runMor(table, changes, epochKey, registryJson, snap, afterSchema, newSchema, mark,
@@ -139,7 +156,7 @@ object MergeInto {
     // preDeduped: caller already ran (and cached) the winner set — its cache
     // lifecycle belongs to the caller, so no persist/unpersist here.
     val callerOwned = preDeduped.isDefined
-    val dedupedRaw = preDeduped.getOrElse(dedupeBatch(changes, key, nBuckets))
+    val dedupedRaw = preDeduped.getOrElse(dedupeBatch(changes, key, nBuckets, snap.fold))
 
     // 3. Plan: which data files does this batch touch? Adaptive:
     //  - a young/compact table (few files per bucket) is near-fully touched
@@ -220,8 +237,16 @@ object MergeInto {
         val fromAfter =
           if (afterSchema.fieldNames.contains(cn)) c(s"after.$cn")
           else lit(null).cast(newSchema(cn).dataType)
-        when(keepTarget, t(cn)).when(isDel, lit(null).cast(newSchema(cn).dataType))
-          .otherwise(fromAfter).as(cn)
+        val nullLit = lit(null).cast(newSchema(cn).dataType)
+        if (!patch)
+          when(keepTarget, t(cn)).when(isDel, nullLit).otherwise(fromAfter).as(cn)
+        else
+          // Patch semantics: an update's null column means "unchanged" —
+          // keep the stored value — UNLESS the batch absorbed a delete
+          // (reset watermark set): then older state must not leak through.
+          when(keepTarget, t(cn)).when(isDel, nullLit)
+            .when(col(ACTION) === "update" && c(RESET).isNull, coalesce(fromAfter, t(cn)))
+            .otherwise(fromAfter).as(cn)
       }
       val keyOut = coalesce(t(key), c(key))
       val merged = joined
@@ -333,7 +358,8 @@ object MergeInto {
    * BUCKET; the merge join and bucket-partitioned write reuse the
    * clustering.
    */
-  private def dedupeBatch(changes: DataFrame, key: String, nBuckets: Int): DataFrame = {
+  private def dedupeBatch(changes: DataFrame, key: String, nBuckets: Int,
+                          fold: String = "lww"): DataFrame = {
     // Sort-based fallback would turn the one-pass hash collapse into a full
     // sort; the default threshold (128 in-memory groups) is sized for
     // collect_list-style aggregates, not a ~330-byte LWW buffer. The
@@ -384,25 +410,41 @@ object MergeInto {
     // (tiny) shuffle; the unsalted single-pass is faster under normal skew,
     // which is why this is opt-in rather than default.
     val salt = spark.conf.getOption("graft.merge.dedupSalt").map(_.toInt).getOrElse(0)
+    // Fold kernel: row-level last-write-wins (default), or the column-level
+    // patch fold for partial-update streams ([[PatchFoldAgg]] — both are
+    // associative, so the salted two-level variant is exact for either).
+    val patch = fold == "patch"
+    val foldAgg: Column => Column =
+      if (patch) PatchFoldAgg.fold else LastWriteWinsAgg.lww
+    val rawStruct =
+      if (patch) struct(col("lsn"), col("op"), col("after"),
+        lit(null).cast(org.apache.spark.sql.types.LongType).as("reset"))
+      else struct(col("lsn"), col("op"), col("after"))
+    val refoldStruct =
+      if (patch) struct(col("__w.lsn").as("lsn"), col("__w.op").as("op"),
+        col("__w.after").as("after"), col("__w.reset").as("reset"))
+      else struct(col("__w.lsn").as("lsn"), col("__w.op").as("op"),
+        col("__w.after").as("after"))
     val deduped =
       if (salt > 1) {
         base
           .withColumn("__salt", pmod(xxhash64(col("lsn")), lit(salt.toLong)))
           .repartition(col(BUCKET), col("__salt"))
           .groupBy(col(BUCKET), col(key), col("__salt"))
-          .agg(LastWriteWinsAgg.lww(struct(col("lsn"), col("op"), col("after"))).as("__w"))
+          .agg(foldAgg(rawStruct).as("__w"))
           .repartition(col(BUCKET))
           .groupBy(col(BUCKET), col(key))
-          .agg(LastWriteWinsAgg.lww(struct(col("__w.lsn").as("lsn"), col("__w.op").as("op"),
-            col("__w.after").as("after"))).as("__w"))
+          .agg(foldAgg(refoldStruct).as("__w"))
       } else {
         base
           .repartition(col(BUCKET))
           .groupBy(col(BUCKET), col(key))
-          .agg(LastWriteWinsAgg.lww(struct(col("lsn"), col("op"), col("after"))).as("__w"))
+          .agg(foldAgg(rawStruct).as("__w"))
       }
-    deduped.select(col(key), col("__w.op").as("op"), col("__w.after").as("after"),
-      col("__w.lsn").as("lsn"), col(BUCKET))
+    deduped.select(
+      Seq(col(key), col("__w.op").as("op"), col("__w.after").as("after"),
+        col("__w.lsn").as("lsn"), col(BUCKET)) ++
+        (if (patch) Seq(col("__w.reset").as(RESET)) else Nil): _*)
   }
 
   /**
@@ -426,7 +468,8 @@ object MergeInto {
     // Same one-shuffle shape as the COW path: cluster by bucket once, then
     // dedup + write reuse the clustering.
     table.spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
-    val deduped = preDeduped.getOrElse(dedupeBatch(changes, key, nBuckets))
+    val patch = snap.fold == "patch"
+    val deduped = preDeduped.getOrElse(dedupeBatch(changes, key, nBuckets, snap.fold))
     val isDelete = col("op") === "d"
     val outCols = newSchema.fieldNames.toSeq.map { cn =>
       val v =
@@ -437,8 +480,12 @@ object MergeInto {
       v.as(cn)
     }
     val obs = org.apache.spark.sql.Observation()
+    // Patch deltas persist the batch's reset watermark: the read-time fold
+    // needs it to stop older deltas' columns from leaking past a mid-batch
+    // delete (see [[PatchFoldAgg]] and the RESET doc).
     val rows = deduped.select(outCols ++ Seq(
-      col("lsn").as(LSN), isDelete.as(DELETED), col(BUCKET)): _*)
+      col("lsn").as(LSN), isDelete.as(DELETED)) ++
+      (if (patch) Seq(col(RESET)) else Nil) ++ Seq(col(BUCKET)): _*)
       .observe(obs,
         count(when(!col(DELETED), 1)).as("upsert"),
         count(when(col(DELETED), 1)).as("delete"))

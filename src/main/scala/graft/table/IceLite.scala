@@ -67,6 +67,10 @@ final case class Snapshot(
     properties: Map[String, String] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def writeMode: String = properties.getOrElse("write.mode", "cow")
+  /** Batch fold semantics: `lww` (default, full row images) or `patch`
+    * (partial updates: null payload column = unchanged — see
+    * [[graft.merge.PatchFoldAgg]]). */
+  def fold: String = properties.getOrElse("write.merge.fold", "lww")
 }
 
 object IceLite {
@@ -181,6 +185,37 @@ object IceLiteTable {
     val last = df.groupBy(col(key)).agg(max(LSN).as(LSN))
     df.join(last, Seq(key, LSN)).dropDuplicates(key, LSN)
   }
+
+  /** MOR read-side resolve for PATCH tables: delta rows are partial (null
+    * column = unchanged), so the winner is a column-level fold, not a row
+    * pick — every stored row re-enters [[graft.merge.PatchFoldAgg]] as an
+    * event (tombstones as deletes, its persisted `__reset` watermark fed
+    * back). One hash aggregate, same shuffle shape as the merge's own
+    * dedup; associativity of the fold makes per-epoch delta stacking +
+    * read-time resolution equal the one-shot fold over the raw stream. */
+  private[graft] def resolvePatch(df: DataFrame, key: String, payload: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.merge.MergeInto.{DELETED, LSN, RESET}
+    val ev = struct(
+      col(LSN),
+      when(coalesce(col(DELETED), lit(false)), lit("d")).otherwise(lit("u")).as("op"),
+      struct(payload.map(col): _*).as("after"),
+      col(RESET).cast(org.apache.spark.sql.types.LongType).as("reset"))
+    df.groupBy(col(key)).agg(graft.merge.PatchFoldAgg.fold(ev).as("__w"))
+      .select(
+        col(key) +:
+          payload.map(c => col(s"__w.after.$c").as(c)) :+
+          col("__w.lsn").as(LSN) :+
+          (col("__w.op") === "d").as(DELETED): _*)
+  }
+
+  /** Mode-dispatched resolve: COW rows are already final; MOR resolves by
+    * row LWW, MOR+patch by column-level fold. */
+  private[graft] def resolve(df: DataFrame, s: Snapshot): DataFrame =
+    if (s.writeMode != "mor") df
+    else if (s.fold == "patch")
+      resolvePatch(df, s.keyColumn, s.schema.fieldNames.toSeq.filterNot(_ == s.keyColumn))
+    else resolveMor(df, s.keyColumn)
 }
 
 /** Handle to an IceLite table; all reads plan from the current snapshot.
@@ -208,13 +243,15 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   /** Read including tombstone rows and internal __lsn/__deleted columns. */
   def readInternal(): DataFrame = {
     val s = snapshot
-    readFiles(s.copy(schemaJson = graft.merge.MergeInto.dataSchemaOf(s.schema).json), s.files)
+    readFiles(s.copy(schemaJson =
+      graft.merge.MergeInto.dataSchemaOf(s.schema, s.fold == "patch").json), s.files)
   }
 
   private def readSnap(s: Snapshot): DataFrame = {
     import org.apache.spark.sql.functions._
-    val raw = readFiles(s.copy(schemaJson = graft.merge.MergeInto.dataSchemaOf(s.schema).json), s.files)
-    val resolved = if (s.writeMode == "mor") IceLiteTable.resolveMor(raw, s.keyColumn) else raw
+    val raw = readFiles(s.copy(schemaJson =
+      graft.merge.MergeInto.dataSchemaOf(s.schema, s.fold == "patch").json), s.files)
+    val resolved = IceLiteTable.resolve(raw, s)
     resolved
       .filter(!coalesce(col(graft.merge.MergeInto.DELETED), lit(false)))
       .select(s.schema.fieldNames.map(col).toSeq: _*)
@@ -255,9 +292,13 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     val snap = snapshot
     val affected = snap.files.filter(f => buckets.contains(f.bucket))
     if (affected.isEmpty) return 0
-    val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema)
-    val resolved = IceLiteTable.resolveMor(
-      readFiles(snap.copy(schemaJson = dataSchema.json), affected), snap.keyColumn)
+    val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema, snap.fold == "patch")
+    // Patch tables fold column-wise; the folded row's reset watermark is
+    // consumed by the fold, so compacted files carry no __reset (reads
+    // null-fill it, and crediting surviving columns at the fold's max LSN
+    // is safe because later epochs carry strictly newer LSNs).
+    val resolved = IceLiteTable.resolve(
+      readFiles(snap.copy(schemaJson = dataSchema.json), affected), snap)
       .filter(!(coalesce(col(DELETED), lit(false)) && col(LSN) < lsnWatermark))
     val newFiles = graft.merge.MergeInto.writeDataFiles(this, snap, resolved, snap.version + 1)
     commit(snap.copy(
@@ -329,7 +370,7 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     val fromPaths = from.files.map(_.path).toSet
     val added = to.files.filterNot(f => fromPaths(f.path))
     val buckets = added.map(_.bucket).toSet
-    val dataJson = graft.merge.MergeInto.dataSchemaOf(to.schema).json
+    val dataJson = graft.merge.MergeInto.dataSchemaOf(to.schema, to.fold == "patch").json
     val payloadCols = to.schema.fieldNames.filterNot(_ == key).toSeq
 
     // MOR deltas name the changed keys exactly; restrict both sides to them.
@@ -342,8 +383,9 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
       val bucketFiles = s.files.filter(f => buckets(f.bucket))
       val raw = readFiles(s.copy(schemaJson = dataJson), bucketFiles)
       val narrowed = candKeys.fold(raw)(k => raw.join(k, Seq(key), "left_semi"))
-      val resolved =
-        if (s.writeMode == "mor") IceLiteTable.resolveMor(narrowed, key) else narrowed
+      // resolve with TO's payload columns: the from-side snapshot may
+      // predate additive evolution, but its files were read under dataJson
+      val resolved = IceLiteTable.resolve(narrowed, s.copy(schemaJson = to.schema.json))
       resolved.select(
         col(key) +: col(LSN) +:
           coalesce(col(DELETED), lit(false)).as(DELETED) +: payloadCols.map(col): _*)
