@@ -711,7 +711,14 @@ object SparkEntry {
           col("lsn").as("ver_lsn"), col("op").as("ver_op"), col("source").as("ver_source"))
     }),
     "q_merge_patch" -> ((s, dir) => patchReplay(s, dir, "cow")),
-    "q_merge_patch_mor" -> ((s, dir) => patchReplay(s, dir, "mor"))
+    "q_merge_patch_mor" -> ((s, dir) => patchReplay(s, dir, "mor")),
+    "q_hot_keys" -> ((s, dir) =>
+      // Heavy-hitter detection over the derived stream: md5-keyed 25%
+      // sample, keys with >= 2% sampled share — the skew-salting trigger
+      // (graft.merge.autoSaltShare). Deterministic, so the oracle
+      // recomputes the identical sample.
+      graft.merge.HotKeys.detect(derivedChanges(s, dir), "doc_id", col("lsn"),
+        minShare = 0.02, sampleFraction = 0.25))
   )
 
   /** Derived stream replayed in 4 epochs into a MOR IceLite table; returns
@@ -1572,7 +1579,15 @@ object SparkEntry {
         |       ch.lsn AS ver_lsn, ch.op AS ver_op, ch.source AS ver_source
         |FROM p ASOF LEFT JOIN ch ON p.doc_id = ch.doc_id AND p.as_of >= ch.lsn""".stripMargin,
     "q_merge_patch" -> patchOracleSql,
-    "q_merge_patch_mor" -> patchOracleSql
+    "q_merge_patch_mor" -> patchOracleSql,
+    "q_hot_keys" ->
+      """WITH s AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id FROM events
+        |  WHERE md5_number_lower(CAST(event_id AS VARCHAR) || ':hot0') % 1000000 < 250000),
+        |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
+        |t AS (SELECT sum(n) AS total FROM c)
+        |SELECT doc_id, n, round(n / total, 4) AS share
+        |FROM c, t WHERE round(n / total, 4) >= 0.02""".stripMargin
   )
 
   /** Column-level patch fold recomputed from the raw stream: per key, drop

@@ -409,7 +409,18 @@ object MergeInto {
     // so the two-level fold is exact (SaltedDedupSpec). Costs a second
     // (tiny) shuffle; the unsalted single-pass is faster under normal skew,
     // which is why this is opt-in rather than default.
-    val salt = spark.conf.getOption("graft.merge.dedupSalt").map(_.toInt).getOrElse(0)
+    // graft.merge.autoSaltShare = S (opt-in): sample the batch, and if any
+    // key carries a sampled share >= S, salt the fold just enough to spread
+    // it (see [[HotKeys]]). An explicit graft.merge.dedupSalt wins. Costs
+    // one sampled scan per batch — noise at the 10^8-events/epoch design
+    // point, and the detection is deterministic (md5-keyed sample), so
+    // retries make the same decision.
+    val salt = spark.conf.getOption("graft.merge.dedupSalt").map(_.toInt)
+      .orElse(spark.conf.getOption("graft.merge.autoSaltShare").map { s =>
+        HotKeys.recommendSalt(changes, key, col("lsn"), s.toDouble,
+          spark.conf.get("spark.sql.shuffle.partitions").toInt)
+      })
+      .getOrElse(0)
     // Fold kernel: row-level last-write-wins (default), or the column-level
     // patch fold for partial-update streams ([[PatchFoldAgg]] — both are
     // associative, so the salted two-level variant is exact for either).
