@@ -718,7 +718,16 @@ object SparkEntry {
       // (graft.merge.autoSaltShare). Deterministic, so the oracle
       // recomputes the identical sample.
       graft.merge.HotKeys.detect(derivedChanges(s, dir), "doc_id", col("lsn"),
-        minShare = 0.02, sampleFraction = 0.25))
+        minShare = 0.02, sampleFraction = 0.25)),
+    "q_point_lookup" -> ((s, dir) => {
+      // Point reads against the replayed MOR table: manifest prune (bucket
+      // + key range) -> candidate files only -> winner resolve. Oracle =
+      // the LWW final state restricted to the probed keys.
+      val (table, _) = replayedTable(s, dir)
+      table.lookup(Seq("3", "7", "11", "no-such-key"))
+        .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+          col("n_tok"), col("source"))
+    })
   )
 
   /** Derived stream replayed in 4 epochs into a MOR IceLite table; returns
@@ -1587,7 +1596,19 @@ object SparkEntry {
         |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
         |t AS (SELECT sum(n) AS total FROM c)
         |SELECT doc_id, n, round(n / total, 4) AS share
-        |FROM c, t WHERE round(n / total, 4) >= 0.02""".stripMargin
+        |FROM c, t WHERE round(n / total, 4) >= 0.02""".stripMargin,
+    "q_point_lookup" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(CAST(doc_id AS INT) AS VARCHAR) || ',' || CAST(CAST(event_id % 97 AS INT) AS VARCHAR) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS source
+        |FROM last
+        |WHERE rn = 1 AND event_type <> 'error'
+        |  AND doc_id IN ('3', '7', '11', 'no-such-key')""".stripMargin
   )
 
   /** Column-level patch fold recomputed from the raw stream: per key, drop

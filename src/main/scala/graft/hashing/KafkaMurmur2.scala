@@ -81,6 +81,13 @@ object KafkaMurmur2 {
    * partitions leaves ~1/e of the cores idle (balls-in-bins), which
    * measured as a 28% packing loss in the merge stages.
    */
+  /** JVM-side twin of [[bucketLabel]]: the label a key's rows carry, for
+    * DRIVER-side planning (point lookups prune the file manifest without
+    * running a Spark job). */
+  def bucketLabelOf(key: String, numBuckets: Int): Int =
+    labels(numBuckets)(
+      toPositive(hash(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))) % numBuckets)
+
   def bucketLabel(c: Column, numBuckets: Int): Column = {
     import org.apache.spark.sql.functions._
     element_at(typedlit(labels(numBuckets).toSeq), kafkaPartition(c, numBuckets) + 1)

@@ -557,9 +557,20 @@ object MergeInto {
     // join) — skipping the repartition saves a full shuffle of the write
     // set; the dynamic-partition writer is correct under ANY distribution
     // (a non-clustered input only costs extra files per bucket).
+    // write.parquet.bloom = true: build a parquet bloom filter on the key
+    // column in every data file. Point lookups push an IN filter down to
+    // the scan, and the bloom skips row groups the min/max range check
+    // cannot (hashed keys interleave lexically, so ranges are wide but
+    // membership is sparse). Costs ~1M bits/file at default NDV; off by
+    // default — full-scan analytics never consult it.
+    val bloomOpts: Map[String, String] =
+      if (snap.properties.get("write.parquet.bloom").contains("true"))
+        Map(s"parquet.bloom.filter.enabled#$key" -> "true")
+      else Map.empty
     (if (bucketClustered) withBucket else withBucket.repartition(col(BUCKET)))
       .sortWithinPartitions(col(BUCKET), col(key))
       .write
+      .options(bloomOpts)
       .option("maxRecordsPerFile", maxRecordsPerFile(spark))
       // High-cardinality token arrays defeat dictionary encoding; the
       // failed dict attempt more than doubles write time (measured 13.8s

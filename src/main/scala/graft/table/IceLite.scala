@@ -265,6 +265,38 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   def isEpochCommitted(epochKey: String): Boolean =
     snapshot.committedEpochs.contains(epochKey)
 
+  /** Point lookup: the current rows for `keys`, reading ONLY files whose
+    * (bucket, key-range) manifest entry can contain them — O(candidate
+    * files), never O(table). The bucket is computed driver-side
+    * ([[graft.hashing.KafkaMurmur2.bucketLabelOf]]), the key-range check
+    * uses the per-file min/max from the manifest, and with
+    * `write.parquet.bloom = true` the pushed-down IN filter additionally
+    * skips row groups via parquet bloom filters — the 10^10-row
+    * point-read path (metadata prune -> range prune -> bloom prune).
+    * MOR/patch tables resolve winners over just the candidate rows (a
+    * key's winner only depends on rows of that key, so pruning is exact). */
+  def lookup(keys: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val s = snapshot
+    val cand = lookupFiles(s, keys)
+    val raw = readFiles(s.copy(schemaJson =
+      graft.merge.MergeInto.dataSchemaOf(s.schema, s.fold == "patch").json), cand)
+      .filter(col(s.keyColumn).isin(keys: _*))
+    IceLiteTable.resolve(raw, s)
+      .filter(!coalesce(col(graft.merge.MergeInto.DELETED), lit(false)))
+      .select(s.schema.fieldNames.map(col).toSeq: _*)
+  }
+
+  /** Manifest-side candidate planning for [[lookup]] (driver-only, no job). */
+  private[graft] def lookupFiles(s: Snapshot, keys: Seq[String]): Seq[DataFileMeta] = {
+    val byBucket = keys.groupBy(k =>
+      graft.hashing.KafkaMurmur2.bucketLabelOf(k, s.numBuckets))
+    s.files.filter { f =>
+      byBucket.get(f.bucket).exists(ks =>
+        f.fullRange || ks.exists(k => k >= f.minKey && k <= f.maxKey))
+    }
+  }
+
   /** MERGE a change batch into the table. See [[graft.merge.MergeInto]].
     * `registryJson` persists the SMT chain's schema-registry state in the
     * same atomic commit (restored on resume by [[graft.stream.Pipeline]]);
