@@ -719,6 +719,19 @@ object SparkEntry {
       // recomputes the identical sample.
       graft.merge.HotKeys.detect(derivedChanges(s, dir), "doc_id", col("lsn"),
         minShare = 0.02, sampleFraction = 0.25)),
+    "q_stream_join" -> ((s, dir) => {
+      // Interval join (stream-stream shape, batch-verifiable): purchases
+      // within 30 minutes AFTER a signup of the same user. The bounded
+      // interval is what keeps streaming state finite — see StreamJoin.
+      val ev = T(s, dir, "events")
+      val signups = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts"), col("event_id").as("id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("id"))
+      graft.stream.StreamJoin.interval(signups, purchases, "user_id", "ts", "ts",
+        before = "0 seconds", after = "30 minutes", watermarkDelay = "10 minutes")
+        .select(col("user_id"), col("id").as("s_id"), col("r_id").as("p_id"))
+    }),
     "q_point_lookup" -> ((s, dir) => {
       // Point reads against the replayed MOR table: manifest prune (bucket
       // + key range) -> candidate files only -> winner resolve. Oracle =
@@ -1597,6 +1610,13 @@ object SparkEntry {
         |t AS (SELECT sum(n) AS total FROM c)
         |SELECT doc_id, n, round(n / total, 4) AS share
         |FROM c, t WHERE round(n / total, 4) >= 0.02""".stripMargin,
+    "q_stream_join" ->
+      """SELECT l.user_id,
+        |       CAST(l.event_id AS BIGINT) AS s_id,
+        |       CAST(r.event_id AS BIGINT) AS p_id
+        |FROM events l JOIN events r ON l.user_id = r.user_id
+        |WHERE l.event_type = 'signup' AND r.event_type = 'purchase'
+        |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""".stripMargin,
     "q_point_lookup" ->
       """WITH last AS (
         |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
