@@ -712,6 +712,29 @@ object SparkEntry {
     }),
     "q_merge_patch" -> ((s, dir) => patchReplay(s, dir, "cow")),
     "q_merge_patch_mor" -> ((s, dir) => patchReplay(s, dir, "mor")),
+    "q_multi_table" -> ((s, dir) => {
+      // One mixed stream routed into two tables by a stable per-key topic
+      // (a key lives in exactly one source table), replayed in 2 epochs
+      // through MultiTable.mergeRouted; result = both tables' final states
+      // tagged. Oracle = the per-table LWW fold of the same routing.
+      val ch = derivedChanges(s, dir)
+        .withColumn("topic", concat(lit("t"), col("doc_id").cast(IntegerType) % 2))
+      val lsnMax = ch.agg(max("lsn")).head().getLong(0) + 1
+      def mk() = IceLite.create(s,
+        java.nio.file.Files.createTempDirectory("graft-mt").toString,
+        derivedPayloadType, "doc_id", numBuckets = 8)
+      val (t0, t1) = (mk(), mk())
+      val per = math.max(1L, (lsnMax + 1) / 2)
+      (0 until 2).foreach { e =>
+        val chunk = ch.filter(col("lsn") >= e * per && col("lsn") < math.min(lsnMax, (e + 1) * per))
+        graft.stream.MultiTable.mergeRouted(chunk, "topic",
+          Map("t0" -> t0, "t1" -> t1), s"mt/$e")
+      }
+      t0.read().withColumn("tbl", lit("t0"))
+        .unionByName(t1.read().withColumn("tbl", lit("t1")))
+        .select(col("tbl"), col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+          col("n_tok"), col("source"))
+    }),
     "q_hot_keys" -> ((s, dir) =>
       // Heavy-hitter detection over the derived stream: md5-keyed 25%
       // sample, keys with >= 2% sampled share — the skew-salting trigger
@@ -1602,6 +1625,17 @@ object SparkEntry {
         |FROM p ASOF LEFT JOIN ch ON p.doc_id = ch.doc_id AND p.as_of >= ch.lsn""".stripMargin,
     "q_merge_patch" -> patchOracleSql,
     "q_merge_patch_mor" -> patchOracleSql,
+    "q_multi_table" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT 't' || CAST(CAST(doc_id AS INT) % 2 AS VARCHAR) AS tbl,
+        |       doc_id,
+        |       CAST(CAST(doc_id AS INT) AS VARCHAR) || ',' || CAST(CAST(event_id % 97 AS INT) AS VARCHAR) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "q_hot_keys" ->
       """WITH s AS (
         |  SELECT CAST(user_id AS VARCHAR) AS doc_id FROM events
