@@ -227,7 +227,20 @@ object GraftExtensions {
     (children: Seq[Expression]) =>
       asExpr(graft.ops.TextOps.urlCharRatio(asCol(children(0)))))
 
+  val lastWriteWinsDescriptor: Descriptor = (
+    FunctionIdentifier("last_write_wins"),
+    info("last_write_wins",
+      "last_write_wins(struct(lsn, ...)) - aggregate: the struct with the greatest lsn (row-level CDC winner)."),
+    (children: Seq[Expression]) => graft.merge.LastWriteWinsAgg(children.head))
+
+  val patchFoldDescriptor: Descriptor = (
+    FunctionIdentifier("patch_fold"),
+    info("patch_fold",
+      "patch_fold(struct(lsn, op, after, reset)) - aggregate: column-level partial-update fold (null column = unchanged; deletes reset)."),
+    (children: Seq[Expression]) => graft.merge.PatchFoldAgg(children.head))
+
   val allDescriptors: Seq[Descriptor] = Seq(
+    lastWriteWinsDescriptor, patchFoldDescriptor,
     kafkaMurmur2Descriptor, kafkaPartitionDescriptor, tokenGenDescriptor,
     simhashDescriptor, shingleHashesDescriptor, minhashSigDescriptor,
     minhashBandsDescriptor, cosineSimDescriptor, lshBucketDescriptor,

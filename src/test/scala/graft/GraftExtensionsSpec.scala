@@ -141,4 +141,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(r.getInt(0) == graft.hashing.KafkaMurmur2.hash("key".getBytes("UTF-8")))
     assert(r.getSeq[Int](1) == graft.stream.TokenGenExpr.makeSeq(7L, 3L, 4))
   }
+
+  test("last_write_wins and patch_fold are SQL-callable aggregates") {
+    GraftExtensions.register(spark)
+    spark.sql(
+      """SELECT * FROM VALUES
+        |  ('k1', 'c', 1L, 'a1', 1),
+        |  ('k1', 'u', 2L, NULL, 22),
+        |  ('k1', 'u', 3L, 'a3', NULL),
+        |  ('k2', 'c', 1L, 'b1', 5),
+        |  ('k2', 'd', 9L, NULL, NULL)
+        |AS t(doc_id, op, lsn, a, b)""".stripMargin)
+      .createOrReplaceTempView("pf_ext")
+    val lww = spark.sql(
+      """SELECT doc_id, last_write_wins(struct(lsn, op, a)).op AS op
+        |FROM pf_ext GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(lww == Seq(("k1", "u"), ("k2", "d")))
+    val pf = spark.sql(
+      """SELECT doc_id, w.op AS op, w.after.a AS a, w.after.b AS b FROM (
+        |  SELECT doc_id,
+        |         patch_fold(struct(lsn, op, struct(a, b) AS after,
+        |                           CAST(NULL AS BIGINT) AS reset)) AS w
+        |  FROM pf_ext GROUP BY doc_id) ORDER BY doc_id""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        Option(r.getString(2)), if (r.isNullAt(3)) None else Some(r.getInt(3)))).toSeq
+    // k1: last non-null per column (a from lsn 3, b from lsn 2); k2: deleted
+    assert(pf == Seq(("k1", "u", Some("a3"), Some(22)), ("k2", "d", None, None)))
+  }
 }
