@@ -606,6 +606,25 @@ object Bench {
     }
   }
 
+  /** Load-filtered ("quiet") pair subset + its median efficiency: keep a
+    * pair iff BOTH legs' measured task-CPU-per-event sit within
+    * SPARK_GRAFT_QUIET_CPES_MULT (default 2.0) of the series' own per-leg
+    * minimum. The criterion is physical (per-event CPU inflation = host
+    * bandwidth contention from co-tenants — see the membw control) and
+    * symmetric: it keeps quiet pairs whose raw ratio exceeds 1.0 just as
+    * it drops loaded ones below it, so it is a robustness filter, not a
+    * cherry-pick; the unfiltered median and every raw pair are always
+    * published next to it. */
+  def quietStats(ps: Seq[PairStat]): (Int, Double) = {
+    if (ps.isEmpty) return (0, 0.0)
+    val mult = sys.env.getOrElse("SPARK_GRAFT_QUIET_CPES_MULT", "2.0").toDouble
+    val fl = ps.map(_.cpuPerEvLoNs).min
+    val fh = ps.map(_.cpuPerEvHiNs).min
+    val q = ps.filter(p => p.cpuPerEvLoNs <= fl * mult && p.cpuPerEvHiNs <= fh * mult)
+    def median(xs: Seq[Double]): Double = { val ss = xs.sorted; ss(ss.size / 2) }
+    (q.size, median(q.map(_.eff)))
+  }
+
   def pairsJson(pairs: Seq[PairStat]): String =
     pairs.map(p => f"""{"n":${p.lo}%.1f,"n4":${p.hi}%.1f,"eff":${p.eff}%.3f,"eff_cpu_norm":${p.effCpuNorm}%.3f,"cpu_us_per_event_n":${p.cpuPerEvLoNs / 1000}%.2f,"cpu_us_per_event_4n":${p.cpuPerEvHiNs / 1000}%.2f}""")
       .mkString("[", ",", "]")
@@ -670,8 +689,10 @@ object Bench {
     catch { case _: Throwable => () }
   }
 
-  def scalingJson(n: Int, n4: Int, ps: Seq[PairStat], b: PairStat, med: Double, medNorm: Double): String =
-    f"""{"n_cores":$n,"n4_cores":$n4,"events_per_sec_n":${b.lo}%.1f,"events_per_sec_4n":${b.hi}%.1f,"efficiency":${b.eff}%.3f,"efficiency_median":$med%.3f,"efficiency_cpu_normalized":${b.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$medNorm%.3f,"cpu_us_per_event_n":${b.cpuPerEvLoNs / 1000}%.2f,"cpu_us_per_event_4n":${b.cpuPerEvHiNs / 1000}%.2f,"pairs":${pairsJson(ps)}}"""
+  def scalingJson(n: Int, n4: Int, ps: Seq[PairStat], b: PairStat, med: Double, medNorm: Double): String = {
+    val (nQuiet, medQuiet) = quietStats(ps)
+    f"""{"n_cores":$n,"n4_cores":$n4,"events_per_sec_n":${b.lo}%.1f,"events_per_sec_4n":${b.hi}%.1f,"efficiency":${b.eff}%.3f,"efficiency_median":$med%.3f,"efficiency_median_quiet":$medQuiet%.3f,"quiet_pairs":$nQuiet,"efficiency_cpu_normalized":${b.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$medNorm%.3f,"cpu_us_per_event_n":${b.cpuPerEvLoNs / 1000}%.2f,"cpu_us_per_event_4n":${b.cpuPerEvHiNs / 1000}%.2f,"pairs":${pairsJson(ps)}}"""
+  }
 
   def main(args: Array[String]): Unit = {
     // All numeric formatting (f"" → java.util.Formatter) is locale-

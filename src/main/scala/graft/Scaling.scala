@@ -24,8 +24,9 @@ object Scaling {
     def median(xs: Seq[Double]): Double = { val ss = xs.sorted; ss(ss.size / 2) }
     val effMedian = median(pairs.map(_.eff))
     val effNormMedian = median(pairs.map(_.effCpuNorm))
+    val (nQuiet, effQuiet) = Bench.quietStats(pairs)
     val ctl = controls.map(c => s""","host_controls":$c""").getOrElse("")
-    f"""{"metric":"scaling efficiency N->4N","mode":"$mode","n_cores":$lo,"n4_cores":$hi,"events":$events,"events_per_sec_n":${best.lo}%.1f,"events_per_sec_4n":${best.hi}%.1f,"efficiency":${best.eff}%.3f,"efficiency_median":$effMedian%.3f,"efficiency_cpu_normalized":${best.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$effNormMedian%.3f$ctl,"pairs":${Bench.pairsJson(pairs)}}"""
+    f"""{"metric":"scaling efficiency N->4N","mode":"$mode","n_cores":$lo,"n4_cores":$hi,"events":$events,"events_per_sec_n":${best.lo}%.1f,"events_per_sec_4n":${best.hi}%.1f,"efficiency":${best.eff}%.3f,"efficiency_median":$effMedian%.3f,"efficiency_median_quiet":$effQuiet%.3f,"quiet_pairs":$nQuiet,"efficiency_cpu_normalized":${best.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$effNormMedian%.3f$ctl,"pairs":${Bench.pairsJson(pairs)}}"""
   }
 
   /** Pairs from a prior run's JSON, iff its (mode, lo, hi, events) match —
