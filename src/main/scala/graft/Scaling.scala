@@ -29,27 +29,31 @@ object Scaling {
     f"""{"metric":"scaling efficiency N->4N","mode":"$mode","n_cores":$lo,"n4_cores":$hi,"events":$events,"events_per_sec_n":${best.lo}%.1f,"events_per_sec_4n":${best.hi}%.1f,"efficiency":${best.eff}%.3f,"efficiency_median":$effMedian%.3f,"efficiency_median_quiet":$effQuiet%.3f,"quiet_pairs":$nQuiet,"efficiency_cpu_normalized":${best.effCpuNorm}%.3f,"efficiency_cpu_normalized_median":$effNormMedian%.3f$ctl,"pairs":${Bench.pairsJson(pairs)}}"""
   }
 
-  /** Pairs from a prior run's JSON, iff its (mode, lo, hi, events) match —
-    * a different configuration starts a fresh file. */
-  private def priorPairs(path: java.nio.file.Path, mode: String, lo: Int,
-                         hi: Int, events: Long): Seq[PairStat] =
+  /** Pairs (and the host_controls witness, if present) from a prior run's
+    * JSON, iff its (mode, lo, hi, events) match — a different configuration
+    * starts a fresh file. The controls travel with the accumulated evidence
+    * so a later small-heap accumulation run can't silently drop them. */
+  private def prior(path: java.nio.file.Path, mode: String, lo: Int,
+                    hi: Int, events: Long): (Seq[PairStat], Option[String]) =
     try {
-      if (!java.nio.file.Files.exists(path)) return Nil
+      if (!java.nio.file.Files.exists(path)) return (Nil, None)
       val root = new com.fasterxml.jackson.databind.ObjectMapper()
         .readTree(java.nio.file.Files.readString(path))
       val same = root.path("mode").asText() == mode &&
         root.path("n_cores").asInt() == lo &&
         root.path("n4_cores").asInt() == hi &&
         root.path("events").asLong() == events
-      if (!same) return Nil
+      if (!same) return (Nil, None)
       import scala.jdk.CollectionConverters._
-      root.path("pairs").elements().asScala.map { p =>
+      val pairs = root.path("pairs").elements().asScala.map { p =>
         PairStat(
           p.path("n").asDouble(), p.path("n4").asDouble(), p.path("eff").asDouble(),
           p.path("cpu_us_per_event_n").asDouble() * 1000,
           p.path("cpu_us_per_event_4n").asDouble() * 1000)
       }.toSeq
-    } catch { case _: Throwable => Nil }
+      val ctl = Option(root.get("host_controls")).map(_.toString)
+      (pairs, ctl)
+    } catch { case _: Throwable => (Nil, None) }
 
   def main(args: Array[String]): Unit = {
     java.util.Locale.setDefault(java.util.Locale.ROOT)
@@ -64,11 +68,13 @@ object Scaling {
       sys.env.getOrElse("SPARK_GRAFT_SCALING_OUT", "SCALING_LOCAL.json"))
     val accum = sys.env.getOrElse("SPARK_GRAFT_SCALE_ACCUM", "true") == "true"
 
+    val (priorP, priorCtl) =
+      if (accum) prior(out, mode, lo, hi, events) else (Nil, None)
     val acc = scala.collection.mutable.Buffer.empty[PairStat]
-    if (accum) acc ++= priorPairs(out, mode, lo, hi, events)
+    acc ++= priorP
     if (acc.nonEmpty)
       System.err.println(s"[scaling] accumulating onto ${acc.size} prior pair(s) from $out")
-    def writeOut(controls: Option[String] = None): Unit =
+    def writeOut(controls: Option[String] = priorCtl): Unit =
       if (acc.nonEmpty)
         try java.nio.file.Files.writeString(out, render(mode, lo, hi, events, acc.toSeq, controls) + "\n")
         catch { case _: Throwable => () }
@@ -89,8 +95,9 @@ object Scaling {
         val (cpuEff, bwEff, bwGbps) = Bench.controls(lo, hi)
         Some(f"""{"cpu_eff_${lo}_$hi":$cpuEff%.3f,"membw_eff_${lo}_$hi":$bwEff%.3f,"membw_gbps_at_$hi":$bwGbps%.1f}""")
       } catch { case _: Throwable => None }
-    writeOut(controls)
-    if (acc.nonEmpty) println(render(mode, lo, hi, events, acc.toSeq, controls))
+    val finalCtl = controls.orElse(priorCtl)
+    writeOut(finalCtl)
+    if (acc.nonEmpty) println(render(mode, lo, hi, events, acc.toSeq, finalCtl))
     else System.err.println("[scaling] no pairs measured")
   }
 }
