@@ -134,6 +134,32 @@ object SparkEntry {
           col("after.source").as("last_source"))
     }),
     "q_cdc_merge_replay" -> ((s, dir) => cdcMergeReplay(s, dir)),
+    "q_concurrent_merge" -> ((s, dir) => {
+      // Two concurrent writer sessions replay key-disjoint halves of the
+      // change stream into ONE table — optimistic commits: version-race
+      // losers rebase disjoint-bucket deltas driver-side or recompute on
+      // bucket overlap (IceLiteTable.commitRebasing). Whatever the
+      // interleaving, the final state must equal the full LWW fold.
+      val root = java.nio.file.Files.createTempDirectory("graft-conc").toString
+      IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      val lsnMax = derivedChanges(s, dir).agg(max("lsn")).head().getLong(0) + 1
+      val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      val ws = (0 until 2).map { parity =>
+        new Thread(() => {
+          try {
+            val sess = s.newSession()
+            val half = derivedChanges(sess, dir)
+              .filter(pmod(col("doc_id").cast(LongType), lit(2L)) === parity)
+            Pipeline.replayBatch(sess, half, IceLite.load(sess, root),
+              s"w$parity", epochs = 3, lsnMax = lsnMax)
+          } catch { case t: Throwable => errs.add(t): Unit }
+        })
+      }
+      ws.foreach(_.start()); ws.foreach(_.join())
+      if (!errs.isEmpty) throw new IllegalStateException("concurrent writer failed", errs.peek())
+      IceLite.load(s, root).read().select(col("doc_id"),
+        array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
+    }),
     "q_smt_unwrap" -> ((s, dir) => {
       // unwrap + tombstone semantics over the derived envelope
       val env = derivedChanges(s, dir)
@@ -798,6 +824,18 @@ object SparkEntry {
         |  FROM events)
         |WHERE rn = 1 AND last_source <> 'error'""".stripMargin,
     "q_cdc_merge_replay" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // Concurrent writers partition the stream BY KEY, so the final table
+    // state is interleaving-independent: the same full LWW fold.
+    "q_concurrent_merge" ->
       """WITH last AS (
         |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

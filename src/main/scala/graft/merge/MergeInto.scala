@@ -90,11 +90,37 @@ object MergeInto {
     }
   }
 
+  /** Thrown by the commit step when a concurrent writer's commit overlapped
+    * this merge's buckets (or evolved schema divergently): the manifest-only
+    * rebase is impossible and the merge must recompute against the new
+    * snapshot. Internal control flow — [[run]] retries. */
+  private final class RebaseOverlap extends RuntimeException("merge rebase overlap")
+
   def run(table: IceLiteTable, changes: DataFrame, epochKey: String,
           registryJson: Option[String] = None,
           preDeduped: Option[DataFrame] = None,
           extraLineage: Map[String, Long] = Map.empty): CommitStats =
-    withMergeConfs(table.spark) { runInner(table, changes, epochKey, registryJson, preDeduped, extraLineage) }
+    withMergeConfs(table.spark) {
+      // Concurrent-writer loop: a same-bucket conflict recomputes the merge
+      // against the fresh snapshot (disjoint-bucket and same-epoch races are
+      // absorbed inside commitRebasing without recompute). Each retry
+      // re-reads the snapshot at runInner entry, so progress is guaranteed
+      // as long as the competing writer stream is finite; the bound guards
+      // against a pathological livelock.
+      var attempt = 0
+      while (true) {
+        try return runInner(table, changes, epochKey, registryJson, preDeduped, extraLineage)
+        catch {
+          case _: RebaseOverlap if attempt < 5 =>
+            attempt += 1
+            // the pre-deduped winner set was computed against the stale
+            // snapshot's bucket layout only if nBuckets changed (it cannot);
+            // it remains valid — but runInner unpersisted a non-caller-owned
+            // cache, so only caller-owned pipelining survives a retry.
+        }
+      }
+      throw new IllegalStateException("unreachable")
+    }
 
   private def runInner(table: IceLiteTable, changes: DataFrame, epochKey: String,
                        registryJson: Option[String],
@@ -287,7 +313,7 @@ object MergeInto {
         val s0 = CommitStats(epochKey, 0, 0, 0,
           carried = actionCounts.getOrElse("carry", 0L),
           stale = actionCounts.getOrElse("stale", 0L), 0, 0)
-        table.commit(snap.copy(
+        val cand0 = snap.copy(
           version = version,
           schemaJson = newSchema.json,
           committedEpochs = snap.committedEpochs :+ epochKey,
@@ -298,8 +324,14 @@ object MergeInto {
           lineage = snap.lineage ++ extraLineage.map { case (k, v) =>
             k -> (snap.lineage.getOrElse(k, 0L) + v) },
           parentVersion = snap.version,
-          stats = Some(s0)))
+          stats = Some(s0))
+        val out0 = table.commitRebasing(snap, cand0)
         table.deleteDataFiles(newFiles.map(_.path))
+        out0 match {
+          case graft.table.CommitOutcome.Overlap => throw new RebaseOverlap
+          case _ => // Committed, or a concurrent duplicate delivery won the
+                    // epoch — either way this epoch is applied exactly once
+        }
         mark("commit (no-op epoch)")
         return s0
       }
@@ -315,9 +347,13 @@ object MergeInto {
         touchedBuckets = newFiles.map(_.bucket).distinct.size)
 
       // 6. Atomic snapshot commit with epoch ledger + lineage counters.
+      // Optimistic under concurrent writers: a conflicting commit that
+      // touched DISJOINT buckets is absorbed by a driver-side manifest
+      // rebase (no recompute); a same-epoch race yields to the winner; an
+      // overlapping-bucket conflict recomputes the merge (RebaseOverlap).
       val keptFiles = snap.files.filterNot(f => affectedPaths.contains(f.path))
       val lineage = updateLineage(snap.lineage, newFiles, stats, extraLineage)
-      table.commit(snap.copy(
+      table.commitRebasing(snap, snap.copy(
         version = version,
         schemaJson = newSchema.json,
         files = keptFiles ++ newFiles,
@@ -325,9 +361,16 @@ object MergeInto {
         registryJson = registryJson.getOrElse(snap.registryJson),
         lineage = lineage,
         parentVersion = snap.version,
-        stats = Some(stats)))
-      mark("commit")
-      stats
+        stats = Some(stats))) match {
+        case graft.table.CommitOutcome.Committed =>
+          mark("commit")
+          stats
+        case graft.table.CommitOutcome.EpochWon =>
+          mark("commit (lost same-epoch race)")
+          CommitStats(epochKey, 0, 0, 0, 0, 0, 0, 0)
+        case graft.table.CommitOutcome.Overlap =>
+          throw new RebaseOverlap
+      }
     } finally {
       if (!callerOwned) deduped.unpersist(): Unit
     }

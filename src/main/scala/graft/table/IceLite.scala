@@ -52,6 +52,23 @@ final case class CommitStats(
     rewrittenFiles: Int,
     touchedBuckets: Int)
 
+/** Outcome of an optimistic commit with manifest rebase
+  * ([[IceLiteTable.commitRebasing]]). */
+sealed trait CommitOutcome
+object CommitOutcome {
+  /** The candidate (possibly rebased onto newer snapshots) is committed. */
+  case object Committed extends CommitOutcome
+  /** A concurrent writer committed one of this candidate's epoch keys first;
+    * the candidate's new data files have been deleted (exactly-once: the
+    * epoch is applied exactly once, by the winner). */
+  case object EpochWon extends CommitOutcome
+  /** An intervening commit touched this candidate's buckets (or evolved
+    * schema/registry divergently), so a metadata-only rebase would be wrong;
+    * the candidate's new data files have been deleted and the caller must
+    * recompute against the current snapshot. */
+  case object Overlap extends CommitOutcome
+}
+
 final case class Snapshot(
     version: Long,
     schemaJson: String,
@@ -151,14 +168,15 @@ object IceLite {
       lineage, n.path("parentVersion").asLong(), stats, props)
   }
 
-  /** Atomic commit: write to temp, atomically rename into place. Hadoop's
-    * single-file rename is atomic on HDFS and POSIX local FS. HDFS rename
-    * refuses to replace an existing destination, but the LOCAL FS delegates
-    * to File.renameTo, which on POSIX silently replaces it — so a duplicate
-    * version is rejected by an explicit existence check first (single
-    * writer assumed, per the table contract; the check-then-rename residual
-    * race only matters under concurrent writers, which HDFS still catches
-    * via the rename itself). */
+  /** Atomic commit: write to temp, atomically publish as the version file;
+    * a duplicate version number MUST fail, atomically, because concurrent
+    * writers race on it ([[IceLiteTable.commitRebasing]] turns the loser's
+    * failure into a rebase). HDFS rename already refuses an existing
+    * destination. The LOCAL FS delegates rename to File.renameTo, which on
+    * POSIX silently REPLACES the destination — there the publish uses
+    * link(2) (`Files.createLink`), which is atomic and fails with EEXIST:
+    * the classic POSIX create-if-absent commit. A non-atomic existence
+    * pre-check remains only as a fast path for better error locality. */
   private[table] def writeSnapshot(fs: FileSystem, root: Path, snap: Snapshot): Unit = {
     val meta = new Path(root, "meta")
     val dst = new Path(meta, s"v${snap.version}.json")
@@ -168,7 +186,17 @@ object IceLite {
     val out = fs.create(tmp, false)
     try out.write(mapper.writeValueAsBytes(snap))
     finally out.close()
-    if (!fs.rename(tmp, dst)) {
+    val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
+      fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
+    if (local) {
+      val dstNio = java.nio.file.Paths.get(dst.toUri.getPath)
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try java.nio.file.Files.createLink(dstNio, tmpNio)
+      catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          throw new IllegalStateException(s"commit conflict: $dst already exists")
+      } finally fs.delete(tmp, false): Unit
+    } else if (!fs.rename(tmp, dst)) {
       fs.delete(tmp, false)
       throw new IllegalStateException(s"commit conflict: $dst already exists")
     }
@@ -307,6 +335,73 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     graft.merge.MergeInto.run(this, changes, epochKey, registryJson, extraLineage = extraLineage)
 
   private[graft] def commit(newSnap: Snapshot): Unit = IceLite.writeSnapshot(fs, rootP, newSnap)
+
+  /** Optimistic multi-writer commit: try `candidate` (built against `base`);
+    * on a version conflict, REBASE the candidate's manifest delta onto the
+    * current snapshot and retry — the Iceberg commit protocol, driver-side
+    * metadata only, no data recompute. The delta is derived from
+    * (base, candidate): files removed/added, epoch keys appended, lineage
+    * counter increments. A rebase is legal iff no intervening commit touched
+    * the candidate's buckets (its removed files must all still be present —
+    * per-bucket file sets in the current snapshot equal base's) and at most
+    * one side changed the schema / registry; otherwise [[CommitOutcome.Overlap]]
+    * is returned (new files deleted) and the caller recomputes. A conflict
+    * on one of the candidate's own epoch keys means a concurrent duplicate
+    * delivery already applied this epoch: [[CommitOutcome.EpochWon]], also
+    * cleaned up. Contention cost is O(retries x snapshot read), zero jobs. */
+  private[graft] def commitRebasing(base: Snapshot, candidate: Snapshot,
+                                    maxRetries: Int = 10): CommitOutcome = {
+    val basePaths = base.files.map(_.path).toSet
+    val candPaths = candidate.files.map(_.path).toSet
+    val removedPaths = basePaths -- candPaths
+    val added = candidate.files.filterNot(f => basePaths.contains(f.path))
+    val touched: Set[Int] =
+      (added.map(_.bucket) ++ base.files.filter(f => removedPaths(f.path)).map(_.bucket)).toSet
+    val newEpochs = candidate.committedEpochs.drop(base.committedEpochs.size)
+    val lineageDelta: Map[String, Long] = candidate.lineage.flatMap { case (k, v) =>
+      val d = v - base.lineage.getOrElse(k, 0L)
+      if (d != 0L) Some(k -> d) else None
+    }
+    def abandon(): Unit = deleteDataFiles(added.map(_.path))
+    /** Pick the evolved value when at most one side diverged from base. */
+    def oneSided(b: String, cur: String, cand: String): Option[String] =
+      if (cur == b || cur == cand) Some(cand)
+      else if (cand == b) Some(cur)
+      else None
+
+    var cand = candidate
+    var attempt = 0
+    while (true) {
+      try { commit(cand); return CommitOutcome.Committed }
+      catch {
+        case e: IllegalStateException =>
+          attempt += 1
+          if (attempt > maxRetries) throw e
+          val cur = snapshot
+          if (newEpochs.exists(cur.committedEpochs.contains)) {
+            abandon(); return CommitOutcome.EpochWon
+          }
+          def filesIn(s: Snapshot): Set[String] =
+            s.files.iterator.filter(f => touched(f.bucket)).map(_.path).toSet
+          val schemaJson = oneSided(base.schemaJson, cur.schemaJson, candidate.schemaJson)
+          val registryJson = oneSided(base.registryJson, cur.registryJson, candidate.registryJson)
+          if (filesIn(cur) != filesIn(base) || schemaJson.isEmpty || registryJson.isEmpty) {
+            abandon(); return CommitOutcome.Overlap
+          }
+          cand = cur.copy(
+            version = cur.version + 1,
+            schemaJson = schemaJson.get,
+            files = cur.files.filterNot(f => removedPaths(f.path)) ++ added,
+            committedEpochs = cur.committedEpochs ++ newEpochs,
+            registryJson = registryJson.get,
+            lineage = cur.lineage ++ lineageDelta.map { case (k, d) =>
+              k -> (cur.lineage.getOrElse(k, 0L) + d) },
+            parentVersion = cur.version,
+            stats = candidate.stats)
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   /** Best-effort delete of data files that were written but never referenced
     * by any snapshot (abandoned no-op-epoch rewrites). */
