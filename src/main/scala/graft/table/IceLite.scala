@@ -412,27 +412,42 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
 
   /** MOR: rewrite `buckets` to their resolved state (one winner row per
     * key), dropping resolved tombstones below `lsnWatermark`. O(files of the
-    * chosen buckets). Returns the number of files replaced. */
+    * chosen buckets). Returns the number of files replaced.
+    *
+    * Concurrency-safe: commits through [[commitRebasing]], so a concurrent
+    * merge into OTHER buckets is absorbed by a metadata rebase; a merge that
+    * landed in one of the compacting buckets invalidates the rewrite
+    * (compacted files would resurrect rows the merge superseded), so the
+    * compaction recomputes against the fresh snapshot — bounded retries,
+    * since maintenance must yield to the ingest path under contention. */
   def compactBuckets(buckets: Set[Int], lsnWatermark: Long = Long.MinValue): Int = {
     import org.apache.spark.sql.functions._
     import graft.merge.MergeInto.{DELETED, LSN}
-    val snap = snapshot
-    val affected = snap.files.filter(f => buckets.contains(f.bucket))
-    if (affected.isEmpty) return 0
-    val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema, snap.fold == "patch")
-    // Patch tables fold column-wise; the folded row's reset watermark is
-    // consumed by the fold, so compacted files carry no __reset (reads
-    // null-fill it, and crediting surviving columns at the fold's max LSN
-    // is safe because later epochs carry strictly newer LSNs).
-    val resolved = IceLiteTable.resolve(
-      readFiles(snap.copy(schemaJson = dataSchema.json), affected), snap)
-      .filter(!(coalesce(col(DELETED), lit(false)) && col(LSN) < lsnWatermark))
-    val newFiles = graft.merge.MergeInto.writeDataFiles(this, snap, resolved, snap.version + 1)
-    commit(snap.copy(
-      version = snap.version + 1,
-      files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newFiles,
-      parentVersion = snap.version))
-    affected.size
+    var attempt = 0
+    while (true) {
+      val snap = snapshot
+      val affected = snap.files.filter(f => buckets.contains(f.bucket))
+      if (affected.isEmpty) return 0
+      val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema, snap.fold == "patch")
+      // Patch tables fold column-wise; the folded row's reset watermark is
+      // consumed by the fold, so compacted files carry no __reset (reads
+      // null-fill it, and crediting surviving columns at the fold's max LSN
+      // is safe because later epochs carry strictly newer LSNs).
+      val resolved = IceLiteTable.resolve(
+        readFiles(snap.copy(schemaJson = dataSchema.json), affected), snap)
+        .filter(!(coalesce(col(DELETED), lit(false)) && col(LSN) < lsnWatermark))
+      val newFiles = graft.merge.MergeInto.writeDataFiles(this, snap, resolved, snap.version + 1)
+      commitRebasing(snap, snap.copy(
+        version = snap.version + 1,
+        files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newFiles,
+        parentVersion = snap.version)) match {
+        case CommitOutcome.Committed => return affected.size
+        case CommitOutcome.Overlap if attempt < 5 => attempt += 1 // recompute
+        case out => throw new IllegalStateException(
+          s"compactBuckets: gave up after $attempt recomputes under contention ($out)")
+      }
+    }
+    -1 // unreachable
   }
 
   /** Physically drop tombstone rows older than `lsnWatermark` (the stream's
@@ -444,20 +459,28 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   def compactTombstones(lsnWatermark: Long): Int = {
     import org.apache.spark.sql.functions._
     import graft.merge.MergeInto.{DELETED, LSN}
-    val snap = snapshot
-    if (snap.writeMode == "mor")
-      return compactBuckets(snap.files.filter(_.tombstones > 0).map(_.bucket).toSet, lsnWatermark)
-    val affected = snap.files.filter(_.tombstones > 0)
-    if (affected.isEmpty) return 0
-    val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema)
-    val df = readFiles(snap.copy(schemaJson = dataSchema.json), affected)
-      .filter(!(coalesce(col(DELETED), lit(false)) && col(LSN) < lsnWatermark))
-    val stats = graft.merge.MergeInto.writeDataFiles(this, snap, df, snap.version + 1)
-    commit(snap.copy(
-      version = snap.version + 1,
-      files = snap.files.filterNot(f => affected.exists(_.path == f.path)) ++ stats,
-      parentVersion = snap.version))
-    affected.size
+    var attempt = 0
+    while (true) {
+      val snap = snapshot
+      if (snap.writeMode == "mor")
+        return compactBuckets(snap.files.filter(_.tombstones > 0).map(_.bucket).toSet, lsnWatermark)
+      val affected = snap.files.filter(_.tombstones > 0)
+      if (affected.isEmpty) return 0
+      val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema)
+      val df = readFiles(snap.copy(schemaJson = dataSchema.json), affected)
+        .filter(!(coalesce(col(DELETED), lit(false)) && col(LSN) < lsnWatermark))
+      val stats = graft.merge.MergeInto.writeDataFiles(this, snap, df, snap.version + 1)
+      commitRebasing(snap, snap.copy(
+        version = snap.version + 1,
+        files = snap.files.filterNot(f => affected.exists(_.path == f.path)) ++ stats,
+        parentVersion = snap.version)) match {
+        case CommitOutcome.Committed => return affected.size
+        case CommitOutcome.Overlap if attempt < 5 => attempt += 1 // recompute
+        case out => throw new IllegalStateException(
+          s"compactTombstones: gave up after $attempt recomputes under contention ($out)")
+      }
+    }
+    -1 // unreachable
   }
 
   /** Delete data files not referenced by the last `keepSnapshots` snapshots
@@ -589,7 +612,13 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     rolled.version
   }
 
-  def vacuum(keepSnapshots: Int = 1): Int = {
+  /** `graceMs` protects CONCURRENT WRITERS: a writer's data files exist on
+    * disk before its snapshot commit references them, so an unreferenced
+    * parquet younger than the grace window may be a commit in flight, not
+    * an orphan. Size it above the longest write-files-to-commit latency
+    * (Iceberg's equivalent knob defaults to days); 0 = single-writer
+    * semantics, reap everything unreferenced. */
+  def vacuum(keepSnapshots: Int = 1, graceMs: Long = 0L): Int = {
     val current = IceLite.currentVersion(fs, rootP).getOrElse(return 0)
     val keepFrom = math.max(0, current - keepSnapshots + 1)
     val referenced = (keepFrom to current)
@@ -598,11 +627,13 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     if (!fs.isDirectory(dataDir)) return 0
     var removed = 0
     val rootPath = fs.makeQualified(rootP).toUri.getPath
+    val cutoff = System.currentTimeMillis() - graceMs
     val it = fs.listFiles(dataDir, true)
     while (it.hasNext) {
       val st = it.next()
       val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-      if (!referenced.contains(rel) && rel.endsWith(".parquet")) {
+      if (!referenced.contains(rel) && rel.endsWith(".parquet") &&
+          st.getModificationTime <= cutoff) {
         fs.delete(st.getPath, false); removed += 1
       }
     }

@@ -182,6 +182,54 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(actual == expected)
   }
 
+  test("compaction concurrent with ingest converges (rebase or recompute, never corruption)") {
+    val root = SparkTestBase.tempDir("conc-compact")
+    val t0 = IceLite.create(spark, root, payload, "doc_id", numBuckets = 4,
+      properties = Map("write.mode" -> "mor"))
+    val k1 = keyInBucket(t0, 1)
+    val k2 = keyInBucket(t0, 2)
+    t0.merge(batch(Seq(k1 -> 0, k2 -> 0), lsn0 = 0), "seed/0")
+
+    // writer: 6 epochs of updates to k2 (bucket 2); maintainer: compacts
+    // bucket 1 (disjoint → rebase) and bucket 2 (overlap → recompute) in a
+    // loop. Any interleaving must preserve the last-write-wins state.
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val writer = new Thread(() => {
+      try {
+        val sess = spark.newSession()
+        val t = IceLite.load(sess, root)
+        (1 to 6).foreach { e => t.merge(batch(Seq(k2 -> e, k1 -> e), lsn0 = e * 10), s"w/$e"): Unit }
+      } catch { case x: Throwable => errs.add(x): Unit }
+    })
+    val maintainer = new Thread(() => {
+      try {
+        val sess = spark.newSession()
+        val t = IceLite.load(sess, root)
+        (1 to 4).foreach { _ =>
+          t.compactBuckets(Set(t.snapshot.files.map(_.bucket).min)): Unit
+          t.compactTombstones(lsnWatermark = 0): Unit
+        }
+      } catch { case x: Throwable => errs.add(x): Unit }
+    })
+    writer.start(); maintainer.start(); writer.join(); maintainer.join()
+    assert(errs.isEmpty, s"concurrent maintenance failed: ${Option(errs.peek())}")
+
+    val state = t0.read().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(state == Map(k1 -> 6, k2 -> 6))
+    assert((1 to 6).forall(e => t0.snapshot.committedEpochs.contains(s"w/$e")))
+  }
+
+  test("vacuum graceMs spares young unreferenced files (in-flight writers)") {
+    val t = freshTable("conc-vacuum")
+    val orphan = writeFile(t, Seq(keyInBucket(t, 3) -> 7), lsn = 50) // never committed
+    val f = new java.io.File(s"${t.root}/${orphan.path}")
+    assert(f.exists())
+    assert(t.vacuum(keepSnapshots = 1, graceMs = 3600L * 1000) == 0) // young → spared
+    assert(f.exists())
+    assert(t.vacuum(keepSnapshots = 1) >= 1) // grace 0 → reaped
+    assert(!f.exists())
+  }
+
   test("concurrent duplicate delivery of the SAME epoch applies it once") {
     val root = SparkTestBase.tempDir("conc-dup")
     val t0 = IceLite.create(spark, root, payload, "doc_id", numBuckets = 4)
