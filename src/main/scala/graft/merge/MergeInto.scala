@@ -127,7 +127,7 @@ object MergeInto {
                        preDeduped: Option[DataFrame],
                        extraLineage: Map[String, Long]): CommitStats = {
     val snap = table.snapshot
-    if (snap.committedEpochs.contains(epochKey)) {
+    if (snap.epochCommitted(epochKey)) {
       // Re-delivered epoch (at-least-once upstream): exactly-once via no-op.
       return CommitStats(epochKey, 0, 0, 0, 0, 0, 0, 0)
     }
@@ -313,10 +313,12 @@ object MergeInto {
         val s0 = CommitStats(epochKey, 0, 0, 0,
           carried = actionCounts.getOrElse("carry", 0L),
           stale = actionCounts.getOrElse("stale", 0L), 0, 0)
+        val ledger0 = graft.table.EpochLedger.appended(snap, epochKey)
         val cand0 = snap.copy(
           version = version,
           schemaJson = newSchema.json,
-          committedEpochs = snap.committedEpochs :+ epochKey,
+          committedEpochs = ledger0._1,
+          epochWatermarks = ledger0._2,
           registryJson = registryJson.getOrElse(snap.registryJson),
           // caller counters still land on a no-op epoch — e.g. a batch
           // whose every event was suppressed by ingest dedup writes no
@@ -353,11 +355,13 @@ object MergeInto {
       // overlapping-bucket conflict recomputes the merge (RebaseOverlap).
       val keptFiles = snap.files.filterNot(f => affectedPaths.contains(f.path))
       val lineage = updateLineage(snap.lineage, newFiles, stats, extraLineage)
+      val ledger = graft.table.EpochLedger.appended(snap, epochKey)
       table.commitRebasing(snap, snap.copy(
         version = version,
         schemaJson = newSchema.json,
         files = keptFiles ++ newFiles,
-        committedEpochs = snap.committedEpochs :+ epochKey,
+        committedEpochs = ledger._1,
+        epochWatermarks = ledger._2,
         registryJson = registryJson.getOrElse(snap.registryJson),
         lineage = lineage,
         parentVersion = snap.version,
@@ -558,11 +562,13 @@ object MergeInto {
       carried = 0L, stale = 0L,
       rewrittenFiles = 0,
       touchedBuckets = newFiles.map(_.bucket).distinct.size)
+    val ledgerMor = graft.table.EpochLedger.appended(snap, epochKey)
     table.commit(snap.copy(
       version = version,
       schemaJson = newSchema.json,
       files = snap.files ++ newFiles,
-      committedEpochs = snap.committedEpochs :+ epochKey,
+      committedEpochs = ledgerMor._1,
+      epochWatermarks = ledgerMor._2,
       registryJson = registryJson.getOrElse(snap.registryJson),
       lineage = updateLineage(snap.lineage, newFiles, stats, extraLineage),
       parentVersion = snap.version,

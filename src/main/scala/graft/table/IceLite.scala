@@ -81,13 +81,92 @@ final case class Snapshot(
     parentVersion: Long,
     stats: Option[CommitStats],
     /** Table properties, e.g. `write.mode` = cow (default) | mor. */
-    properties: Map[String, String] = Map.empty) {
+    properties: Map[String, String] = Map.empty,
+    /** Compacted exactly-once ledger: `prefix -> W` asserts every epoch key
+      * `prefix/N` with 0 <= N <= W is committed (contiguous-from-zero, the
+      * shape Structured Streaming batchIds take). [[committedEpochs]] holds
+      * only keys not yet absorbed — without this, a long-running stream's
+      * ledger grows one entry per micro-batch FOREVER (a year of 10 s
+      * batches = ~3M strings rewritten into every snapshot and scanned per
+      * epoch check). See [[EpochLedger]]. */
+    epochWatermarks: Map[String, Long] = Map.empty) {
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def writeMode: String = properties.getOrElse("write.mode", "cow")
   /** Batch fold semantics: `lww` (default, full row images) or `patch`
     * (partial updates: null payload column = unchanged — see
     * [[graft.merge.PatchFoldAgg]]). */
   def fold: String = properties.getOrElse("write.merge.fold", "lww")
+  /** Exactly-once membership: in the explicit list, or covered by a
+    * watermark. */
+  def epochCommitted(key: String): Boolean =
+    committedEpochs.contains(key) || EpochLedger.covered(key, epochWatermarks)
+  /** List-size threshold past which commits fold contiguous numeric epoch
+    * keys into [[epochWatermarks]] (O(1) exactly-once state per stream,
+    * instead of O(batches)). */
+  def ledgerCompactThreshold: Int =
+    properties.getOrElse("write.ledger.compact-threshold", "256").toInt
+}
+
+/**
+ * Exactly-once epoch-ledger compaction. Epoch keys are free-form strings,
+ * but every built-in writer emits `name/N` with N a monotonically
+ * increasing batch id starting at 0 (Structured Streaming's batchId
+ * contract), so in steady state the committed set per stream is a dense
+ * prefix 0..W — representable as ONE number. Compaction folds exactly such
+ * contiguous runs into per-prefix watermarks; gapped or non-numeric keys
+ * stay in the explicit list (no correctness assumption about them is ever
+ * made). Watermarks are mergeable under concurrent commits by per-prefix
+ * MAX: commit-ness is monotone (only [[IceLiteTable.rollbackTo]] rewinds
+ * it, and that replaces the whole ledger), and contiguous-from-zero means
+ * any two truthful watermarks for one prefix are nested, never disjoint.
+ */
+object EpochLedger {
+  /** `name/N` -> (name, N); None for keys the compactor must not touch. */
+  private[table] def parseKey(key: String): Option[(String, Long)] = {
+    val i = key.lastIndexOf('/')
+    if (i <= 0 || i == key.length - 1) return None
+    val num = key.substring(i + 1)
+    if (num.length <= 18 && num.forall(c => c >= '0' && c <= '9'))
+      Some((key.substring(0, i), num.toLong))
+    else None
+  }
+
+  private[table] def covered(key: String, wms: Map[String, Long]): Boolean =
+    wms.nonEmpty && parseKey(key).exists { case (p, n) => wms.get(p).exists(n <= _) }
+
+  /** Fold contiguous-from-watermark numeric keys into advanced watermarks;
+    * return the surviving list (order preserved) and the new watermark map. */
+  private[table] def compact(list: List[String],
+                             wms: Map[String, Long]): (List[String], Map[String, Long]) = {
+    val parsed = list.map(k => k -> parseKey(k))
+    val byPrefix = parsed.collect { case (_, Some(pn)) => pn }.groupBy(_._1)
+    val advanced = byPrefix.flatMap { case (p, pns) =>
+      var wm = wms.getOrElse(p, -1L)
+      pns.map(_._2).distinct.sorted.foreach { n =>
+        if (n == wm + 1) wm = n // n <= wm is already covered; a gap stops the run
+      }
+      if (wm >= 0) Some(p -> wm) else None
+    }
+    val newWms = wms ++ advanced
+    val kept = parsed.collect {
+      case (k, None) => k
+      case (k, Some((p, n))) if !newWms.get(p).exists(n <= _) => k
+    }
+    (kept, newWms)
+  }
+
+  /** Ledger after committing `epochKey` on top of `snap`: the new key is
+    * ALWAYS appended explicitly (so a concurrent-commit rebase can see it as
+    * a list delta — see [[IceLiteTable.commitRebasing]]); when the list has
+    * outgrown the table's threshold, the OLD entries are folded into
+    * watermarks first. */
+  def appended(snap: Snapshot, epochKey: String): (List[String], Map[String, Long]) = {
+    val (list, wms) =
+      if (snap.committedEpochs.size >= snap.ledgerCompactThreshold)
+        compact(snap.committedEpochs, snap.epochWatermarks)
+      else (snap.committedEpochs, snap.epochWatermarks)
+    (list :+ epochKey, wms)
+  }
 }
 
 object IceLite {
@@ -163,9 +242,10 @@ object IceLite {
         s.path("rewrittenFiles").asInt(), s.path("touchedBuckets").asInt())
     }
     val props = n.path("properties").fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    val wms = n.path("epochWatermarks").fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     Snapshot(n.path("version").asLong(), n.path("schemaJson").asText(), n.path("keyColumn").asText(),
       n.path("numBuckets").asInt(), files, epochs, n.path("registryJson").asText(),
-      lineage, n.path("parentVersion").asLong(), stats, props)
+      lineage, n.path("parentVersion").asLong(), stats, props, wms)
   }
 
   /** Atomic commit: write to temp, atomically publish as the version file;
@@ -291,7 +371,7 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   }
 
   def isEpochCommitted(epochKey: String): Boolean =
-    snapshot.committedEpochs.contains(epochKey)
+    snapshot.epochCommitted(epochKey)
 
   /** Point lookup: the current rows for `keys`, reading ONLY files whose
     * (bucket, key-range) manifest entry can contain them — O(candidate
@@ -357,7 +437,10 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     val added = candidate.files.filterNot(f => basePaths.contains(f.path))
     val touched: Set[Int] =
       (added.map(_.bucket) ++ base.files.filter(f => removedPaths(f.path)).map(_.bucket)).toSet
-    val newEpochs = candidate.committedEpochs.drop(base.committedEpochs.size)
+    // New epoch keys appear as explicit list entries ([[EpochLedger.appended]]
+    // never folds the key being committed), so the delta vs base is exact
+    // even when the candidate also compacted the old entries away.
+    val newEpochs = candidate.committedEpochs.filterNot(base.epochCommitted)
     val lineageDelta: Map[String, Long] = candidate.lineage.flatMap { case (k, v) =>
       val d = v - base.lineage.getOrElse(k, 0L)
       if (d != 0L) Some(k -> d) else None
@@ -378,7 +461,7 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
           attempt += 1
           if (attempt > maxRetries) throw e
           val cur = snapshot
-          if (newEpochs.exists(cur.committedEpochs.contains)) {
+          if (newEpochs.exists(cur.epochCommitted)) {
             abandon(); return CommitOutcome.EpochWon
           }
           def filesIn(s: Snapshot): Set[String] =
@@ -397,7 +480,15 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
             lineage = cur.lineage ++ lineageDelta.map { case (k, d) =>
               k -> (cur.lineage.getOrElse(k, 0L) + d) },
             parentVersion = cur.version,
-            stats = candidate.stats)
+            stats = candidate.stats,
+            // Watermarks merge by per-prefix MAX: contiguous-from-zero makes
+            // any two truthful watermarks for one prefix nested (commit-ness
+            // is monotone), so the larger one subsumes the smaller. Entries
+            // in cur's list that the merged watermark now covers are swept by
+            // the next compaction pass.
+            epochWatermarks = cur.epochWatermarks ++
+              candidate.epochWatermarks.map { case (p, w) =>
+                p -> math.max(w, cur.epochWatermarks.getOrElse(p, -1L)) })
       }
     }
     throw new IllegalStateException("unreachable")
