@@ -105,6 +105,16 @@ final case class Snapshot(
     * instead of O(batches)). */
   def ledgerCompactThreshold: Int =
     properties.getOrElse("write.ledger.compact-threshold", "256").toInt
+  /** File-count threshold past which the snapshot stops inlining [[files]]
+    * and offloads it to content-addressed manifest shards (see
+    * [[IceLite.writeSnapshot]]). Below it, v{N}.json stays self-contained —
+    * the right trade for small tables and for test readability. */
+  def manifestInlineThreshold: Int =
+    properties.getOrElse("write.manifest.inline-threshold", "1024").toInt
+  /** Number of manifest shards (buckets map to shards by modulo): a commit
+    * touching K buckets rewrites at most min(K, shards) manifest files. */
+  def manifestShards: Int =
+    properties.getOrElse("write.manifest.shards", "16").toInt
 }
 
 /**
@@ -219,21 +229,46 @@ object IceLite {
     if (versions.isEmpty) None else Some(versions.max)
   }
 
-  // Snapshot serde is hand-rolled on the Jackson tree API: Scala generics
-  // erase, so data-binding would deserialize Long fields inside collections
-  // as Integer and blow up at use sites.
-  private[table] def readSnapshot(fs: FileSystem, root: Path, version: Long): Snapshot = {
-    val p = new Path(new Path(root, "meta"), s"v$version.json")
+  private def readBytes(fs: FileSystem, p: Path): Array[Byte] = {
     val in = fs.open(p)
-    val bytes =
-      try org.apache.commons.io.IOUtils.toByteArray(in)
-      finally in.close()
-    val n = mapper.readTree(bytes)
-    val files = n.path("files").elements().asScala.map { f =>
+    try org.apache.commons.io.IOUtils.toByteArray(in)
+    finally in.close()
+  }
+
+  private def parseFileArray(n: com.fasterxml.jackson.databind.JsonNode): List[DataFileMeta] =
+    n.elements().asScala.map { f =>
       DataFileMeta(f.path("path").asText(), f.path("bucket").asInt(), f.path("rows").asLong(),
         f.path("minKey").asText(), f.path("maxKey").asText(), f.path("tombstones").asLong(),
         f.path("fullRange").asBoolean(false))
     }.toList
+
+  /** Manifest-shard names referenced by a version file, WITHOUT loading the
+    * shards — the cheap walk vacuum's manifest GC needs. Empty for inline
+    * snapshots (and for missing version files: an expired version references
+    * nothing). */
+  private[table] def manifestRefsOf(fs: FileSystem, root: Path, version: Long): Seq[String] = {
+    val p = new Path(new Path(root, "meta"), s"v$version.json")
+    if (!fs.exists(p)) return Nil
+    mapper.readTree(readBytes(fs, p)).path("manifests").elements().asScala
+      .map(_.path("name").asText()).toSeq
+  }
+
+  // Snapshot serde is hand-rolled on the Jackson tree API: Scala generics
+  // erase, so data-binding would deserialize Long fields inside collections
+  // as Integer and blow up at use sites.
+  private[table] def readSnapshot(fs: FileSystem, root: Path, version: Long): Snapshot = {
+    val meta = new Path(root, "meta")
+    val p = new Path(meta, s"v$version.json")
+    val n = mapper.readTree(readBytes(fs, p))
+    // Inline file list, or content-addressed manifest shards (big tables —
+    // see writeSnapshot). Shards load in stored order; within a shard the
+    // writer sorted by (bucket, path), so the full list is deterministic.
+    val files =
+      if (n.has("manifests"))
+        n.path("manifests").elements().asScala.flatMap { m =>
+          parseFileArray(mapper.readTree(readBytes(fs, new Path(meta, m.path("name").asText()))))
+        }.toList
+      else parseFileArray(n.path("files"))
     val epochs = n.path("committedEpochs").elements().asScala.map(_.asText()).toList
     val lineage = n.path("lineage").fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     val stats = Option(n.get("stats")).filter(!_.isNull).map { s =>
@@ -257,14 +292,70 @@ object IceLite {
     * link(2) (`Files.createLink`), which is atomic and fails with EEXIST:
     * the classic POSIX create-if-absent commit. A non-atomic existence
     * pre-check remains only as a fast path for better error locality. */
+  /** Write a manifest shard if (and only if) its content-addressed name is
+    * not already present. Concurrent writers of the SAME content race
+    * harmlessly — both bodies are byte-identical, so whoever publishes
+    * first wins and the loser's temp is discarded. Never overwrites. */
+  private def writeManifestIfAbsent(fs: FileSystem, meta: Path, name: String,
+                                    bytes: Array[Byte]): Unit = {
+    val dst = new Path(meta, name)
+    if (fs.exists(dst)) return
+    val tmp = new Path(meta, s".$name-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, false)
+    try out.write(bytes)
+    finally out.close()
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false): Unit
+      if (!fs.exists(dst)) throw new java.io.IOException(s"manifest publish failed: $dst")
+    }
+  }
+
+  /**
+   * Snapshot body for v{N}.json. Small tables inline `files` (self-contained
+   * version files, as before). Past `write.manifest.inline-threshold` the
+   * file list offloads to CONTENT-ADDRESSED manifest shards
+   * (`meta/man-{shard}-{md5(body)}.json`, shard = bucket mod
+   * `write.manifest.shards`): an unchanged shard hashes to the SAME name as
+   * the parent version's and is simply referenced again — zero bytes
+   * written. Commit metadata I/O is then O(touched buckets), never O(table
+   * files): at the 10^10-event design point a table holds 10^4-10^6 file
+   * entries and a merge touches a handful of buckets, so inlining would
+   * rewrite megabytes of unchanged JSON per 10-second epoch. Orphan shards
+   * (from losing concurrent commits) are reclaimed by [[IceLiteTable.vacuum]]'s
+   * manifest GC.
+   */
+  private def snapshotBody(fs: FileSystem, meta: Path, snap: Snapshot): Array[Byte] = {
+    if (snap.files.size <= snap.manifestInlineThreshold)
+      return mapper.writeValueAsBytes(snap)
+    val shards = snap.manifestShards
+    val node = mapper.valueToTree[com.fasterxml.jackson.databind.node.ObjectNode](
+      snap.copy(files = Nil))
+    node.remove("files")
+    val arr = node.putArray("manifests")
+    snap.files.groupBy(f => math.floorMod(f.bucket, shards)).toSeq.sortBy(_._1)
+      .foreach { case (shard, fsOfShard) =>
+        val body = mapper.writeValueAsBytes(fsOfShard.sortBy(f => (f.bucket, f.path)))
+        val hash = java.security.MessageDigest.getInstance("MD5").digest(body)
+          .take(8).map(b => f"$b%02x").mkString
+        val name = s"man-$shard-$hash.json"
+        writeManifestIfAbsent(fs, meta, name, body)
+        val e = arr.addObject()
+        e.put("name", name)
+        e.put("shard", shard)
+        e.put("count", fsOfShard.size)
+      }
+    mapper.writeValueAsBytes(node)
+  }
+
   private[table] def writeSnapshot(fs: FileSystem, root: Path, snap: Snapshot): Unit = {
     val meta = new Path(root, "meta")
     val dst = new Path(meta, s"v${snap.version}.json")
     if (fs.exists(dst))
       throw new IllegalStateException(s"commit conflict: $dst already exists")
     val tmp = new Path(meta, s".v${snap.version}-${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val body = snapshotBody(fs, meta, snap)
     val out = fs.create(tmp, false)
-    try out.write(mapper.writeValueAsBytes(snap))
+    try out.write(body)
     finally out.close()
     val local = fs.isInstanceOf[org.apache.hadoop.fs.LocalFileSystem] ||
       fs.isInstanceOf[org.apache.hadoop.fs.RawLocalFileSystem]
@@ -661,9 +752,7 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     * stats — driver-side metadata only, no data files touched. */
   def history: DataFrame = {
     import spark.implicits._
-    val cur = IceLite.currentVersion(fs, rootP)
-      .getOrElse(throw new IllegalStateException(s"No IceLite table at $root"))
-    (0L to cur).map { v =>
+    existingVersions.map { v =>
       val s = IceLite.readSnapshot(fs, rootP, v)
       (s.version, s.parentVersion, s.committedEpochs.size.toLong, s.files.size.toLong,
         s.files.map(_.rows).sum, s.writeMode,
@@ -712,7 +801,7 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   def vacuum(keepSnapshots: Int = 1, graceMs: Long = 0L): Int = {
     val current = IceLite.currentVersion(fs, rootP).getOrElse(return 0)
     val keepFrom = math.max(0, current - keepSnapshots + 1)
-    val referenced = (keepFrom to current)
+    val referenced = (keepFrom to current).filter(versionExists)
       .flatMap(v => IceLite.readSnapshot(fs, rootP, v).files.map(_.path)).toSet
     val dataDir = new Path(rootP, "data")
     if (!fs.isDirectory(dataDir)) return 0
@@ -727,6 +816,58 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
           st.getModificationTime <= cutoff) {
         fs.delete(st.getPath, false); removed += 1
       }
+    }
+    removed + gcManifests(cutoff)
+  }
+
+  private def versionExists(v: Long): Boolean =
+    fs.exists(new Path(new Path(rootP, "meta"), s"v$v.json"))
+
+  /** Versions whose v{N}.json still exists (gaps after [[expireSnapshots]]). */
+  private def existingVersions: Seq[Long] = {
+    val meta = new Path(rootP, "meta")
+    if (!fs.isDirectory(meta)) return Nil
+    fs.listStatus(meta).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  /** Delete manifest shards referenced by NO surviving version file (losing
+    * concurrent commits orphan their shards; [[expireSnapshots]] drops the
+    * versions that referenced old ones). The same grace window as data-file
+    * vacuum protects a concurrent writer whose shards exist before its
+    * version file does. Returns the number of shards removed. */
+  private def gcManifests(cutoff: Long): Int = {
+    val meta = new Path(rootP, "meta")
+    val referenced = existingVersions
+      .flatMap(v => IceLite.manifestRefsOf(fs, rootP, v)).toSet
+    var removed = 0
+    fs.listStatus(meta).foreach { st =>
+      val name = st.getPath.getName
+      if (name.startsWith("man-") && name.endsWith(".json") &&
+          !referenced.contains(name) && st.getModificationTime <= cutoff) {
+        fs.delete(st.getPath, false); removed += 1
+      }
+    }
+    removed
+  }
+
+  /** Expire old snapshot VERSION FILES, keeping the most recent
+    * `keepSnapshots` (Iceberg's expire_snapshots): bounds metadata growth on
+    * a long-running ingest — without it a year of 10-second epochs leaves
+    * ~3M version JSONs in meta/. Time travel and rollback to expired
+    * versions stop working (by design); manifest shards and data files they
+    * alone referenced become unreferenced and are reclaimed by the next
+    * [[vacuum]]. The current version is never expired. Returns the number
+    * of version files removed. */
+  def expireSnapshots(keepSnapshots: Int): Int = {
+    require(keepSnapshots >= 1, "expireSnapshots: must keep at least the current version")
+    val current = IceLite.currentVersion(fs, rootP).getOrElse(return 0)
+    val keepFrom = current - keepSnapshots + 1
+    var removed = 0
+    existingVersions.filter(_ < keepFrom).foreach { v =>
+      fs.delete(new Path(new Path(rootP, "meta"), s"v$v.json"), false); removed += 1
     }
     removed
   }
