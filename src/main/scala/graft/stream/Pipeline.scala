@@ -113,6 +113,7 @@ object Pipeline {
             val wmRow = base.agg(max(col("lsn"))).head()
             if (!wmRow.isNullAt(0)) maybeCompactTombstones(spark, table, wmRow.getLong(0) + 1)
           }
+          maybeExpireSnapshots(spark, table, epochId)
         } finally if (needCache) { base.unpersist(): Unit }
       }
       .trigger(Trigger.AvailableNow())
@@ -163,6 +164,7 @@ object Pipeline {
       table.merge(transformed, s"$streamId/$e", registrySnapshot)
       // epochs are lsn-ordered by construction: `hi` is the low-water mark
       maybeCompactTombstones(spark, table, hi)
+      maybeExpireSnapshots(spark, table, e.toLong)
     }
   }
 
@@ -181,6 +183,30 @@ object Pipeline {
     spark.conf.getOption(TombstoneCompactConf).map(_.toInt).foreach { minFiles =>
       val tombFiles = table.snapshot.files.count(_.tombstones > 0)
       if (tombFiles >= minFiles) table.compactTombstones(watermark): Unit
+    }
+
+  /** Conf keys enabling in-pipeline METADATA maintenance: without it a
+    * long-running ingest leaves one version file per micro-batch forever
+    * (a year of 10 s epochs = ~3M v{N}.json, plus every data file and
+    * manifest shard they pin). When `keepSnapshots` is set, every
+    * `everyEpochs`-th epoch (default 64) runs `expireSnapshots(keep)` +
+    * `vacuum(keep, graceMs)` right after the commit. Opt-in like tombstone
+    * compaction — reclamation revokes time travel past the horizon, a
+    * deployment decision. `graceMs` (default 1h) protects concurrent
+    * writers' in-flight files exactly as in [[IceLiteTable.vacuum]]. */
+  val ExpireKeepConf = "graft.table.expire.keepSnapshots"
+  val ExpireEveryConf = "graft.table.expire.everyEpochs"
+  val VacuumGraceConf = "graft.table.vacuum.graceMs"
+
+  private[graft] def maybeExpireSnapshots(spark: SparkSession, table: IceLiteTable,
+                                          epochId: Long): Unit =
+    spark.conf.getOption(ExpireKeepConf).map(_.toInt).foreach { keep =>
+      val every = spark.conf.getOption(ExpireEveryConf).map(_.toLong).getOrElse(64L)
+      if (epochId % every == every - 1) {
+        table.expireSnapshots(keep): Unit
+        val grace = spark.conf.getOption(VacuumGraceConf).map(_.toLong).getOrElse(3600000L)
+        table.vacuum(keep, grace): Unit
+      }
     }
 
   /** Generator-driven replay: like [[replayBatch]], but each epoch's slice is
@@ -236,6 +262,7 @@ object Pipeline {
           val registrySnapshot = stages.collectFirst { case j: JsonDeserialize => j.registry.serialize }
           table.merge(transformed, s"$streamId/$e", registrySnapshot): Unit
           maybeCompactTombstones(spark, table, epochWatermark(e))
+          maybeExpireSnapshots(spark, table, e.toLong)
         }
       }
     } else {

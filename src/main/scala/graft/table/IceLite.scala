@@ -853,6 +853,39 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     removed
   }
 
+  /** Rewrite the table into a NEW bucket count — the layout-evolution
+    * maintenance op for a table that outgrew its day-one choice (at the
+    * 10^10-event design point, bucket count bounds merge parallelism and
+    * per-bucket file sizes; Iceberg calls this partition-spec evolution,
+    * done here as a full rewrite because bucket membership changes for
+    * every key). Deliberately O(table): one resolve + one clustered write,
+    * the same shape as a full compaction. Tombstones above `lsnWatermark`
+    * survive (late-arrival guard); MOR deltas collapse (the rewrite IS a
+    * compaction). Commits via plain [[commit]], NOT the rebasing path — a
+    * concurrent merge's bucket labels would belong to the OLD layout, so
+    * layout changes require the maintenance window any full rewrite does
+    * (a racing commit makes this throw; nothing is corrupted). */
+  def rebucket(newNumBuckets: Int, lsnWatermark: Long = Long.MinValue): Long = {
+    import org.apache.spark.sql.functions._
+    import graft.merge.MergeInto.{DELETED, LSN}
+    require(newNumBuckets > 0, s"rebucket: need a positive bucket count, got $newNumBuckets")
+    val snap = snapshot
+    val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema, snap.fold == "patch")
+    val resolved = IceLiteTable.resolve(
+      readFiles(snap.copy(schemaJson = dataSchema.json), snap.files), snap)
+      .filter(!(coalesce(col(DELETED), lit(false)) && col(LSN) < lsnWatermark))
+    val version = snap.version + 1
+    val reSnap = snap.copy(numBuckets = newNumBuckets)
+    val newFiles = graft.merge.MergeInto.writeDataFiles(this, reSnap, resolved, version)
+    commit(reSnap.copy(
+      version = version,
+      files = newFiles,
+      parentVersion = snap.version,
+      lineage = snap.lineage + ("rebucket.to" -> newNumBuckets.toLong),
+      stats = None))
+    version
+  }
+
   /** Expire old snapshot VERSION FILES, keeping the most recent
     * `keepSnapshots` (Iceberg's expire_snapshots): bounds metadata growth on
     * a long-running ingest — without it a year of 10-second epochs leaves
