@@ -134,6 +134,32 @@ object SparkEntry {
           col("after.source").as("last_source"))
     }),
     "q_cdc_merge_replay" -> ((s, dir) => cdcMergeReplay(s, dir)),
+    "q_rename_evolve" -> ((s, dir) => {
+      // Iceberg-style METADATA-ONLY rename evolution mid-stream: replay the
+      // first half of the change stream, rename source -> origin (zero data
+      // files rewritten), then replay the second half with batches that
+      // speak the NEW schema. Pre- and post-rename files interoperate via
+      // the snapshot's logical->physical column mapping; the final state is
+      // the same LWW fold with the surviving column under its new name.
+      val root = java.nio.file.Files.createTempDirectory("graft-rename").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      val changes = derivedChanges(s, dir)
+      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val mid = lsnMax / 2
+      Pipeline.replayBatch(s, changes.filter(col("lsn") < mid), table, "pre",
+        epochs = 2, lsnMax = mid)
+      table.renameColumn("source", "origin")
+      val renamedPayload = StructType(derivedPayloadType.fields.map(f =>
+        if (f.name == "source") f.copy(name = "origin") else f))
+      val post = changes.filter(col("lsn") >= mid).withColumn("after",
+        when(col("after").isNull, lit(null).cast(renamedPayload))
+          .otherwise(struct(col("after.doc_id").as("doc_id"),
+            col("after.tokens").as("tokens"), col("after.n_tok").as("n_tok"),
+            col("after.source").as("origin"))))
+      Pipeline.replayBatch(s, post, table, "post", epochs = 2, lsnMax = lsnMax)
+      IceLite.load(s, root).read().select(col("doc_id"),
+        array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("origin"))
+    }),
     "q_concurrent_merge" -> ((s, dir) => {
       // Two concurrent writer sessions replay key-disjoint halves of the
       // change stream into ONE table — optimistic commits: version-race
@@ -832,6 +858,18 @@ object SparkEntry {
         |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
         |       2 AS n_tok,
         |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // The rename is metadata-only relabeling: the fold is unchanged, the
+    // surviving event_type column just reads back under its new name.
+    "q_rename_evolve" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS origin
         |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     // Concurrent writers partition the stream BY KEY, so the final table
     // state is interleaving-independent: the same full LWW fold.

@@ -163,6 +163,9 @@ object MergeInto {
     // Physical file schema = payload + LSN high-water mark + tombstone flag
     // (+ the patch reset watermark on patch tables).
     val dataSchema = dataSchemaOf(newSchema, patch)
+    // Rename-evolution bookkeeping: physical storage names for any columns
+    // this batch adds (fresh names when a retired physical name collides).
+    val newMapping = evolveMapping(snap, newSchema)
 
     if (snap.writeMode == "mor")
       return runMor(table, changes, epochKey, registryJson, snap, afterSchema, newSchema, mark,
@@ -227,7 +230,8 @@ object MergeInto {
       mark("plan (dedup + file pruning)")
 
       // 4. COW merge: affected target rows FULL OUTER JOIN deduped changes.
-      val target = table.readFiles(snap.copy(schemaJson = dataSchema.json), affectedFiles)
+      val target = table.readFiles(
+          snap.copy(schemaJson = dataSchema.json, columnMapping = newMapping), affectedFiles)
         .withColumn(BUCKET, KafkaMurmur2.bucketLabel(col(key), nBuckets))
       val t = target.alias("t")
       // Join strategy for the COW merge is tunable: shuffled-hash avoids
@@ -295,8 +299,8 @@ object MergeInto {
         count(when(col(ACTION) === "stale", 1)).as("stale"))
       val version = snap.version + 1
       val newFiles: List[DataFileMeta] =
-        writeDataFiles(table, snap, observed.drop(ACTION), version, bucketClustered = true,
-          mark = mark)
+        writeDataFiles(table, snap.copy(columnMapping = newMapping), observed.drop(ACTION),
+          version, bucketClustered = true, mark = mark)
       mark("footer stats")
       val actionCounts: Map[String, Long] =
         obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
@@ -317,6 +321,7 @@ object MergeInto {
         val cand0 = snap.copy(
           version = version,
           schemaJson = newSchema.json,
+          columnMapping = newMapping,
           committedEpochs = ledger0._1,
           epochWatermarks = ledger0._2,
           registryJson = registryJson.getOrElse(snap.registryJson),
@@ -359,6 +364,7 @@ object MergeInto {
       table.commitRebasing(snap, snap.copy(
         version = version,
         schemaJson = newSchema.json,
+        columnMapping = newMapping,
         files = keptFiles ++ newFiles,
         committedEpochs = ledger._1,
         epochWatermarks = ledger._2,
@@ -548,7 +554,9 @@ object MergeInto {
         count(when(!col(DELETED), 1)).as("upsert"),
         count(when(col(DELETED), 1)).as("delete"))
     val version = snap.version + 1
-    val newFiles = writeDataFiles(table, snap.copy(schemaJson = newSchema.json), rows, version,
+    val newMapping = evolveMapping(snap, newSchema)
+    val newFiles = writeDataFiles(table,
+      snap.copy(schemaJson = newSchema.json, columnMapping = newMapping), rows, version,
       bucketClustered = true)
     mark("mor delta write + footer stats")
     val counts = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
@@ -566,6 +574,7 @@ object MergeInto {
     table.commit(snap.copy(
       version = version,
       schemaJson = newSchema.json,
+      columnMapping = newMapping,
       files = snap.files ++ newFiles,
       committedEpochs = ledgerMor._1,
       epochWatermarks = ledgerMor._2,
@@ -612,12 +621,21 @@ object MergeInto {
     // cannot (hashed keys interleave lexically, so ranges are wide but
     // membership is sparse). Costs ~1M bits/file at default NDV; off by
     // default — full-scan analytics never consult it.
+    val physKey = snap.physicalName(key)
     val bloomOpts: Map[String, String] =
       if (snap.properties.get("write.parquet.bloom").contains("true"))
-        Map(s"parquet.bloom.filter.enabled#$key" -> "true")
+        Map(s"parquet.bloom.filter.enabled#$physKey" -> "true")
       else Map.empty
-    (if (bucketClustered) withBucket else withBucket.repartition(col(BUCKET)))
+    val clustered = (if (bucketClustered) withBucket else withBucket.repartition(col(BUCKET)))
       .sortWithinPartitions(col(BUCKET), col(key))
+    // Renamed table: files ALWAYS store the immutable physical names
+    // (IceLiteTable.renameColumn is metadata-only; readers alias back).
+    // The rename-only Project preserves the clustering and sort order.
+    val toPhysical =
+      if (snap.columnMapping.isEmpty) clustered
+      else clustered.select(clustered.columns.toSeq.map(c =>
+        col(s"`$c`").as(snap.physicalName(c))): _*)
+    toPhysical
       .write
       .options(bloomOpts)
       .option("maxRecordsPerFile", maxRecordsPerFile(spark))
@@ -631,7 +649,7 @@ object MergeInto {
     mark("merge join + write job")
     // Per-file stats from parquet footers, driver-side — O(files) metadata
     // reads, no extra Spark job (the Iceberg planning model).
-    footerStats(spark, table.root, outDir, key)
+    footerStats(spark, table.root, outDir, physKey)
   }
 
   /** Collect (rows, min/max key, tombstone presence) for every parquet file
@@ -734,6 +752,23 @@ object MergeInto {
     val added = batch.fields.filterNot(f => existing.contains(f.name))
       .map(_.copy(nullable = true)) // evolved columns are null for old rows
     StructType(table.fields ++ added)
+  }
+
+  /** Column mapping after additive evolution: a new logical column normally
+    * stores under its own name, UNLESS that physical name is already in use —
+    * i.e. it is the RETIRED storage name of a column renamed away
+    * ([[graft.table.IceLiteTable.renameColumn]]). Then a fresh physical name
+    * is minted (Iceberg's new-field-id semantics): the re-added name is a NEW
+    * column, and the old column's data — still sitting under the retired
+    * physical name in pre-rename files — can never leak into it. */
+  private[merge] def evolveMapping(snap: Snapshot, newSchema: StructType): Map[String, String] = {
+    if (snap.columnMapping.isEmpty) return snap.columnMapping // no renames ever: identity
+    val oldNames = snap.schema.fieldNames.toSet
+    val inUsePhysical = snap.schema.fieldNames.map(snap.physicalName).toSet
+    newSchema.fieldNames.filterNot(oldNames).foldLeft(snap.columnMapping) { (m, name) =>
+      if (!inUsePhysical.contains(name)) m
+      else m + (name -> s"${name}__p${snap.version + 1}")
+    }
   }
 
   private def updateLineage(prev: Map[String, Long], newFiles: Seq[DataFileMeta], s: CommitStats,

@@ -89,7 +89,22 @@ final case class Snapshot(
       * ledger grows one entry per micro-batch FOREVER (a year of 10 s
       * batches = ~3M strings rewritten into every snapshot and scanned per
       * epoch check). See [[EpochLedger]]. */
-    epochWatermarks: Map[String, Long] = Map.empty) {
+    epochWatermarks: Map[String, Long] = Map.empty,
+    /** Metadata-only RENAME evolution (Iceberg's field-id semantics, keyed
+      * here by the column's immutable PHYSICAL storage name): `logical ->
+      * physical` for every column whose current name differs from the name
+      * its data is stored under. [[IceLiteTable.renameColumn]] only rewrites
+      * this map — data files are untouched; readers alias physical ->
+      * logical at the scan boundary ([[IceLiteTable.readFiles]]) and writers
+      * alias back ([[graft.merge.MergeInto.writeDataFiles]]). Absent = the
+      * names coincide. */
+    columnMapping: Map[String, String] = Map.empty) {
+  /** Storage (parquet) name of a logical column. */
+  def physicalName(logical: String): String = columnMapping.getOrElse(logical, logical)
+  /** `logical` with every field renamed to its storage name. */
+  def physicalSchemaOf(logical: StructType): StructType =
+    if (columnMapping.isEmpty) logical
+    else StructType(logical.fields.map(f => f.copy(name = physicalName(f.name))))
   def schema: StructType = DataType.fromJson(schemaJson).asInstanceOf[StructType]
   def writeMode: String = properties.getOrElse("write.mode", "cow")
   /** Batch fold semantics: `lww` (default, full row images) or `patch`
@@ -278,9 +293,10 @@ object IceLite {
     }
     val props = n.path("properties").fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     val wms = n.path("epochWatermarks").fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    val colMap = n.path("columnMapping").fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     Snapshot(n.path("version").asLong(), n.path("schemaJson").asText(), n.path("keyColumn").asText(),
       n.path("numBuckets").asInt(), files, epochs, n.path("registryJson").asText(),
-      lineage, n.path("parentVersion").asLong(), stats, props, wms)
+      lineage, n.path("parentVersion").asLong(), stats, props, wms, colMap)
   }
 
   /** Atomic commit: write to temp, atomically publish as the version file;
@@ -458,7 +474,19 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
 
   private[graft] def readFiles(snap: Snapshot, files: Seq[DataFileMeta]): DataFrame = {
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
-    else spark.read.schema(snap.schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+    else if (snap.columnMapping.isEmpty)
+      spark.read.schema(snap.schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+    else {
+      // Renamed table: scan under the immutable PHYSICAL names (all file
+      // vintages agree on them), then alias to the current logical names.
+      // The alias-only Project is transparent to Catalyst — filter pushdown
+      // and column pruning still reach the parquet scan.
+      import org.apache.spark.sql.functions.col
+      val phys = snap.physicalSchemaOf(snap.schema)
+      spark.read.schema(phys).parquet(files.map(f => s"$root/${f.path}"): _*)
+        .select(snap.schema.fieldNames.toSeq.map(n =>
+          col(s"`${snap.physicalName(n)}`").as(n)): _*)
+    }
   }
 
   def isEpochCommitted(epochKey: String): Boolean =
@@ -538,7 +566,7 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     }
     def abandon(): Unit = deleteDataFiles(added.map(_.path))
     /** Pick the evolved value when at most one side diverged from base. */
-    def oneSided(b: String, cur: String, cand: String): Option[String] =
+    def oneSided[T](b: T, cur: T, cand: T): Option[T] =
       if (cur == b || cur == cand) Some(cand)
       else if (cand == b) Some(cur)
       else None
@@ -559,12 +587,20 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
             s.files.iterator.filter(f => touched(f.bucket)).map(_.path).toSet
           val schemaJson = oneSided(base.schemaJson, cur.schemaJson, candidate.schemaJson)
           val registryJson = oneSided(base.registryJson, cur.registryJson, candidate.registryJson)
-          if (filesIn(cur) != filesIn(base) || schemaJson.isEmpty || registryJson.isEmpty) {
+          // Rename evolution rides the same one-sided rule as the schema: a
+          // concurrent rename rebases onto a data-only commit (and vice
+          // versa); two divergent renames recompute.
+          val keyColumn = oneSided(base.keyColumn, cur.keyColumn, candidate.keyColumn)
+          val colMap = oneSided(base.columnMapping, cur.columnMapping, candidate.columnMapping)
+          if (filesIn(cur) != filesIn(base) || schemaJson.isEmpty || registryJson.isEmpty ||
+              keyColumn.isEmpty || colMap.isEmpty) {
             abandon(); return CommitOutcome.Overlap
           }
           cand = cur.copy(
             version = cur.version + 1,
             schemaJson = schemaJson.get,
+            keyColumn = keyColumn.get,
+            columnMapping = colMap.get,
             files = cur.files.filterNot(f => removedPaths(f.path)) ++ added,
             committedEpochs = cur.committedEpochs ++ newEpochs,
             registryJson = registryJson.get,
@@ -713,7 +749,9 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
 
     def side(s: Snapshot): DataFrame = {
       val bucketFiles = s.files.filter(f => buckets(f.bucket))
-      val raw = readFiles(s.copy(schemaJson = dataJson), bucketFiles)
+      // to's columnMapping covers columns renamed after `fromVersion` too —
+      // physical names are immutable, so it is valid for BOTH file vintages
+      val raw = readFiles(s.copy(schemaJson = dataJson, columnMapping = to.columnMapping), bucketFiles)
       val narrowed = candKeys.fold(raw)(k => raw.join(k, Seq(key), "left_semi"))
       // resolve with TO's payload columns: the from-side snapshot may
       // predate additive evolution, but its files were read under dataJson
@@ -769,6 +807,45 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     snapshot.files
       .map(f => (f.path, f.bucket, f.rows, f.minKey, f.maxKey, f.tombstones, f.fullRange))
       .toDF("path", "bucket", "rows", "min_key", "max_key", "tombstones", "full_range")
+  }
+
+  /** METADATA-ONLY column rename (Iceberg-style rename evolution): no data
+    * file is touched. The snapshot's [[Snapshot.columnMapping]] binds the new
+    * logical name to the column's immutable physical (storage) name; reads
+    * alias physical -> logical at the scan, writes alias back, so files
+    * written before and after the rename interoperate and the rename costs
+    * O(1) metadata regardless of table size — the 10^10-row posture (a
+    * rewrite would be O(table)). Time travel to pre-rename versions shows the
+    * old name; re-adding the retired name later creates a fresh column whose
+    * storage name is minted to avoid the retired physical name (old data can
+    * never leak into it — see [[graft.merge.MergeInto.evolveMapping]]).
+    * Renaming the key column is allowed (manifest key stats store VALUES, not
+    * names). Commits through [[commitRebasing]]: concurrent data-only merges
+    * rebase under the rename; a concurrent divergent schema change aborts.
+    * Returns the committed version. */
+  def renameColumn(oldName: String, newName: String): Long = {
+    val snap = snapshot
+    require(snap.schema.fieldNames.contains(oldName),
+      s"renameColumn: no column $oldName in ${snap.schema.fieldNames.mkString(",")}")
+    require(!snap.schema.fieldNames.contains(newName),
+      s"renameColumn: column $newName already exists")
+    val phys = snap.physicalName(oldName)
+    val newSchema = StructType(snap.schema.fields.map(f =>
+      if (f.name == oldName) f.copy(name = newName) else f))
+    val mapping = (snap.columnMapping - oldName) ++
+      (if (phys == newName) Map.empty[String, String] else Map(newName -> phys))
+    val cand = snap.copy(
+      version = snap.version + 1,
+      schemaJson = newSchema.json,
+      keyColumn = if (snap.keyColumn == oldName) newName else snap.keyColumn,
+      columnMapping = mapping,
+      parentVersion = snap.version,
+      stats = None)
+    commitRebasing(snap, cand) match {
+      case CommitOutcome.Committed => snapshot.version
+      case out => throw new IllegalStateException(
+        s"renameColumn($oldName -> $newName) lost to a concurrent schema change: $out")
+    }
   }
 
   /** Roll the table back to an earlier snapshot by committing a NEW version
