@@ -160,6 +160,21 @@ object SparkEntry {
       IceLite.load(s, root).read().select(col("doc_id"),
         array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("origin"))
     }),
+    "q_compact_replay" -> ((s, dir) => {
+      // MOR replay WITH in-pipeline small-file compaction (bin-packing
+      // cadence every 2 epochs): layout maintenance runs concurrently with
+      // ingest and the final state must still equal the plain LWW fold.
+      val root = java.nio.file.Files.createTempDirectory("graft-compact").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8,
+        properties = Map("write.mode" -> "mor"))
+      val changes = derivedChanges(s, dir)
+      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      s.conf.set(Pipeline.CompactSmallEveryConf, "2")
+      try Pipeline.replayBatch(s, changes, table, "cmp", epochs = 6, lsnMax = lsnMax)
+      finally s.conf.unset(Pipeline.CompactSmallEveryConf)
+      table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+        col("n_tok"), col("source"))
+    }),
     "q_concurrent_merge" -> ((s, dir) => {
       // Two concurrent writer sessions replay key-disjoint halves of the
       // change stream into ONE table — optimistic commits: version-race
@@ -870,6 +885,18 @@ object SparkEntry {
         |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
         |       2 AS n_tok,
         |       event_type AS origin
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // Layout maintenance (bin-packing compaction mid-replay) must be
+    // invisible to readers: the same LWW fold as the plain replay.
+    "q_compact_replay" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS source
         |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     // Concurrent writers partition the stream BY KEY, so the final table
     // state is interleaving-independent: the same full LWW fold.

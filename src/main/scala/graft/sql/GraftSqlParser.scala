@@ -31,9 +31,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val mergePattern =
     """(?is)^\s*MERGE\s+INTO\s+icelite\s*\.\s*`([^`]+)`\s+USING\s*\((.+)\)\s+EPOCH\s+'([^']+)'\s*;?\s*$""".r
 
+  /** `ALTER TABLE icelite.`/path` RENAME COLUMN old TO new` — the SQL
+    * surface of [[graft.table.IceLiteTable.renameColumn]] (metadata-only). */
+  private val renamePattern =
+    """(?is)^\s*ALTER\s+TABLE\s+icelite\s*\.\s*`([^`]+)`\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case mergePattern(root, sourceSql, epochKey) =>
       MergeIntoIceLiteCommand(root, delegate.parsePlan(sourceSql), epochKey)
+    case renamePattern(root, from, to) =>
+      RenameColumnIceLiteCommand(root, from, to)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -70,4 +77,17 @@ case class MergeIntoIceLiteCommand(root: String, source: LogicalPlan, epochKey: 
     val stats = table.merge(changes, epochKey)
     Seq(Row(stats.epochKey, stats.inserted, stats.updated, stats.deleted, stats.carried, stats.stale))
   }
+}
+
+/** `ALTER TABLE icelite.`/path` RENAME COLUMN a TO b`: metadata-only rename
+  * evolution ([[graft.table.IceLiteTable.renameColumn]]); returns the
+  * committed version. */
+case class RenameColumnIceLiteCommand(root: String, from: String, to: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(IceLite.load(sparkSession, root).renameColumn(from, to)))
 }

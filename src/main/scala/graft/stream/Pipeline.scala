@@ -114,6 +114,7 @@ object Pipeline {
             if (!wmRow.isNullAt(0)) maybeCompactTombstones(spark, table, wmRow.getLong(0) + 1)
           }
           maybeExpireSnapshots(spark, table, epochId)
+          maybeCompactSmallFiles(spark, table, epochId)
         } finally if (needCache) { base.unpersist(): Unit }
       }
       .trigger(Trigger.AvailableNow())
@@ -165,6 +166,7 @@ object Pipeline {
       // epochs are lsn-ordered by construction: `hi` is the low-water mark
       maybeCompactTombstones(spark, table, hi)
       maybeExpireSnapshots(spark, table, e.toLong)
+      maybeCompactSmallFiles(spark, table, e.toLong)
     }
   }
 
@@ -197,6 +199,19 @@ object Pipeline {
   val ExpireKeepConf = "graft.table.expire.keepSnapshots"
   val ExpireEveryConf = "graft.table.expire.everyEpochs"
   val VacuumGraceConf = "graft.table.vacuum.graceMs"
+
+  /** Conf key enabling in-pipeline small-file compaction: every
+    * `everyEpochs`-th epoch runs [[IceLiteTable.compactSmallFiles]] (bucket
+    * bin-packing) right after the commit. Opt-in like the other maintenance
+    * cadences — the rewrite competes with ingest for I/O. */
+  val CompactSmallEveryConf = "graft.table.compactSmall.everyEpochs"
+
+  private[graft] def maybeCompactSmallFiles(spark: SparkSession, table: IceLiteTable,
+                                            epochId: Long): Unit =
+    spark.conf.getOption(CompactSmallEveryConf).map(_.toLong).foreach { every =>
+      if (every > 0 && epochId > 0 && epochId % every == 0)
+        table.compactSmallFiles(): Unit
+    }
 
   private[graft] def maybeExpireSnapshots(spark: SparkSession, table: IceLiteTable,
                                           epochId: Long): Unit =

@@ -701,6 +701,29 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     -1 // unreachable
   }
 
+  /** Small-file compaction planner (Iceberg's rewrite_data_files /
+    * bin-packing): pick every bucket whose rows would FIT IN FEWER FILES
+    * than it currently has at `targetRowsPerFile`, and rewrite those buckets
+    * to their resolved state. The steady-state antidote to streaming
+    * ingest's file-count growth — a 10-second-epoch MERGE leaves one small
+    * file per touched bucket per epoch, and scan cost at 10^10 rows is
+    * driven by file COUNT (footer reads, task scheduling) as much as bytes.
+    * Planning is driver-side manifest arithmetic (zero jobs); the rewrite is
+    * O(files of chosen buckets) and commits through the rebasing protocol,
+    * yielding to concurrent ingest. Returns the set of buckets compacted. */
+  def compactSmallFiles(targetRowsPerFile: Long = 0L,
+                        lsnWatermark: Long = Long.MinValue): Set[Int] = {
+    val target =
+      if (targetRowsPerFile > 0L) targetRowsPerFile
+      else spark.conf.getOption("graft.merge.maxRecordsPerFile").map(_.toLong).getOrElse(1000000L)
+    val picked = snapshot.files.groupBy(_.bucket).collect {
+      case (b, fs) if fs.size > 1 &&
+        math.max(1L, (fs.map(_.rows).sum + target - 1) / target) < fs.size => b
+    }.toSet
+    if (picked.nonEmpty) compactBuckets(picked, lsnWatermark): Unit
+    picked
+  }
+
   /** Delete data files not referenced by the last `keepSnapshots` snapshots
     * (orphans from failed commits, and files rewritten away by COW merges). */
   /** Incremental CDC-out: the NET row-level changes between two snapshots,

@@ -33,6 +33,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(again.getLong(1) == 0 && again.getLong(3) == 0) // re-delivery no-op
     // non-MERGE SQL still parses through the delegate
     assert(parser.parsePlan("SELECT 1").isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan])
+    // ALTER TABLE ... RENAME COLUMN: metadata-only rename through SQL
+    val filesBefore = table.snapshot.files.map(_.path).toSet
+    val v = org.apache.spark.sql.graftbridge.Exprs.ofRows(spark, parser.parsePlan(
+      s"ALTER TABLE icelite.`$root` RENAME COLUMN source TO origin")).head().getLong(0)
+    assert(v == table.snapshot.version)
+    assert(table.snapshot.files.map(_.path).toSet == filesBefore)
+    assert(table.read().columns.contains("origin"))
   }
 
   test("bucket labels pack perfectly into any power-of-two partition count") {

@@ -187,6 +187,48 @@ class ChangesSpec extends AnyFunSuite {
     assert(CdcOut.readExports(t, out).filter(col("doc_id") === "k5").count() == 1)
   }
 
+  test("tailStream consumes exports exactly-once across restarts; staging invisible") {
+    val root = SparkTestBase.tempDir("cdctail-table")
+    val out = SparkTestBase.tempDir("cdctail-export") + "/exp"
+    val ckpt = SparkTestBase.tempDir("cdctail-ckpt")
+    val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 4)
+    t.merge(changes(Seq(("k1", "c", 1), ("k2", "c", 2))), "e1")
+    CdcOut.exportLatest(t, out)
+    t.merge(changes(Seq(("k2", "u", 10), ("k3", "c", 11))), "e2")
+    CdcOut.exportLatest(t, out)
+    // staging residue (simulated crash mid-export) must be invisible to the tail
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(s"$out/.stage_range_99_100"))
+
+    // one sink dir across restarts — the parquet sink's _spark_metadata log
+    // and the checkpoint are a pair; duplicates would show up as extra rows
+    val sinkDir = SparkTestBase.tempDir("cdctail-sink")
+    def drain(): Seq[(String, String)] = {
+      val q = CdcOut.tailStream(t, out)
+        .writeStream
+        .format("parquet")
+        .option("path", sinkDir)
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.read.parquet(sinkDir).select("doc_id", "change_op").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSeq
+    }
+
+    val first = drain()
+    assert(first.toSet == Set(("k1", "insert"), ("k2", "insert"),
+      ("k2", "update"), ("k3", "insert")), first.toString)
+    assert(first.size == 4)
+    // restart with the SAME checkpoint after one more export: exactly the new
+    // range's rows are added (each file ingested exactly once — no replays)
+    t.merge(changes(Seq(("k1", "d", 20))), "e3")
+    CdcOut.exportLatest(t, out)
+    val second = drain()
+    assert(second.size == 5, second.toString)
+    assert((second diff first) == Seq(("k1", "delete")), second.toString)
+  }
+
   test("changesBetween rejects inverted version ranges") {
     val root = SparkTestBase.tempDir("chg-bad")
     val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 2)

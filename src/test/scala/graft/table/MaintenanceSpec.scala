@@ -98,4 +98,47 @@ class MaintenanceSpec extends AnyFunSuite {
     t.merge(ChangeGen.events(spark, cfg.copy(numEvents = 150)), "ex/0")
     assert(t.snapshot.version == vBefore)
   }
+
+  test("compactSmallFiles bin-packs fragmented buckets only, preserving state") {
+    val root = SparkTestBase.tempDir("compact-small")
+    val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 4,
+      properties = Map("write.mode" -> "mor"))
+    // 6 tiny delta epochs: every touched bucket accumulates ~6 small files
+    (0 until 6).foreach { e =>
+      t.merge(batch((0 until 20).map(i => s"k$i" -> (100 * e + i)), lsn0 = 100L * e), s"s/$e")
+    }
+    val before = t.snapshot.files.groupBy(_.bucket).view.mapValues(_.size).toMap
+    assert(before.values.max > 1, "fixture should be fragmented")
+    val expected = t.read().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+
+    val picked = t.compactSmallFiles(targetRowsPerFile = 1000000L)
+    assert(picked == before.filter(_._2 > 1).keySet, s"picked $picked of $before")
+    val after = t.snapshot.files.groupBy(_.bucket).view.mapValues(_.size).toMap
+    assert(picked.forall(b => after(b) == 1), s"after: $after")
+    assert(t.read().collect().map(r => r.getString(0) -> r.getInt(1)).toMap == expected)
+    // already-packed table: planner picks nothing (idempotent, zero jobs)
+    assert(t.compactSmallFiles(targetRowsPerFile = 1000000L).isEmpty)
+  }
+
+  test("pipeline compactSmallFiles cadence bounds file count during replay ingest") {
+    val root = SparkTestBase.tempDir("compact-cadence")
+    import graft.stream.{ChangeGen, GenConfig}
+    val t = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4,
+      properties = Map("write.mode" -> "mor"))
+    val cfg = GenConfig(numDocs = 60, numEvents = 1200, seed = 12, withMetadata = false)
+    spark.conf.set(Pipeline.CompactSmallEveryConf, "4")
+    try Pipeline.replayBatch(spark, ChangeGen.events(spark, cfg), t, "cs", epochs = 8,
+      lsnMax = cfg.numEvents)
+    finally spark.conf.unset(Pipeline.CompactSmallEveryConf)
+    // 8 MOR delta epochs would leave ~8 files/bucket; the epoch-4 compaction
+    // caps the tail at (epochs since last compaction + 1)
+    val perBucket = t.snapshot.files.groupBy(_.bucket).view.mapValues(_.size).toMap
+    assert(perBucket.values.max <= 5, s"per-bucket files: $perBucket")
+    // state equals an unmaintained one-shot merge of the same stream
+    val root2 = SparkTestBase.tempDir("compact-oracle")
+    val t2 = IceLite.create(spark, root2, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    t2.merge(ChangeGen.events(spark, cfg), "one/0")
+    assert(t.read().orderBy("doc_id").collect().map(_.toString)
+      .sameElements(t2.read().orderBy("doc_id").collect().map(_.toString)))
+  }
 }
