@@ -66,6 +66,25 @@ object SparkEntry {
       when(op === "d", lit(null).cast(derivedPayloadType)).otherwise(payload).as("after"))
   }
 
+  /** [[derivedChanges]] with a VARYING n_tok (= event_id % 101): the
+    * zone-scan query needs a value column whose winner actually changes. */
+  private def zoneChanges(s: SparkSession, dir: String): DataFrame = {
+    val ev = T(s, dir, "events")
+    val op = when(col("event_type") === "error", "d")
+      .when(col("event_type") === "signup", "c")
+      .otherwise("u")
+    val payload = struct(
+      col("user_id").cast(StringType).as("doc_id"),
+      array(col("user_id").cast(IntegerType), (col("event_id") % 97).cast(IntegerType)).as("tokens"),
+      (col("event_id") % 101).cast(IntegerType).as("n_tok"),
+      col("event_type").as("source"))
+    ev.select(
+      col("user_id").cast(StringType).as("doc_id"),
+      op.as("op"),
+      col("event_id").as("lsn"),
+      when(op === "d", lit(null).cast(derivedPayloadType)).otherwise(payload).as("after"))
+  }
+
   /** Derived PARTIAL-update stream (patch semantics: null column =
     * unchanged): signups carry the full row, other updates carry only ONE
     * column — source on even LSNs, n_tok (= lsn % 50) on odd — and errors
@@ -828,6 +847,23 @@ object SparkEntry {
       // the LWW final state restricted to the probed keys.
       val (table, _) = replayedTable(s, dir)
       table.lookup(Seq("3", "7", "11", "no-such-key"))
+        .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+          col("n_tok"), col("source"))
+    }),
+    "q_zone_scan" -> ((s, dir) => {
+      // Zone-map range scan: a stream whose n_tok varies per event replays
+      // into a MOR table that collects per-file min/max for n_tok
+      // (write.stats.columns); scanRange plans from the manifest, nominates
+      // candidate keys from in-range files only, and resolves winners over
+      // their buckets — sound under stale deltas (see IceLiteTable.scanRange
+      // and ZoneScanSpec). Oracle = the LWW fold under the same predicate.
+      val ch = zoneChanges(s, dir)
+      val lsnMax = ch.agg(max("lsn")).head().getLong(0) + 1
+      val root = java.nio.file.Files.createTempDirectory("graft-zone").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8,
+        properties = Map("write.mode" -> "mor", "write.stats.columns" -> "n_tok"))
+      Pipeline.replayBatch(s, ch, table, "zone", epochs = 4, lsnMax = lsnMax)
+      table.scanRange("n_tok", 20, 40)
         .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
           col("n_tok"), col("source"))
     })
@@ -1765,7 +1801,21 @@ object SparkEntry {
         |       event_type AS source
         |FROM last
         |WHERE rn = 1 AND event_type <> 'error'
-        |  AND doc_id IN ('3', '7', '11', 'no-such-key')""".stripMargin
+        |  AND doc_id IN ('3', '7', '11', 'no-such-key')""".stripMargin,
+    // Zone-map range scan = the LWW fold under the value predicate; the
+    // file skipping must be invisible to the result.
+    "q_zone_scan" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       CAST(event_id % 101 AS INT) AS n_tok,
+        |       event_type AS source
+        |FROM last
+        |WHERE rn = 1 AND event_type <> 'error'
+        |  AND (event_id % 101) BETWEEN 20 AND 40""".stripMargin
   )
 
   /** Column-level patch fold recomputed from the raw stream: per key, drop

@@ -626,8 +626,13 @@ object MergeInto {
       if (snap.properties.get("write.parquet.bloom").contains("true"))
         Map(s"parquet.bloom.filter.enabled#$physKey" -> "true")
       else Map.empty
+    // write.sort.columns (physical names): secondary value clustering within
+    // the bucket so the zone maps gathered below get tight per-file ranges
+    // (see IceLiteTable.scanRange). The key stays last in the sort — point
+    // lookups keep locality within equal sort values.
+    val sortCols = snap.sortColumns.map(snap.logicalName).filter(withBucket.columns.contains)
     val clustered = (if (bucketClustered) withBucket else withBucket.repartition(col(BUCKET)))
-      .sortWithinPartitions(col(BUCKET), col(key))
+      .sortWithinPartitions((col(BUCKET) +: sortCols.map(col)) :+ col(key): _*)
     // Renamed table: files ALWAYS store the immutable physical names
     // (IceLiteTable.renameColumn is metadata-only; readers alias back).
     // The rename-only Project preserves the clustering and sort order.
@@ -649,14 +654,16 @@ object MergeInto {
     mark("merge join + write job")
     // Per-file stats from parquet footers, driver-side — O(files) metadata
     // reads, no extra Spark job (the Iceberg planning model).
-    footerStats(spark, table.root, outDir, physKey)
+    footerStats(spark, table.root, outDir, physKey,
+      snap.statsColumns.filterNot(_ == physKey))
   }
 
   /** Collect (rows, min/max key, tombstone presence) for every parquet file
     * under `outDir` from footer metadata. `tombstones` is a presence flag
     * (1 when a file may contain tombstone rows) — compaction planning only
     * needs the flag. */
-  private def footerStats(spark: SparkSession, tableRoot: String, outDir: String, key: String): List[DataFileMeta] = {
+  private def footerStats(spark: SparkSession, tableRoot: String, outDir: String,
+                          key: String, statCols: Seq[String] = Nil): List[DataFileMeta] = {
     // Hadoop FileSystem walk (portable: local FS here, HDFS/S3A on cluster).
     val conf = spark.sparkContext.hadoopConfiguration
     val dirP = new org.apache.hadoop.fs.Path(outDir)
@@ -675,14 +682,15 @@ object MergeInto {
     // (they are on the driver's serial path between epochs)
     val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(32, math.max(1, files.size)))
     implicit val ec: scala.concurrent.ExecutionContext = scala.concurrent.ExecutionContext.fromExecutor(pool)
-    val futures = files.map { p => scala.concurrent.Future(footerStatOne(conf, rootUri.getPath, key, p)) }
+    val futures = files.map { p => scala.concurrent.Future(footerStatOne(conf, rootUri.getPath, key, p, statCols)) }
     try scala.concurrent.Await.result(scala.concurrent.Future.sequence(futures),
       scala.concurrent.duration.Duration(300, "s")).toList
     finally pool.shutdown()
   }
 
   private def footerStatOne(conf: org.apache.hadoop.conf.Configuration, rootPath: String,
-                            key: String, p: org.apache.hadoop.fs.Path): DataFileMeta = {
+                            key: String, p: org.apache.hadoop.fs.Path,
+                            statCols: Seq[String] = Nil): DataFileMeta = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     import scala.jdk.CollectionConverters._
@@ -706,6 +714,25 @@ object MergeInto {
         var mxB: Array[Byte] = null
         var statsMissing = false
         var tomb = 0L
+        // Zone-map accumulation for write.stats.columns: running min/max
+        // across row groups. A group with unusable stats (absent, NaN — not
+        // provably all-null) POISONS the column for this file: no entry is
+        // emitted and the scan treats the file as matching every range.
+        val zMin = scala.collection.mutable.Map.empty[String, Any]
+        val zMax = scala.collection.mutable.Map.empty[String, Any]
+        val zBad = scala.collection.mutable.Set.empty[String]
+        def cmpVal(a: Any, b: Any): Int = (a, b) match {
+          case (x: org.apache.parquet.io.api.Binary, y: org.apache.parquet.io.api.Binary) =>
+            java.util.Arrays.compareUnsigned(x.getBytes, y.getBytes)
+          case (x: java.lang.Number, y: java.lang.Number) =>
+            BigDecimal(x.toString).compare(BigDecimal(y.toString))
+          case _ => String.valueOf(a).compareTo(String.valueOf(b))
+        }
+        def finite(v: Any): Boolean = v match {
+          case d: java.lang.Double => !d.isNaN && !d.isInfinite
+          case f: java.lang.Float => !f.isNaN && !f.isInfinite
+          case _ => true
+        }
         blocks.foreach { b =>
           rows += b.getRowCount
           b.getColumns.asScala.foreach { c =>
@@ -723,18 +750,47 @@ object MergeInto {
               // conservative: flag unless stats prove all-false
               if (st == null || !st.hasNonNullValue ||
                 st.genericGetMax.toString.toBoolean) tomb = 1L
+            } else if (statCols.contains(colName)) {
+              val st = c.getStatistics
+              if (st == null) zBad += colName
+              else if (!st.hasNonNullValue) {
+                // an all-null group never extends a range; anything else
+                // means stats were not written for this group
+                if (!(st.isNumNullsSet && st.getNumNulls == b.getRowCount))
+                  zBad += colName
+              } else {
+                val (mn, mx) = (st.genericGetMin, st.genericGetMax)
+                if (!finite(mn) || !finite(mx)) zBad += colName
+                else {
+                  if (!zMin.get(colName).exists(cmpVal(_, mn) <= 0)) zMin(colName) = mn
+                  if (!zMax.get(colName).exists(cmpVal(_, mx) >= 0)) zMax(colName) = mx
+                }
+              }
             }
           }
         }
+        def renderStat(v: Any): (String, Boolean) = v match {
+          case b: org.apache.parquet.io.api.Binary =>
+            (new String(b.getBytes, java.nio.charset.StandardCharsets.UTF_8), false)
+          case n: java.lang.Number =>
+            (BigDecimal(n.toString).bigDecimal.toPlainString, true)
+          case other => (String.valueOf(other), false)
+        }
+        val colStats: Map[String, graft.table.ColRange] =
+          zMin.keysIterator.filterNot(zBad).map { cn =>
+            val (mnS, num) = renderStat(zMin(cn))
+            val (mxS, _) = renderStat(zMax(cn))
+            cn -> graft.table.ColRange(mnS, mxS, num)
+          }.toMap
         if (mnB == null || mxB == null || statsMissing) {
           // parquet-mr omits binary column stats for long values (above its
           // truncation/size threshold): fall back to an always-affected file
           // instead of failing every future merge of this table.
-          DataFileMeta(rel, bucket, rows, "", "", tomb, fullRange = true)
+          DataFileMeta(rel, bucket, rows, "", "", tomb, fullRange = true, colStats)
         } else {
           val mn = new String(mnB, java.nio.charset.StandardCharsets.UTF_8)
           val mx = new String(mxB, java.nio.charset.StandardCharsets.UTF_8)
-          DataFileMeta(rel, bucket, rows, mn, mx, tomb)
+          DataFileMeta(rel, bucket, rows, mn, mx, tomb, colStats = colStats)
         }
       } finally reader.close()
     }

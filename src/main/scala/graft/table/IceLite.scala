@@ -30,6 +30,30 @@ import scala.jdk.CollectionConverters._
  * Single-writer is assumed (one streaming query owns the table), as in any
  * single Kafka Connect sink task in the reference deployment.
  */
+/** Per-file min/max of a secondary stats column (`write.stats.columns`) — a
+  * zone map. Values render as strings for JSON stability: canonical decimal
+  * for numeric columns, UTF-8 text for binary/string ones (compared by
+  * UNSIGNED byte order, matching Spark's UTF8String comparison — same
+  * rationale as the key stats). */
+final case class ColRange(min: String, max: String, numeric: Boolean) {
+  def overlaps(lower: String, upper: String): Boolean =
+    try {
+      if (numeric)
+        BigDecimal(min) <= BigDecimal(upper) && BigDecimal(max) >= BigDecimal(lower)
+      else {
+        def cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+          a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+          b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        cmp(min, upper) <= 0 && cmp(max, lower) >= 0
+      }
+    } catch {
+      // un-parseable bound for this column's stored representation (e.g. a
+      // Timestamp object against numeric micros): pruning is an optimization
+      // — keep the file, the exact post-filter decides
+      case _: NumberFormatException => true
+    }
+}
+
 final case class DataFileMeta(
     path: String,
     bucket: Int,
@@ -40,7 +64,11 @@ final case class DataFileMeta(
     /** True when the parquet footer lacked key min/max statistics (parquet-mr
       * omits binary stats above its truncation threshold): the file must be
       * treated as intersecting every key range instead of failing the merge. */
-    fullRange: Boolean = false)
+    fullRange: Boolean = false,
+    /** Zone maps for the table's `write.stats.columns` (keyed by the
+      * column's immutable PHYSICAL name). A column absent from the map has
+      * no usable stats in this file — the file matches every range. */
+    colStats: Map[String, ColRange] = Map.empty)
 
 final case class CommitStats(
     epochKey: String,
@@ -130,6 +158,25 @@ final case class Snapshot(
     * touching K buckets rewrites at most min(K, shards) manifest files. */
   def manifestShards: Int =
     properties.getOrElse("write.manifest.shards", "16").toInt
+  /** Secondary columns whose per-file min/max zone maps the writer collects
+    * (`write.stats.columns`, comma-separated). Names are PHYSICAL (storage)
+    * names — i.e. the column's logical name at the time it was added, which
+    * [[IceLiteTable.renameColumn]] never changes — so the property survives
+    * rename evolution without a rewrite. */
+  def statsColumns: Seq[String] =
+    properties.get("write.stats.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  /** Secondary sort (`write.sort.columns`, physical names): rows cluster by
+    * (bucket, these..., key) at write time, so zone maps on these columns get
+    * TIGHT per-file ranges — the OPTIMIZE-ZORDER-lite knob that makes
+    * [[IceLiteTable.scanRange]] skip files. Trades key-range tightness (point
+    * lookups) for value-range tightness; off by default. */
+  def sortColumns: Seq[String] =
+    properties.get("write.sort.columns")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+  /** Current logical name of a physical column (inverse of [[physicalName]]). */
+  def logicalName(physical: String): String =
+    columnMapping.collectFirst { case (l, p) if p == physical => l }.getOrElse(physical)
 }
 
 /**
@@ -252,9 +299,16 @@ object IceLite {
 
   private def parseFileArray(n: com.fasterxml.jackson.databind.JsonNode): List[DataFileMeta] =
     n.elements().asScala.map { f =>
+      val cs = f.path("colStats")
+      val colStats =
+        if (cs.isMissingNode || cs.isNull || !cs.isObject) Map.empty[String, ColRange]
+        else cs.fields().asScala.map { e =>
+          e.getKey -> ColRange(e.getValue.path("min").asText(),
+            e.getValue.path("max").asText(), e.getValue.path("numeric").asBoolean())
+        }.toMap
       DataFileMeta(f.path("path").asText(), f.path("bucket").asInt(), f.path("rows").asLong(),
         f.path("minKey").asText(), f.path("maxKey").asText(), f.path("tombstones").asLong(),
-        f.path("fullRange").asBoolean(false))
+        f.path("fullRange").asBoolean(false), colStats)
     }.toList
 
   /** Manifest-shard names referenced by a version file, WITHOUT loading the
@@ -522,6 +576,69 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
       byBucket.get(f.bucket).exists(ks =>
         f.fullRange || ks.exists(k => k >= f.minKey && k <= f.maxKey))
     }
+  }
+
+  /** Range scan over a secondary column with ZONE-MAP file skipping:
+    * `read().filter(column BETWEEN lower AND upper)` (inclusive; null never
+    * matches), planned from the per-file min/max the writer collected for
+    * `write.stats.columns` — the manifest is the index, no data file is
+    * opened to decide. With `write.sort.columns` clustering the column,
+    * per-file ranges are tight and skipping approaches the selectivity of
+    * the predicate; on MOR ingest the per-epoch delta files carry naturally
+    * tight ranges for time-correlated columns (the "recent changes" scan at
+    * the 10^10-row design point reads the recent files, not the table).
+    *
+    * Mode-dependent soundness (each is the CHEAPEST exact plan):
+    *  - COW: a key has exactly ONE live row, so a skipped file holds only
+    *    out-of-range rows the exact post-filter would drop anyway —
+    *    file-level skipping is exact.
+    *  - MOR (lww): a delta row may be STALE (lower lsn than the winner), so
+    *    skipping a file that holds a key's true winner could elect an
+    *    in-range stale row. In-range files therefore only NOMINATE candidate
+    *    keys; winners resolve over every file of the candidates' BUCKETS (a
+    *    key's rows never leave its bucket), then the exact predicate
+    *    re-applies on the winner.
+    *  - patch fold: the winner is a column-level fold over ALL versions —
+    *    nothing can be skipped; falls back to the full resolved read.
+    * A file with no usable stats for the column matches every range. */
+  def scanRange(column: String, lower: Any, upper: Any): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, col, lit}
+    import graft.merge.MergeInto.DELETED
+    val s = snapshot
+    val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
+    if (s.fold == "patch") return read().filter(pred)
+    val dataJson = graft.merge.MergeInto.dataSchemaOf(s.schema).json
+    val nominate = scanRangeFiles(s, column, lower, upper)
+    if (nominate.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s.schema)
+    if (s.writeMode != "mor") {
+      readFiles(s.copy(schemaJson = dataJson), nominate)
+        .filter(!coalesce(col(DELETED), lit(false)))
+        .select(s.schema.fieldNames.map(col).toSeq: _*)
+        .filter(pred)
+    } else {
+      val keptBuckets = nominate.map(_.bucket).toSet
+      val cand = readFiles(s.copy(schemaJson = dataJson), nominate)
+        .filter(pred).select(col(s.keyColumn)).distinct()
+      val bucketFiles = s.files.filter(f => keptBuckets(f.bucket))
+      val raw = readFiles(s.copy(schemaJson = dataJson), bucketFiles)
+        .join(cand, Seq(s.keyColumn), "left_semi")
+      IceLiteTable.resolve(raw, s)
+        .filter(!coalesce(col(DELETED), lit(false)))
+        .select(s.schema.fieldNames.map(col).toSeq: _*)
+        .filter(pred)
+    }
+  }
+
+  /** Manifest-side zone-map planning for [[scanRange]] (driver-only, no
+    * job): files whose stored range for `column` can intersect
+    * [lower, upper]. Exposed for plan-regression tests. */
+  private[graft] def scanRangeFiles(s: Snapshot, column: String,
+                                    lower: Any, upper: Any): Seq[DataFileMeta] = {
+    val phys = s.physicalName(column)
+    val (lo, hi) = (String.valueOf(lower), String.valueOf(upper))
+    s.files.filter(_.colStats.get(phys).forall(_.overlaps(lo, hi)))
   }
 
   /** MERGE a change batch into the table. See [[graft.merge.MergeInto]].
