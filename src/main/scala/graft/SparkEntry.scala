@@ -153,6 +153,34 @@ object SparkEntry {
           col("after.source").as("last_source"))
     }),
     "q_cdc_merge_replay" -> ((s, dir) => cdcMergeReplay(s, dir)),
+    "q_bootstrap_handoff" -> ((s, dir) => {
+      // Debezium-style snapshot->stream handoff: the source's state at W
+      // (LWW fold of changes with lsn <= W, deletes dropped — input prep,
+      // computed with window functions, NOT the engine under test)
+      // bootstraps a fresh table as op="r" events at lsn = W in
+      // bucket-disjoint resumable chunks; the binlog tail then replays only
+      // lsn > W. Re-running the bootstrap AND the tail is an exact ledger
+      // no-op. Final state == the full fold, indistinguishable from a
+      // from-the-beginning replay (the oracle is the same full-fold SQL).
+      val root = java.nio.file.Files.createTempDirectory("graft-bootstrap").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      val changes = derivedChanges(s, dir)
+      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val w = lsnMax / 2
+      val byLsn = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("lsn").desc)
+      val state = changes.filter(col("lsn") <= w)
+        .withColumn("__rn", row_number().over(byLsn))
+        .filter(col("__rn") === 1 && col("op") =!= "d")
+        .select(col("after.*"))
+      Pipeline.bootstrap(s, state, table, w, chunks = 4)
+      Pipeline.bootstrap(s, state, table, w, chunks = 4) // resume/re-run: no-op
+      val tail = changes.filter(col("lsn") > w)
+      Pipeline.replayBatch(s, tail, table, "tail", epochs = 2, lsnMax = lsnMax)
+      Pipeline.replayBatch(s, tail, table, "tail", epochs = 2, lsnMax = lsnMax) // redelivery
+      table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+        col("n_tok"), col("source"))
+    }),
     "q_rename_evolve" -> ((s, dir) => {
       // Iceberg-style METADATA-ONLY rename evolution mid-stream: replay the
       // first half of the change stream, rename source -> origin (zero data
@@ -901,6 +929,18 @@ object SparkEntry {
         |  FROM events)
         |WHERE rn = 1 AND last_source <> 'error'""".stripMargin,
     "q_cdc_merge_replay" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // The snapshot->stream handoff must be invisible: same full LWW fold as
+    // a from-the-beginning replay.
+    "q_bootstrap_handoff" ->
       """WITH last AS (
         |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

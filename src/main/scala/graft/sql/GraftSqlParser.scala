@@ -36,11 +36,31 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val renamePattern =
     """(?is)^\s*ALTER\s+TABLE\s+icelite\s*\.\s*`([^`]+)`\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
 
+  /** `ALTER TABLE icelite.`/path` SET TBLPROPERTIES ('k'='v', ...)` and
+    * `... UNSET TBLPROPERTIES ('k', ...)` — the SQL surface of
+    * [[graft.table.IceLiteTable.alterProperties]] (metadata-only). */
+  private val setPropsPattern =
+    """(?is)^\s*ALTER\s+TABLE\s+icelite\s*\.\s*`([^`]+)`\s+SET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*;?\s*$""".r
+  private val unsetPropsPattern =
+    """(?is)^\s*ALTER\s+TABLE\s+icelite\s*\.\s*`([^`]+)`\s+UNSET\s+TBLPROPERTIES\s*\(([^)]+)\)\s*;?\s*$""".r
+  private val propPair = """'([^']*)'\s*=\s*'([^']*)'""".r
+  private val propKey = """'([^']*)'""".r
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case mergePattern(root, sourceSql, epochKey) =>
       MergeIntoIceLiteCommand(root, delegate.parsePlan(sourceSql), epochKey)
     case renamePattern(root, from, to) =>
       RenameColumnIceLiteCommand(root, from, to)
+    case setPropsPattern(root, pairs) =>
+      val set = propPair.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap
+      if (set.isEmpty) throw new IllegalArgumentException(
+        s"SET TBLPROPERTIES: no 'key'='value' pairs in ($pairs)")
+      AlterPropertiesIceLiteCommand(root, set, Nil)
+    case unsetPropsPattern(root, keys) =>
+      val unset = propKey.findAllMatchIn(keys).map(_.group(1)).toList
+      if (unset.isEmpty) throw new IllegalArgumentException(
+        s"UNSET TBLPROPERTIES: no 'key' entries in ($keys)")
+      AlterPropertiesIceLiteCommand(root, Map.empty, unset)
     case _ => delegate.parsePlan(sqlText)
   }
 
@@ -90,4 +110,19 @@ case class RenameColumnIceLiteCommand(root: String, from: String, to: String)
 
   override def run(sparkSession: SparkSession): Seq[Row] =
     Seq(Row(IceLite.load(sparkSession, root).renameColumn(from, to)))
+}
+
+/** `ALTER TABLE icelite.`/path` SET|UNSET TBLPROPERTIES (...)`:
+  * metadata-only property evolution
+  * ([[graft.table.IceLiteTable.alterProperties]]); returns the committed
+  * version. */
+case class AlterPropertiesIceLiteCommand(root: String, set: Map[String, String],
+                                         unset: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(IceLite.load(sparkSession, root).alterProperties(set, unset)))
 }

@@ -145,6 +145,89 @@ object Pipeline {
     (kept, nDup)
   }
 
+  /** Table property recording the source position an initial-snapshot
+    * bootstrap was consistent at: the binlog tail must start STRICTLY after
+    * it. Written by [[bootstrap]] in its final metadata commit. */
+  val BootstrapWatermarkProp = "bootstrap.watermark"
+
+  /** Source position the table was bootstrapped at, if it was. */
+  def bootstrapWatermark(table: IceLiteTable): Option[Long] =
+    table.snapshot.properties.get(BootstrapWatermarkProp).map(_.toLong)
+
+  /** Debezium-style INITIAL-SNAPSHOT bootstrap — the "consistent dump, then
+    * stream" handoff every CDC deployment starts with: load `state` (a full
+    * dump of the source table, consistent at source position
+    * `watermarkLsn`) into the IceLite table; the binlog tail then starts
+    * STRICTLY after `watermarkLsn`.
+    *
+    * Mechanics:
+    *  - dump rows become op = "r" (Debezium's snapshot-read op) change
+    *    events at lsn = `watermarkLsn` and flow through the normal MERGE
+    *    path — no special write mode, every table invariant (ledger, stats,
+    *    manifests, bloom, MOR/patch fold) holds;
+    *  - the dump splits into `chunks` DISJOINT epochs by the table's own
+    *    bucket function (each bucket label belongs wholly to one chunk), so
+    *    a crashed bootstrap resumes by simply re-running it: committed
+    *    chunks are exact ledger no-ops, and bucket-disjointness means a
+    *    resumed chunk never rewrites a finished chunk's files — chunks can
+    *    even commit from CONCURRENT writers (disjoint-bucket rebase);
+    *  - `watermarkLsn` persists as table property `bootstrap.watermark`
+    *    (metadata-only commit, skipped when already recorded), so a
+    *    restarted tail re-reads its start position from the table itself.
+    *
+    * Handoff contract: events with lsn <= watermark are already reflected
+    * in the dump and must not be re-delivered — a key DELETED before the
+    * watermark has no row (a dump carries no tombstones), so a replayed
+    * pre-watermark insert of it would resurrect. For keys present in the
+    * dump the per-row __lsn guard additionally absorbs any accidental
+    * overlap (a re-sent lsn <= W change loses to the dump row's lsn = W).
+    *
+    * 10^10 posture: the dump is the one-time O(table) cost; each chunk is a
+    * bucket-disjoint merge into empty buckets (no files to read or rewrite
+    * — pure bucketed writes), so bootstrap cost is a single pass over the
+    * dump, parallelizable across writers. */
+  def bootstrap(
+      spark: SparkSession,
+      state: DataFrame,
+      table: IceLiteTable,
+      watermarkLsn: Long,
+      chunks: Int = 8,
+      streamId: String = "bootstrap"): Unit = {
+    require(chunks >= 1, s"bootstrap: chunks must be >= 1, got $chunks")
+    val snap = table.snapshot
+    val key = snap.keyColumn
+    val payload = snap.schema
+    // cast target must be DEEPLY nullable (fields and array elements): the
+    // dump columns' nullability is whatever the caller's plan derived, and
+    // Cast refuses nullable -> NOT NULL (the merge re-asserts the contract)
+    import org.apache.spark.sql.types.{ArrayType, DataType, StructType}
+    def deepNullable(dt: DataType): DataType = dt match {
+      case st: StructType => StructType(st.fields.map(f =>
+        f.copy(dataType = deepNullable(f.dataType), nullable = true)))
+      case at: ArrayType => ArrayType(deepNullable(at.elementType), containsNull = true)
+      case other => other
+    }
+    val nullablePayload = deepNullable(payload).asInstanceOf[StructType]
+    val events = state.select(
+      col(key).cast(org.apache.spark.sql.types.StringType).as(key),
+      lit("r").as("op"),
+      lit(watermarkLsn).as("lsn"),
+      struct(payload.fieldNames.map(col).toIndexedSeq: _*).cast(nullablePayload).as("after"))
+    (0 until chunks).foreach { i =>
+      val epochKey = s"$streamId/$i"
+      if (!table.isEpochCommitted(epochKey)) {
+        val chunk =
+          if (chunks == 1) events
+          else events.filter(pmod(
+            graft.hashing.KafkaMurmur2.bucketLabel(col(key), snap.numBuckets),
+            lit(chunks)) === i)
+        table.merge(chunk, epochKey): Unit
+      }
+    }
+    if (!bootstrapWatermark(table).contains(watermarkLsn))
+      table.alterProperties(Map(BootstrapWatermarkProp -> watermarkLsn.toString)): Unit
+  }
+
   /** Batch replay: apply the event stream to the table in `epochs` ordered
     * chunks by lsn — the bench path (same merge code, no streaming harness). */
   def replayBatch(

@@ -709,8 +709,12 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
           // versa); two divergent renames recompute.
           val keyColumn = oneSided(base.keyColumn, cur.keyColumn, candidate.keyColumn)
           val colMap = oneSided(base.columnMapping, cur.columnMapping, candidate.columnMapping)
+          // Table properties follow the same rule: a property change rebases
+          // across a data-only commit (and a merge rebases across a property
+          // change); two divergent property edits recompute.
+          val props = oneSided(base.properties, cur.properties, candidate.properties)
           if (filesIn(cur) != filesIn(base) || schemaJson.isEmpty || registryJson.isEmpty ||
-              keyColumn.isEmpty || colMap.isEmpty) {
+              keyColumn.isEmpty || colMap.isEmpty || props.isEmpty) {
             abandon(); return CommitOutcome.Overlap
           }
           cand = cur.copy(
@@ -718,6 +722,7 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
             schemaJson = schemaJson.get,
             keyColumn = keyColumn.get,
             columnMapping = colMap.get,
+            properties = props.get,
             files = cur.files.filterNot(f => removedPaths(f.path)) ++ added,
             committedEpochs = cur.committedEpochs ++ newEpochs,
             registryJson = registryJson.get,
@@ -986,6 +991,42 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
       case out => throw new IllegalStateException(
         s"renameColumn($oldName -> $newName) lost to a concurrent schema change: $out")
     }
+  }
+
+  /** METADATA-ONLY table-property evolution (the `ALTER TABLE ... SET
+    * TBLPROPERTIES` of Iceberg/Delta): tune compaction cadence, stats
+    * columns, bloom filters, thresholds — zero data files touched. Commits
+    * through the optimistic protocol, so a property edit rebases across
+    * concurrent data merges (one-sided, like renames); two DIVERGENT
+    * property edits recompute against the fresh snapshot — last writer
+    * wins per whole edit, bounded retries.
+    *
+    * Layout-semantic keys are create-time-only: `write.mode` and
+    * `write.merge.fold` decide how EXISTING delta files resolve at read, so
+    * flipping them on a non-empty table would reinterpret data already
+    * written (MOR deltas read under COW rules resurrect superseded rows).
+    * Returns the committed version. */
+  def alterProperties(set: Map[String, String], unset: Seq[String] = Nil): Long = {
+    val frozen = Set("write.mode", "write.merge.fold")
+    val touched = set.keySet ++ unset
+    require(touched.nonEmpty, "alterProperties: nothing to change")
+    val bad = touched.intersect(frozen)
+    require(bad.isEmpty,
+      s"alterProperties: ${bad.mkString(", ")} is create-time-only (decides how existing files resolve)")
+    var attempt = 0
+    while (attempt < 10) {
+      val base = snapshot
+      val cand = base.copy(
+        version = base.version + 1,
+        parentVersion = base.version,
+        properties = base.properties -- unset ++ set,
+        stats = None)
+      commitRebasing(base, cand) match {
+        case CommitOutcome.Committed => return snapshot.version
+        case _ => attempt += 1 // divergent concurrent property edit: re-read, reapply
+      }
+    }
+    throw new IllegalStateException("alterProperties: too much property-edit contention")
   }
 
   /** Roll the table back to an earlier snapshot by committing a NEW version

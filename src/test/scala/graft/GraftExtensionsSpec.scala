@@ -40,6 +40,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(v == table.snapshot.version)
     assert(table.snapshot.files.map(_.path).toSet == filesBefore)
     assert(table.read().columns.contains("origin"))
+    // ALTER TABLE ... SET/UNSET TBLPROPERTIES: metadata-only property evolution
+    val v2 = org.apache.spark.sql.graftbridge.Exprs.ofRows(spark, parser.parsePlan(
+      s"ALTER TABLE icelite.`$root` SET TBLPROPERTIES ('write.stats.columns'='val', 'graft.note'='x')"))
+      .head().getLong(0)
+    assert(v2 == table.snapshot.version)
+    assert(table.snapshot.properties("write.stats.columns") == "val")
+    assert(table.snapshot.properties("graft.note") == "x")
+    assert(table.snapshot.files.map(_.path).toSet == filesBefore)
+    org.apache.spark.sql.graftbridge.Exprs.ofRows(spark, parser.parsePlan(
+      s"ALTER TABLE icelite.`$root` UNSET TBLPROPERTIES ('graft.note')")).head()
+    assert(!table.snapshot.properties.contains("graft.note"))
   }
 
   test("bucket labels pack perfectly into any power-of-two partition count") {

@@ -89,6 +89,48 @@ class ConcurrencySpec extends AnyFunSuite {
     assert(state(kA) == 10 && state(kB) == 20) // both writers' rows present
   }
 
+  test("alterProperties is metadata-only and rebases across concurrent merges") {
+    val t = freshTable("conc-props")
+    // property-edit candidate built against a base a merge has since buried
+    val base = t.snapshot
+    t.merge(batch(Seq(keyInBucket(t, 1) -> 7), lsn0 = 100), "pr/0")
+    val cand = base.copy(version = base.version + 1, parentVersion = base.version,
+      properties = base.properties + ("write.stats.columns" -> "val"), stats = None)
+    assert(t.commitRebasing(base, cand) == CommitOutcome.Committed)
+    assert(t.snapshot.properties("write.stats.columns") == "val")
+    assert(t.read().count() == 2) // the concurrent merge's row survived the rebase
+
+    // the reverse: a data candidate built before a property edit rebases
+    // over it and the edit survives (properties are one-sided)
+    val base2 = t.snapshot
+    val filesBefore = base2.files.map(_.path).toSet
+    val f = writeFile(t, Seq(keyInBucket(t, 2) -> 5), lsn = 300)
+    assert(t.alterProperties(Map("graft.custom" -> "1")) == base2.version + 1)
+    assert(t.snapshot.files.map(_.path).toSet == filesBefore) // zero data files touched
+    val cand2 = base2.copy(version = base2.version + 1, parentVersion = base2.version,
+      files = base2.files :+ f, committedEpochs = base2.committedEpochs :+ "pr/1")
+    assert(t.commitRebasing(base2, cand2) == CommitOutcome.Committed)
+    assert(t.snapshot.properties("graft.custom") == "1")
+    assert(t.read().count() == 3)
+
+    // unset removes; layout-semantic keys are create-time-only
+    t.alterProperties(Map("write.parquet.bloom" -> "true"), unset = Seq("graft.custom"))
+    assert(!t.snapshot.properties.contains("graft.custom"))
+    assert(t.snapshot.properties("write.parquet.bloom") == "true")
+    intercept[IllegalArgumentException](t.alterProperties(Map("write.mode" -> "mor")))
+    intercept[IllegalArgumentException](t.alterProperties(Map.empty))
+
+    // two DIVERGENT property edits: the built-in retry re-reads and reapplies,
+    // so both edits land (whole-edit last-writer-wins over a fresh snapshot)
+    val base3 = t.snapshot
+    t.alterProperties(Map("a" -> "1"))
+    val cand3 = base3.copy(version = base3.version + 1, parentVersion = base3.version,
+      properties = base3.properties + ("b" -> "2"), stats = None)
+    assert(t.commitRebasing(base3, cand3) == CommitOutcome.Overlap) // raw protocol refuses
+    assert(t.alterProperties(Map("b" -> "2")) > 0)                  // API retry lands it
+    assert(t.snapshot.properties("a") == "1" && t.snapshot.properties("b") == "2")
+  }
+
   test("rebase yields EpochWon on a same-epoch race and deletes its files") {
     val t = freshTable("conc-epoch")
     val base = t.snapshot
