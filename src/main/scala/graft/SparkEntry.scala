@@ -140,6 +140,22 @@ object SparkEntry {
       col("n_tok"), col("source"))
   }
 
+  /** [[derivedChanges]] with deterministic contract violations injected —
+    * the DLQ gates' input. Rules (on lsn = event_id, first match wins, all
+    * reconstructable in the oracle SQL): %37 -> null key; else %31 -> op
+    * "x"; else %41 on a non-delete -> null payload. */
+  private def dlqCorrupted(s: SparkSession, dir: String): DataFrame = {
+    val ch = derivedChanges(s, dir)
+    val a = col("lsn") % 37 === 0
+    val b = !a && (col("lsn") % 31 === 0)
+    val c = !a && !b && col("op") =!= "d" && (col("lsn") % 41 === 0)
+    ch.select(
+      when(a, lit(null)).otherwise(col("doc_id")).as("doc_id"),
+      when(b, lit("x")).otherwise(col("op")).as("op"),
+      col("lsn"),
+      when(c, lit(null).cast(derivedPayloadType)).otherwise(col("after")).as("after"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- CDC engine path ----
     "q_cdc_replay" -> ((s, dir) => {
@@ -178,6 +194,31 @@ object SparkEntry {
       val tail = changes.filter(col("lsn") > w)
       Pipeline.replayBatch(s, tail, table, "tail", epochs = 2, lsnMax = lsnMax)
       Pipeline.replayBatch(s, tail, table, "tail", epochs = 2, lsnMax = lsnMax) // redelivery
+      table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+        col("n_tok"), col("source"))
+    }),
+    "q_dlq_route" -> ((s, dir) => {
+      // Dead-letter queue: contract-violating events (null key, unknown op,
+      // null payload on a non-delete) route to a parquet DLQ with an error
+      // label instead of poisoning the epoch. A re-delivered epoch is a
+      // marker no-op — routed rows never double.
+      val dlqRoot = java.nio.file.Files.createTempDirectory("graft-dlq").toString
+      val (_, n) = graft.stream.Dlq.split(dlqCorrupted(s, dir), "doc_id", dlqRoot, "route/0")
+      val (_, n2) = graft.stream.Dlq.split(dlqCorrupted(s, dir), "doc_id", dlqRoot, "route/0")
+      require(n > 0 && n2 == 0, s"DLQ redelivery must be a no-op (first=$n, redelivered=$n2)")
+      graft.stream.Dlq.read(s, dlqRoot)
+        .select(coalesce(col("key"), lit("<null>")).as("key"),
+          col("op"), col("lsn"), col("error"))
+    }),
+    "q_dlq_clean_state" -> ((s, dir) => {
+      // The clean remainder merges normally: final state == the LWW fold
+      // over only the non-violating events.
+      val root = java.nio.file.Files.createTempDirectory("graft-dlqclean").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      val dlqRoot = java.nio.file.Files.createTempDirectory("graft-dlq2").toString
+      val (clean, _) = graft.stream.Dlq.split(dlqCorrupted(s, dir), "doc_id", dlqRoot, "all/0")
+      val lsnMax = clean.agg(max("lsn")).head().getLong(0) + 1
+      Pipeline.replayBatch(s, clean, table, "clean", epochs = 4, lsnMax = lsnMax)
       table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
         col("n_tok"), col("source"))
     }),
@@ -945,6 +986,38 @@ object SparkEntry {
         |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
         |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // The DLQ holds exactly the contract-violating rows, each labeled with
+    // its FIRST violated rule (null_key > bad_op > null_payload).
+    "q_dlq_route" ->
+      """SELECT CASE WHEN event_id % 37 = 0 THEN '<null>'
+        |            ELSE CAST(user_id AS VARCHAR) END AS key,
+        |       CASE WHEN event_id % 37 <> 0 AND event_id % 31 = 0 THEN 'x'
+        |            WHEN event_type = 'error' THEN 'd'
+        |            WHEN event_type = 'signup' THEN 'c' ELSE 'u' END AS op,
+        |       event_id AS lsn,
+        |       CASE WHEN event_id % 37 = 0 THEN 'null_key'
+        |            WHEN event_id % 31 = 0 THEN 'bad_op'
+        |            ELSE 'null_payload' END AS error
+        |FROM events
+        |WHERE event_id % 37 = 0 OR event_id % 31 = 0
+        |   OR (event_type <> 'error' AND event_id % 41 = 0)""".stripMargin,
+    // With the violators routed away, the table must equal the LWW fold
+    // over only the clean events.
+    "q_dlq_clean_state" ->
+      """WITH clean AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id
+        |  FROM events
+        |  WHERE NOT (event_id % 37 = 0 OR event_id % 31 = 0
+        |             OR (event_type <> 'error' AND event_id % 41 = 0))),
+        |last AS (
+        |  SELECT doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY doc_id ORDER BY event_id DESC) AS rn
+        |  FROM clean)
         |SELECT doc_id,
         |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
         |       2 AS n_tok,

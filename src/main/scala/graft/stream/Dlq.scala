@@ -1,0 +1,98 @@
+package graft.stream
+
+import graft.table.IceLite
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/**
+ * Dead-letter queue for the ingest path — the Spark-sink analog of Kafka
+ * Connect's `errors.tolerance=all` + DLQ topic, the runtime the reference's
+ * SMTs deploy under: where the reference THROWS on a contract violation
+ * (`smt/Outbox.java:108,114,203` raise `DataException` and the worker's
+ * error handling decides fail-vs-route), a set-at-a-time sink must not let
+ * one poisoned event fail a whole epoch. [[split]] routes the violating
+ * rows of a change batch to a parquet DLQ with an error label and returns
+ * the clean remainder for the MERGE.
+ *
+ * Contract checks (the merge input contract, `MergeInto.scala` header):
+ * null/empty key -> `null_key`; op outside c/u/r/d -> `bad_op`; null lsn ->
+ * `null_lsn`; null payload on a non-delete -> `null_payload`. Checks are
+ * ordered — a row reports its FIRST violation.
+ *
+ * Exactly-once without side state (the [[graft.table.CdcOut]] pattern): each
+ * epoch's bad rows publish atomically as `epoch_<key>/` (staging dir +
+ * `_committed` marker + rename), so a re-delivered epoch never doubles DLQ
+ * rows — the re-run sees the marker and skips. A crash before the rename
+ * leaves invisible staging residue the re-run overwrites. Epochs with zero
+ * violations publish nothing.
+ *
+ * DLQ record schema is table-agnostic (payload carried as JSON, like a DLQ
+ * topic's raw bytes + headers): (key, op, lsn, payload, error, epoch).
+ */
+object Dlq {
+
+  private val Marker = "_committed"
+  private val DirRe = "^epoch_.*$".r
+
+  /** DLQ record schema ([[read]] needs it up front: a DLQ holding only
+    * empty epochs has no footers to infer from). */
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType), StructField("op", StringType),
+    StructField("lsn", LongType), StructField("payload", StringType),
+    StructField("error", StringType), StructField("epoch", StringType)))
+
+  /** First violated contract rule as an error label; null for clean rows. */
+  def errorOf(keyColumn: String): Column =
+    when(col(keyColumn).isNull || col(keyColumn) === "", "null_key")
+      .when(!col("op").isin("c", "u", "r", "d"), "bad_op")
+      .when(col("lsn").isNull, "null_lsn")
+      .when(col("op") =!= "d" && col("after").isNull, "null_payload")
+
+  /** Route `batch`'s contract-violating rows to the DLQ under `epochKey`
+    * (idempotently — a marker-committed epoch is never rewritten) and
+    * return (clean remainder, violations routed). Scans the batch twice;
+    * callers on the hot path should hand in a cached batch (the pipeline
+    * does). */
+  def split(batch: DataFrame, keyColumn: String, dlqRoot: String,
+            epochKey: String): (DataFrame, Long) = {
+    val err = errorOf(keyColumn)
+    val clean = batch.filter(err.isNull)
+    val seg = epochKey.replaceAll("[^A-Za-z0-9_.-]", "_")
+    val spark = batch.sparkSession
+    val fs = IceLite.fsFor(new Path(dlqRoot), spark.sparkContext.hadoopConfiguration)
+    val finalP = new Path(dlqRoot, s"epoch_$seg")
+    if (fs.exists(new Path(finalP, Marker)))
+      return (clean, 0L) // re-delivered epoch: already routed, never doubled
+    val bad = batch.withColumn("error", err).filter(col("error").isNotNull)
+      .select(col(keyColumn).cast(StringType).as("key"), col("op"),
+        col("lsn").cast(LongType).as("lsn"), to_json(col("after")).as("payload"),
+        col("error"), lit(epochKey).as("epoch"))
+    val n = bad.count()
+    if (n == 0L) return (clean, 0L) // nothing to publish, nothing to make idempotent
+    val staging = new Path(dlqRoot, s".stage_epoch_$seg")
+    bad.write.mode("overwrite").parquet(staging.toString)
+    val out = fs.create(new Path(staging, Marker), true)
+    try out.write(Array.emptyByteArray) finally out.close()
+    if (fs.exists(finalP)) fs.delete(finalP, true): Unit
+    if (!fs.rename(staging, finalP))
+      throw new java.io.IOException(s"DLQ publish failed: $finalP")
+    (clean, n)
+  }
+
+  /** All committed DLQ records under `dlqRoot` (empty frame when none) —
+    * what an operator inspects, fixes, and re-injects as a new epoch. */
+  def read(spark: SparkSession, dlqRoot: String): DataFrame = {
+    val root = new Path(dlqRoot)
+    val fs = IceLite.fsFor(root, spark.sparkContext.hadoopConfiguration)
+    val dirs =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toSeq.collect {
+        case st if DirRe.matches(st.getPath.getName) &&
+          fs.exists(new Path(st.getPath, Marker)) => st.getPath.toString
+      }
+    if (dirs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(dirs: _*)
+  }
+}

@@ -59,7 +59,8 @@ object Pipeline {
       streamId: String,
       stages: Seq[DataFrame => DataFrame] = Nil,
       maxFilesPerTrigger: Int = 1,
-      dedupIngest: Option[DedupIngest] = None): StreamingQuery = {
+      dedupIngest: Option[DedupIngest] = None,
+      dlqDir: Option[String] = None): StreamingQuery = {
     // Restore registry state from the table's last snapshot.
     val registryJson = table.snapshot.registryJson
     if (registryJson != null && registryJson.nonEmpty) {
@@ -93,18 +94,26 @@ object Pipeline {
         // merge does; cache so the source — and its observe() metrics —
         // materialize exactly once per batch. (Auto tombstone compaction
         // also re-reads the batch for its lsn watermark.)
-        val needCache = stages.nonEmpty || autoCompact
+        val needCache = stages.nonEmpty || autoCompact || dlqDir.isDefined
         val base = if (needCache) batch.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) else batch
         try {
-          val transformed0 = stages.foldLeft(base)((df, stage) => stage(df))
+          val staged = stages.foldLeft(base)((df, stage) => stage(df))
+          // DLQ first: contract-violating rows must not reach the content
+          // dedup (a null key would pollute its per-doc grouping) or the
+          // merge. Routing is marker-idempotent per epoch.
+          val (transformed0, dlqRouted) = dlqDir match {
+            case None => (staged, 0L)
+            case Some(dir) => Dlq.split(staged, table.snapshot.keyColumn, dir, s"${streamId}_$epochId")
+          }
           val (transformed, suppressed) = dedupIngest match {
             case None => (transformed0, 0L)
             case Some(di) => applyDedupIngest(transformed0, di, s"${streamId}_$epochId")
           }
           val registrySnapshot = stages.collectFirst { case j: JsonDeserialize => j.registry.serialize }
-          // suppression count rides the SAME atomic commit as the data —
-          // a redelivered epoch is a ledger no-op, so it never double-counts
-          val extra = if (dedupIngest.isDefined) Map("dedup.suppressed" -> suppressed) else Map.empty[String, Long]
+          // suppression counts ride the SAME atomic commit as the data —
+          // a redelivered epoch is a ledger no-op, so they never double-count
+          val extra = (if (dedupIngest.isDefined) Map("dedup.suppressed" -> suppressed) else Map.empty[String, Long]) ++
+            (if (dlqDir.isDefined) Map("dlq.routed" -> dlqRouted) else Map.empty[String, Long])
           table.merge(transformed, s"$streamId/$epochId", registrySnapshot, extra): Unit
           if (autoCompact) {
             // The file-tailed source delivers chunks in lsn order, so this

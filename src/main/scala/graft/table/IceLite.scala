@@ -257,7 +257,7 @@ object IceLite {
     SparkSession.getActiveSession.map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  private[table] def fsFor(root: Path, conf: Configuration): FileSystem =
+  private[graft] def fsFor(root: Path, conf: Configuration): FileSystem =
     root.getFileSystem(conf)
 
   def create(spark: SparkSession, root: String, schema: StructType, keyColumn: String,
