@@ -222,6 +222,29 @@ object SparkEntry {
       table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
         col("n_tok"), col("source"))
     }),
+    "q_dlq_parse" -> ((s, dir) => {
+      // Deserialization-error routing: a JSON payload column with
+      // deterministic corruptions — %23 truncates the closing brace
+      // (invalid, must route as parse_error); else %29 wraps in brackets
+      // (STILL VALID json, must stay clean — routing is real parsing, not
+      // an id rule). Both engines rebuild the identical strings.
+      val ev = T(s, dir, "events")
+      val base = concat(lit("{\"uid\":"), col("user_id").cast(StringType),
+        lit(",\"etype\":\""), col("event_type"), lit("\"}"))
+      val payload = when(col("lsn") % 23 === 0, expr("substring(s, 1, length(s)-1)"))
+        .when(col("lsn") % 29 === 0, concat(lit("["), col("s"), lit("]")))
+        .otherwise(col("s"))
+      val framed = ev.select(col("user_id").cast(StringType).as("doc_id"),
+          col("event_id").as("lsn"), base.as("s"))
+        .select(col("doc_id"), col("lsn"), payload.as("payload_json"))
+      val dlqRoot = java.nio.file.Files.createTempDirectory("graft-dlqparse").toString
+      val (clean, n) = graft.stream.Dlq.splitJson(framed, "payload_json", "doc_id", dlqRoot, "p/0")
+      // the wrapped-but-valid rows must survive on the clean side
+      require(clean.filter(col("payload_json").startsWith("[")).count() > 0,
+        "valid wrapped JSON must not route")
+      require(n == graft.stream.Dlq.read(s, dlqRoot).count(), s"routed count drift")
+      graft.stream.Dlq.read(s, dlqRoot).select(col("key"), col("lsn"), col("payload"), col("error"))
+    }),
     "q_rename_evolve" -> ((s, dir) => {
       // Iceberg-style METADATA-ONLY rename evolution mid-stream: replay the
       // first half of the change stream, rename source -> origin (zero data
@@ -1025,6 +1048,22 @@ object SparkEntry {
         |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     // The rename is metadata-only relabeling: the fold is unchanged, the
     // surviving event_type column just reads back under its new name.
+    // The DLQ holds exactly the rows whose (identically rebuilt) corrupted
+    // payload fails a REAL JSON-validity check — the bracket-wrapped %29
+    // rows are valid and must be absent.
+    "q_dlq_parse" ->
+      """WITH j AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS key, event_id AS lsn,
+        |         '{"uid":' || CAST(user_id AS VARCHAR) || ',"etype":"' || event_type || '"}' AS s
+        |  FROM events),
+        |c AS (
+        |  SELECT key, lsn,
+        |         CASE WHEN lsn % 23 = 0 THEN substr(s, 1, length(s)-1)
+        |              WHEN lsn % 29 = 0 THEN '[' || s || ']'
+        |              ELSE s END AS payload
+        |  FROM j)
+        |SELECT key, lsn, payload, 'parse_error' AS error
+        |FROM c WHERE NOT json_valid(payload)""".stripMargin,
     "q_rename_evolve" ->
       """WITH last AS (
         |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,

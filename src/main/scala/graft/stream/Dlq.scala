@@ -59,18 +59,49 @@ object Dlq {
             epochKey: String): (DataFrame, Long) = {
     val err = errorOf(keyColumn)
     val clean = batch.filter(err.isNull)
-    val seg = epochKey.replaceAll("[^A-Za-z0-9_.-]", "_")
-    val spark = batch.sparkSession
-    val fs = IceLite.fsFor(new Path(dlqRoot), spark.sparkContext.hadoopConfiguration)
-    val finalP = new Path(dlqRoot, s"epoch_$seg")
-    if (fs.exists(new Path(finalP, Marker)))
-      return (clean, 0L) // re-delivered epoch: already routed, never doubled
     val bad = batch.withColumn("error", err).filter(col("error").isNotNull)
       .select(col(keyColumn).cast(StringType).as("key"), col("op"),
         col("lsn").cast(LongType).as("lsn"), to_json(col("after")).as("payload"),
         col("error"), lit(epochKey).as("epoch"))
+    (clean, publishEpoch(batch.sparkSession, bad, dlqRoot, epochKey))
+  }
+
+  /** Kafka-Connect-style DESERIALIZATION error routing (the converter half
+    * of `errors.tolerance=all`, upstream of [[split]]'s sink contract): rows
+    * whose `jsonColumn` is non-null, non-empty, and NOT valid JSON route as
+    * `parse_error` carrying the raw text; the clean remainder (valid JSON,
+    * plus null/empty pass-through — the tombstone contract, reference O2)
+    * continues to [[graft.smt.JsonDeserialize]]. Without this, lenient mode
+    * silently nulls unparseable payloads and strict mode fails the epoch.
+    * Validity is the codegen'd native `try_parse_json` — no UDF, no second
+    * Jackson pass. Same marker-idempotent epoch publish as [[split]]. */
+  def splitJson(batch: DataFrame, jsonColumn: String, keyColumn: String,
+                dlqRoot: String, epochKey: String): (DataFrame, Long) = {
+    val j = col(jsonColumn).cast(StringType)
+    val isBad = j.isNotNull && j =!= "" && try_parse_json(j).isNull
+    val clean = batch.filter(!isBad)
+    val opCol = if (batch.columns.contains("op")) col("op") else lit(null).cast(StringType)
+    val lsnCol = if (batch.columns.contains("lsn")) col("lsn").cast(LongType)
+                 else lit(null).cast(LongType)
+    val bad = batch.filter(isBad)
+      .select(col(keyColumn).cast(StringType).as("key"), opCol.as("op"),
+        lsnCol.as("lsn"), j.as("payload"),
+        lit("parse_error").as("error"), lit(epochKey).as("epoch"))
+    (clean, publishEpoch(batch.sparkSession, bad, dlqRoot, epochKey))
+  }
+
+  /** Atomic, idempotent publish of one epoch's bad rows: skip if the epoch's
+    * marker already exists (redelivery), write nothing for a clean epoch,
+    * else stage + marker + rename. Returns rows routed (0 on skip). */
+  private def publishEpoch(spark: SparkSession, bad: DataFrame, dlqRoot: String,
+                           epochKey: String): Long = {
+    val seg = epochKey.replaceAll("[^A-Za-z0-9_.-]", "_")
+    val fs = IceLite.fsFor(new Path(dlqRoot), spark.sparkContext.hadoopConfiguration)
+    val finalP = new Path(dlqRoot, s"epoch_$seg")
+    if (fs.exists(new Path(finalP, Marker)))
+      return 0L // re-delivered epoch: already routed, never doubled
     val n = bad.count()
-    if (n == 0L) return (clean, 0L) // nothing to publish, nothing to make idempotent
+    if (n == 0L) return 0L // nothing to publish, nothing to make idempotent
     val staging = new Path(dlqRoot, s".stage_epoch_$seg")
     bad.write.mode("overwrite").parquet(staging.toString)
     val out = fs.create(new Path(staging, Marker), true)
@@ -78,7 +109,7 @@ object Dlq {
     if (fs.exists(finalP)) fs.delete(finalP, true): Unit
     if (!fs.rename(staging, finalP))
       throw new java.io.IOException(s"DLQ publish failed: $finalP")
-    (clean, n)
+    n
   }
 
   /** All committed DLQ records under `dlqRoot` (empty frame when none) —

@@ -97,14 +97,29 @@ object Pipeline {
         val needCache = stages.nonEmpty || autoCompact || dlqDir.isDefined
         val base = if (needCache) batch.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY) else batch
         try {
-          val staged = stages.foldLeft(base)((df, stage) => stage(df))
-          // DLQ first: contract-violating rows must not reach the content
+          // Deserialization errors route BEFORE the stages run (the
+          // converter half of errors.tolerance=all): rows whose JSON payload
+          // can't parse leave for the DLQ instead of being silently nulled
+          // (lenient) or failing the epoch (strict). Per-column epoch keys
+          // keep each publish independently marker-idempotent.
+          val (preStaged, parseRouted) = (dlqDir, stages.collectFirst { case j: JsonDeserialize => j }) match {
+            case (Some(dir), Some(j)) =>
+              j.cfg.columns.foldLeft((base, 0L)) { case ((df, acc), c) =>
+                val (clean, n) = Dlq.splitJson(df, c, table.snapshot.keyColumn,
+                  dir, s"${streamId}_${epochId}_json_$c")
+                (clean, acc + n)
+              }
+            case _ => (base, 0L)
+          }
+          val staged = stages.foldLeft(preStaged)((df, stage) => stage(df))
+          // DLQ next: contract-violating rows must not reach the content
           // dedup (a null key would pollute its per-doc grouping) or the
           // merge. Routing is marker-idempotent per epoch.
-          val (transformed0, dlqRouted) = dlqDir match {
+          val (transformed0, contractRouted) = dlqDir match {
             case None => (staged, 0L)
             case Some(dir) => Dlq.split(staged, table.snapshot.keyColumn, dir, s"${streamId}_$epochId")
           }
+          val dlqRouted = contractRouted + parseRouted
           val (transformed, suppressed) = dedupIngest match {
             case None => (transformed0, 0L)
             case Some(di) => applyDedupIngest(transformed0, di, s"${streamId}_$epochId")

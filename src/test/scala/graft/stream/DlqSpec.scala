@@ -48,6 +48,71 @@ class DlqSpec extends AnyFunSuite {
     assert(p.contains("\"v\":3"))
   }
 
+  test("splitJson routes only genuinely invalid JSON; null/empty/scalars pass; redelivery no-op") {
+    val df = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('a', 1L, '{"x":1}'),
+        |  ('b', 2L, '{"x":'),
+        |  ('c', 3L, CAST(NULL AS STRING)),
+        |  ('d', 4L, ''),
+        |  ('e', 5L, '123'),
+        |  ('f', 6L, '[{"y":2}]'),
+        |  ('g', 7L, 'not json')
+        |AS t(doc_id, lsn, js)""".stripMargin)
+    val dlqRoot = SparkTestBase.tempDir("dlq-json")
+    val (clean, n) = Dlq.splitJson(df, "js", "doc_id", dlqRoot, "j/0")
+    assert(n == 2)
+    assert(clean.select("doc_id").collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("a", "c", "d", "e", "f"))
+    val routed = Dlq.read(spark, dlqRoot).collect()
+      .map(r => (r.getString(0), r.getString(3), r.getString(4))).toSet
+    assert(routed == Set(("b", "{\"x\":", "parse_error"), ("g", "not json", "parse_error")))
+    // op/lsn: frame has lsn but no op -> op rides as null
+    assert(Dlq.read(spark, dlqRoot).filter(col("op").isNull).count() == 2)
+    val (_, n2) = Dlq.splitJson(df, "js", "doc_id", dlqRoot, "j/0")
+    assert(n2 == 0 && Dlq.read(spark, dlqRoot).count() == 2)
+  }
+
+  test("wired pipeline: parse errors leave for the DLQ before a STRICT deserialize stage") {
+    import graft.schema.{InferOptions, SchemaRegistry}
+    import graft.smt.{JsonDeserialize, JsonDeserializeConfig}
+    val cfg = GenConfig(numDocs = 30, numEvents = 300, seed = 23, withMetadata = true)
+    val corrupted = ChangeGen.events(spark, cfg).withColumn("metadata",
+      when(col("lsn") % 7 === 0, expr("substring(metadata, 1, length(metadata)-1)"))
+        .otherwise(col("metadata")))
+    val srcDir = SparkTestBase.tempDir("dlqp-src")
+    corrupted.coalesce(1).write.mode("append").parquet(srcDir)
+
+    val root = SparkTestBase.tempDir("dlqp-table")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val dlqRoot = SparkTestBase.tempDir("dlqp-out")
+    val stage = new JsonDeserialize(JsonDeserializeConfig(
+      Seq("metadata"), "docs", InferOptions(optionalStructFields = true)), new SchemaRegistry(true))
+    // STRICT mode: without the DLQ, the first corrupted payload would fail
+    // the epoch (JsonParseException); with it, the epoch lands.
+    Pipeline.runFileStream(spark, srcDir, table, SparkTestBase.tempDir("dlqp-ckpt"), "dp",
+      stages = Seq(stage), dlqDir = Some(dlqRoot)).awaitTermination()
+
+    val routed = Dlq.read(spark, dlqRoot)
+    val expected = corrupted.filter(col("lsn") % 7 === 0).count()
+    assert(routed.count() == expected)
+    assert(routed.select("error").distinct().collect().map(_.getString(0)).toSeq == Seq("parse_error"))
+    assert(routed.select("payload").head().getString(0).startsWith("{")) // raw text preserved
+    assert(table.snapshot.lineage("dlq.routed") == expected)
+    // state == replay of only the clean events through the same stage shape
+    val cleanRoot = SparkTestBase.tempDir("dlqp-cleantable")
+    val cleanT = IceLite.create(spark, cleanRoot, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val cleanStage = new JsonDeserialize(JsonDeserializeConfig(
+      Seq("metadata"), "docs", InferOptions(optionalStructFields = true)), new SchemaRegistry(true))
+    val cleanSrc = SparkTestBase.tempDir("dlqp-cleansrc")
+    corrupted.filter(col("lsn") % 7 =!= 0).coalesce(1).write.mode("append").parquet(cleanSrc)
+    Pipeline.runFileStream(spark, cleanSrc, cleanT, SparkTestBase.tempDir("dlqp-cleanckpt"), "dpc",
+      stages = Seq(cleanStage)).awaitTermination()
+    def state(t: graft.table.IceLiteTable) =
+      t.read().select("doc_id", "n_tok", "source").collect().map(_.toString).sorted.toSeq
+    assert(state(table) == state(cleanT))
+  }
+
   test("crash-shaped staging residue is overwritten by the re-run") {
     val dlqRoot = SparkTestBase.tempDir("dlq-crash")
     val residue = new java.io.File(s"$dlqRoot/.stage_epoch_c_0")
