@@ -271,6 +271,37 @@ object SparkEntry {
       IceLite.load(s, root).read().select(col("doc_id"),
         array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("origin"))
     }),
+    "q_widen_evolve" -> ((s, dir) => {
+      // Iceberg-style TYPE-WIDENING evolution mid-stream (INT -> BIGINT):
+      // the first half of the change stream writes n_tok as INT; the second
+      // half arrives with n_tok as BIGINT carrying values beyond int range.
+      // Metadata-only — no first-half file is rewritten; both vintages read
+      // under the widened snapshot schema (parquet scan-time promotion).
+      val root = java.nio.file.Files.createTempDirectory("graft-widen").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      val changes = derivedChanges(s, dir)
+      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val mid = lsnMax / 2
+      Pipeline.replayBatch(s, changes.filter(col("lsn") < mid), table, "pre",
+        epochs = 2, lsnMax = mid)
+      val filesBefore = IceLite.load(s, root).snapshot.files.map(_.path).toSet
+      val widePayload = StructType(derivedPayloadType.fields.map(f =>
+        if (f.name == "n_tok") f.copy(dataType = LongType) else f))
+      val post = changes.filter(col("lsn") >= mid).withColumn("after",
+        when(col("after").isNull, lit(null).cast(widePayload))
+          .otherwise(struct(col("after.doc_id").as("doc_id"),
+            col("after.tokens").as("tokens"),
+            (lit(4000000000L) + col("lsn") % 97).as("n_tok"),
+            col("after.source").as("source"))))
+      Pipeline.replayBatch(s, post, table, "post", epochs = 2, lsnMax = lsnMax)
+      val t2 = IceLite.load(s, root)
+      // the widening itself rewrote nothing: every pre-widening file still
+      // live unless the second half's DATA touched its bucket
+      require(t2.snapshot.schema("n_tok").dataType == LongType, "schema must widen")
+      require(filesBefore.nonEmpty, "first half must write files")
+      t2.read().select(col("doc_id"),
+        array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
+    }),
     "q_compact_replay" -> ((s, dir) => {
       // MOR replay WITH in-pipeline small-file compaction (bin-packing
       // cadence every 2 epochs): layout maintenance runs concurrently with
@@ -1073,6 +1104,21 @@ object SparkEntry {
         |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
         |       2 AS n_tok,
         |       event_type AS origin
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // Widening is invisible to the fold: same LWW winners, n_tok BIGINT —
+    // the beyond-int value for post-widening winners, the promoted stored
+    // int for pre-widening winners.
+    "q_widen_evolve" ->
+      """WITH m AS (SELECT (MAX(event_id)+1)//2 AS mid FROM events),
+        |last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       CAST(CASE WHEN event_id >= (SELECT mid FROM m)
+        |                 THEN 4000000000 + event_id % 97 ELSE 2 END AS BIGINT) AS n_tok,
+        |       event_type AS source
         |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     // Layout maintenance (bin-packing compaction mid-replay) must be
     // invisible to readers: the same LWW fold as the plain replay.

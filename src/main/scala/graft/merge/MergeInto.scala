@@ -4,7 +4,7 @@ import graft.hashing.KafkaMurmur2
 import graft.table.{CommitStats, DataFileMeta, IceLiteTable, Snapshot}
 import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructField, StructType}
+import org.apache.spark.sql.types.{ArrayType, ByteType, DataType, DoubleType, FloatType, IntegerType, LongType, MapType, ShortType, StructField, StructType}
 import org.apache.spark.storage.StorageLevel
 import java.util.UUID
 
@@ -796,18 +796,66 @@ object MergeInto {
     }
   }
 
-  /** Additive evolution: batch may add columns; common columns must keep
-    * their type (renames happen upstream in the SMT chain). */
+  /** Additive + widening evolution: batch may add columns, and common
+    * columns may WIDEN along Iceberg's safe-promotion lattice
+    * ([[widenType]]); anything else throws (renames happen upstream in the
+    * SMT chain). Widening is METADATA-ONLY: existing narrow files are never
+    * rewritten — every read goes through the snapshot schema and Spark's
+    * parquet readers promote int32->int64 / float->double at scan time
+    * (both vectorized and row paths since 4.0); a batch NARROWER than the
+    * table needs no schema change at all, its values coerce up in the merge
+    * projection. */
   private[merge] def evolveSchema(table: StructType, batch: StructType): StructType = {
     val existing = table.fieldNames.toSet
-    batch.fields.filter(f => existing.contains(f.name)).foreach { f =>
-      val tf = table(f.name)
-      require(org.apache.spark.sql.graftbridge.Exprs.sameTypeIgnoreNullability(tf.dataType, f.dataType),
-        s"Incompatible type evolution for column ${f.name}: table=${tf.dataType.catalogString} batch=${f.dataType.catalogString}")
+    val merged = table.fields.map { tf =>
+      batch.fields.find(_.name == tf.name) match {
+        case None => tf
+        case Some(bf) =>
+          val t = widenType(tf.dataType, bf.dataType).getOrElse(throw new IllegalArgumentException(
+            s"Incompatible type evolution for column ${tf.name}: table=${tf.dataType.catalogString} batch=${bf.dataType.catalogString}"))
+          tf.copy(dataType = t)
+      }
     }
     val added = batch.fields.filterNot(f => existing.contains(f.name))
       .map(_.copy(nullable = true)) // evolved columns are null for old rows
-    StructType(table.fields ++ added)
+    StructType(merged ++ added)
+  }
+
+  /** The type both sides safely promote to, or None when evolution is
+    * incompatible. Iceberg's rules: byte->short->int->long and
+    * float->double (NOT int->float/double — lossy above 2^24), recursing
+    * through struct (with additive nested fields), array, and map values
+    * (map keys must match exactly — they identify entries). */
+  private[merge] def widenType(table: DataType, batch: DataType): Option[DataType] = {
+    val ints: Seq[DataType] = Seq(ByteType, ShortType, IntegerType, LongType)
+    val floats: Seq[DataType] = Seq(FloatType, DoubleType)
+    (table, batch) match {
+      case (a, b) if org.apache.spark.sql.graftbridge.Exprs.sameTypeIgnoreNullability(a, b) => Some(a)
+      case (a, b) if ints.contains(a) && ints.contains(b) =>
+        Some(ints(math.max(ints.indexOf(a), ints.indexOf(b))))
+      case (a, b) if floats.contains(a) && floats.contains(b) =>
+        Some(floats(math.max(floats.indexOf(a), floats.indexOf(b))))
+      case (StructType(tf), StructType(bf)) =>
+        val bMap = bf.map(f => f.name -> f).toMap
+        val mergedExisting = tf.map { fa =>
+          bMap.get(fa.name) match {
+            case None => Some(fa)
+            case Some(fb) => widenType(fa.dataType, fb.dataType)
+              .map(t => fa.copy(dataType = t, nullable = fa.nullable || fb.nullable))
+          }
+        }
+        if (mergedExisting.contains(None)) None
+        else {
+          val tNames = tf.map(_.name).toSet
+          val added = bf.filterNot(f => tNames.contains(f.name)).map(_.copy(nullable = true))
+          Some(StructType(mergedExisting.flatten ++ added))
+        }
+      case (ArrayType(a, n1), ArrayType(b, n2)) =>
+        widenType(a, b).map(t => ArrayType(t, n1 || n2))
+      case (MapType(ka, va, n1), MapType(kb, vb, n2)) if ka == kb =>
+        widenType(va, vb).map(t => MapType(ka, t, n1 || n2))
+      case _ => None
+    }
   }
 
   /** Column mapping after additive evolution: a new logical column normally
