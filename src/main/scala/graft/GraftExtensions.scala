@@ -36,6 +36,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     allDescriptors.foreach(ext.injectFunction)
+    // Table-valued READ surface: icelite_scan / icelite_at (time travel) /
+    // icelite_changes (CDC-out) / icelite_history / icelite_files
+    allTableDescriptors.foreach(ext.injectTableFunction)
     // SQL `MERGE INTO icelite.`<path>` USING (<query>) EPOCH '<key>'`
     ext.injectParser((_, delegate) => new graft.sql.GraftSqlParser(delegate))
   }
@@ -250,11 +253,86 @@ object GraftExtensions {
     docFingerprintDescriptor, dedupSegmentsDescriptor, segmentDupRatioDescriptor,
     urlCountDescriptor, urlCharRatioDescriptor)
 
+  // ---- Table-valued functions: the SQL READ surface for IceLite tables
+  // (MERGE/ALTER already exist in GraftSqlParser; these close the loop so a
+  // SQL-first user never needs the Scala API). Each builds the same logical
+  // plan the DataFrame method declares — Catalyst sees an ordinary scan, so
+  // pushdown/pruning are identical.
+
+  type TableDescriptor =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
+  private def constLong(e: Expression, fn: String, arg: String): Long = {
+    require(e.foldable, s"$fn: argument '$arg' must be a constant")
+    e.eval() match {
+      case i: Int => i.toLong
+      case l: Long => l
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument '$arg' must be an integer constant, got $other")
+    }
+  }
+
+  private def activeSession = org.apache.spark.sql.SparkSession.active
+
+  private def planOf(df: org.apache.spark.sql.DataFrame) = df.queryExecution.logical
+
+  val sqlScanDescriptor: TableDescriptor = (
+    FunctionIdentifier("icelite_scan"),
+    info("icelite_scan", "icelite_scan(path) - current state of the IceLite table at <path> (same plan as table.read())."),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "icelite_scan(path)")
+      planOf(graft.table.IceLite.load(activeSession, constStr(args.head, "icelite_scan", "path")).read())
+    })
+
+  val sqlAtDescriptor: TableDescriptor = (
+    FunctionIdentifier("icelite_at"),
+    info("icelite_at", "icelite_at(path, version) - TIME TRAVEL: table state at snapshot <version>."),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, "icelite_at(path, version)")
+      planOf(graft.table.IceLite.load(activeSession, constStr(args.head, "icelite_at", "path"))
+        .readVersion(constLong(args(1), "icelite_at", "version")))
+    })
+
+  val sqlChangesDescriptor: TableDescriptor = (
+    FunctionIdentifier("icelite_changes"),
+    info("icelite_changes", "icelite_changes(path, fromVersion, toVersion) - net per-key insert/update/delete between two snapshots (CDC-out)."),
+    (args: Seq[Expression]) => {
+      require(args.size == 3, "icelite_changes(path, fromVersion, toVersion)")
+      planOf(graft.table.IceLite.load(activeSession, constStr(args.head, "icelite_changes", "path"))
+        .changesBetween(constLong(args(1), "icelite_changes", "fromVersion"),
+          constLong(args(2), "icelite_changes", "toVersion")))
+    })
+
+  val sqlHistoryDescriptor: TableDescriptor = (
+    FunctionIdentifier("icelite_history"),
+    info("icelite_history", "icelite_history(path) - metadata table: one row per snapshot version (driver-side only)."),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "icelite_history(path)")
+      planOf(graft.table.IceLite.load(activeSession, constStr(args.head, "icelite_history", "path")).history)
+    })
+
+  val sqlFilesDescriptor: TableDescriptor = (
+    FunctionIdentifier("icelite_files"),
+    info("icelite_files", "icelite_files(path) - metadata table: the current snapshot's data files with per-file stats."),
+    (args: Seq[Expression]) => {
+      require(args.size == 1, "icelite_files(path)")
+      planOf(graft.table.IceLite.load(activeSession, constStr(args.head, "icelite_files", "path")).filesMeta)
+    })
+
+  val allTableDescriptors: Seq[TableDescriptor] = Seq(
+    sqlScanDescriptor, sqlAtDescriptor, sqlChangesDescriptor,
+    sqlHistoryDescriptor, sqlFilesDescriptor)
+
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     allDescriptors.foreach {
       case (id, _, builder) =>
         spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+          id.funcName, builder, "scala_udf")
+    }
+    allTableDescriptors.foreach {
+      case (id, _, builder) =>
+        spark.sessionState.tableFunctionRegistry.createOrReplaceTempFunction(
           id.funcName, builder, "scala_udf")
     }
   }

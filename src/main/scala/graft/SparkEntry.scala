@@ -302,6 +302,28 @@ object SparkEntry {
       t2.read().select(col("doc_id"),
         array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
     }),
+    "q_sql_scan" -> ((s, dir) => {
+      // SQL-only consumption: replay, then read the table state PURELY
+      // through the injected table-valued functions — icelite_scan for the
+      // result, icelite_at (time travel) and icelite_history as sanity
+      // pins. Catalyst sees the same scan plan as table.read().
+      val root = java.nio.file.Files.createTempDirectory("graft-sqlscan").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      val changes = derivedChanges(s, dir)
+      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      Pipeline.replayBatch(s, changes, table, "sq", epochs = 3, lsnMax = lsnMax)
+      GraftExtensions.register(s)
+      val v = table.snapshot.version
+      val atV = s.sql(s"SELECT count(*) AS c FROM icelite_at('$root', $v)").head().getLong(0)
+      val now = s.sql(s"SELECT count(*) AS c FROM icelite_scan('$root')").head().getLong(0)
+      require(atV == now, s"time travel to the current version must equal scan ($atV != $now)")
+      require(s.sql(s"SELECT count(*) AS c FROM icelite_history('$root')").head().getLong(0) >= 3,
+        "history must list the replay versions")
+      require(s.sql(s"SELECT count(*) AS c FROM icelite_files('$root')").head().getLong(0) > 0,
+        "files metadata table must be non-empty")
+      s.sql(s"SELECT doc_id, array_join(tokens, ',') AS tokens_s, n_tok, source " +
+        s"FROM icelite_scan('$root')")
+    }),
     "q_compact_replay" -> ((s, dir) => {
       // MOR replay WITH in-pipeline small-file compaction (bin-packing
       // cadence every 2 epochs): layout maintenance runs concurrently with
@@ -1118,6 +1140,18 @@ object SparkEntry {
         |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
         |       CAST(CASE WHEN event_id >= (SELECT mid FROM m)
         |                 THEN 4000000000 + event_id % 97 ELSE 2 END AS BIGINT) AS n_tok,
+        |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // The TVF read is the same LWW fold — SQL-only consumption changes
+    // nothing about the state.
+    "q_sql_scan" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok,
         |       event_type AS source
         |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     // Layout maintenance (bin-packing compaction mid-replay) must be

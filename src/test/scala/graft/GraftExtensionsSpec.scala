@@ -53,6 +53,47 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(!table.snapshot.properties.contains("graft.note"))
   }
 
+  test("table-valued functions: icelite_scan / _at / _changes / _history / _files") {
+    import graft.stream.{ChangeGen, GenConfig}
+    import graft.table.IceLite
+    GraftExtensions.register(spark)
+    val root = SparkTestBase.tempDir("tvf-table")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val ev = ChangeGen.events(spark, GenConfig(numDocs = 15, numEvents = 80, seed = 9, withMetadata = false))
+    table.merge(ev.filter(org.apache.spark.sql.functions.col("lsn") < 40), "tv/0")
+    table.merge(ev.filter(org.apache.spark.sql.functions.col("lsn") >= 40), "tv/1")
+    val v1 = 1L
+    val v2 = table.snapshot.version
+
+    // scan == read()
+    val viaSql = spark.sql(s"SELECT doc_id, n_tok FROM icelite_scan('$root')")
+      .collect().map(_.toString).sorted.toSeq
+    val viaApi = table.read().select("doc_id", "n_tok")
+      .collect().map(_.toString).sorted.toSeq
+    assert(viaSql == viaApi && viaSql.nonEmpty)
+
+    // time travel: v1 equals readVersion(v1), and differs from now
+    val atV1 = spark.sql(s"SELECT doc_id FROM icelite_at('$root', $v1)").count()
+    assert(atV1 == table.readVersion(v1).count())
+
+    // changes between v1 and v2 equal the API frame
+    val chSql = spark.sql(s"SELECT * FROM icelite_changes('$root', $v1, $v2)")
+    assert(chSql.collect().map(_.toString).sorted.toSeq ==
+      table.changesBetween(v1, v2).collect().map(_.toString).sorted.toSeq)
+    assert(chSql.count() > 0)
+
+    // metadata tables
+    assert(spark.sql(s"SELECT * FROM icelite_history('$root')").count() == v2 + 1) // incl. create (v0)
+    assert(spark.sql(s"SELECT * FROM icelite_files('$root')").count() ==
+      table.snapshot.files.size)
+
+    // TVFs compose with ordinary SQL (joins, aggregates, predicates push)
+    val agg = spark.sql(
+      s"""SELECT source, count(*) AS c FROM icelite_scan('$root')
+         |WHERE n_tok >= 0 GROUP BY source""".stripMargin)
+    assert(agg.collect().map(_.getLong(1)).sum == viaApi.size)
+  }
+
   test("bucket labels pack perfectly into any power-of-two partition count") {
     val ls = graft.hashing.KafkaMurmur2.labels(64)
     for (p <- Seq(2, 4, 8, 16, 32, 64)) {
