@@ -34,6 +34,7 @@ import org.apache.spark.sql.types._
 object Dlq {
 
   private val Marker = "_committed"
+  private val ConsumedMarker = "_consumed"
   private val DirRe = "^epoch_.*$".r
 
   /** DLQ record schema ([[read]] needs it up front: a DLQ holding only
@@ -112,18 +113,74 @@ object Dlq {
     n
   }
 
-  /** All committed DLQ records under `dlqRoot` (empty frame when none) —
-    * what an operator inspects, fixes, and re-injects as a new epoch. */
-  def read(spark: SparkSession, dlqRoot: String): DataFrame = {
-    val root = new Path(dlqRoot)
-    val fs = IceLite.fsFor(root, spark.sparkContext.hadoopConfiguration)
-    val dirs =
-      if (!fs.exists(root)) Seq.empty
-      else fs.listStatus(root).toSeq.collect {
-        case st if DirRe.matches(st.getPath.getName) &&
-          fs.exists(new Path(st.getPath, Marker)) => st.getPath.toString
-      }
+  /** ACTIVE (committed, not yet re-injected) DLQ records under `dlqRoot`
+    * (empty frame when none) — what an operator inspects, fixes, and
+    * re-injects. `includeConsumed = true` adds epochs a [[reinject]] already
+    * drained (the audit view). */
+  def read(spark: SparkSession, dlqRoot: String,
+           includeConsumed: Boolean = false): DataFrame = {
+    val dirs = epochDirs(spark, dlqRoot, includeConsumed).map(_.toString)
     if (dirs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(dirs: _*)
+  }
+
+  private def epochDirs(spark: SparkSession, dlqRoot: String,
+                        includeConsumed: Boolean): Seq[Path] = {
+    val root = new Path(dlqRoot)
+    val fs = IceLite.fsFor(root, spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq.collect {
+      case st if DirRe.matches(st.getPath.getName) &&
+        fs.exists(new Path(st.getPath, Marker)) &&
+        (includeConsumed || !fs.exists(new Path(st.getPath, ConsumedMarker))) => st.getPath
+    }.sortBy(_.getName)
+  }
+
+  /** Fix-and-reinject: drain every ACTIVE DLQ epoch through `fix` back into
+    * the table. `fix` receives the DLQ frame ([[schema]]) and must return
+    * the merge contract (`keyColumn, op, lsn, after`); its output re-checks
+    * the contract — still-violating rows go BACK to the DLQ as a fresh
+    * residual epoch (they stay active for the next, better, fix), clean rows
+    * MERGE under a deterministic epoch key, and the drained epochs are
+    * marked consumed (invisible to [[read]], kept for audit). Returns
+    * (reinjected, stillBad).
+    *
+    * Crash-safety without side state: the merge's epoch key is a digest of
+    * the drained epoch set, so a crash BEFORE any consumed marker lands
+    * makes the re-run an exact ledger no-op; a crash mid-marking re-merges
+    * only the unmarked epochs' rows under a different key — value-idempotent
+    * under the LWW fold (same key, same lsn, same payload can't change a
+    * winner). */
+  def reinject(table: graft.table.IceLiteTable, dlqRoot: String,
+               fix: DataFrame => DataFrame,
+               streamId: String = "dlq-reinject"): (Long, Long) = {
+    val spark = table.spark
+    val dirs = epochDirs(spark, dlqRoot, includeConsumed = false)
+    if (dirs.isEmpty) return (0L, 0L)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dirs.map(_.getName).mkString("\n").getBytes("UTF-8"))
+      .take(6).map(b => f"$b%02x").mkString
+    val records = spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+    // Exact-duplicate rows collapse: a crash mid-marking can leave the same
+    // logical record both in its original epoch and in a residual one — one
+    // drain must not double it (identical (key, op, lsn, payload) IS the
+    // same source event).
+    val fixed = fix(records).distinct()
+    val key = table.snapshot.keyColumn
+    Seq(key, "op", "lsn", "after").foreach(c => require(fixed.columns.contains(c),
+      s"reinject fix() must emit the merge contract ($key, op, lsn, after); missing $c"))
+    val (clean, stillBad) = split(fixed, key, dlqRoot, s"${streamId}_residual_$digest")
+    val cleanRows = clean.persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    try {
+      val n = cleanRows.count()
+      if (n > 0) table.merge(cleanRows, s"$streamId/$digest",
+        extraLineage = Map("dlq.reinjected" -> n)): Unit
+      val fs = IceLite.fsFor(new Path(dlqRoot), spark.sparkContext.hadoopConfiguration)
+      dirs.foreach { d =>
+        val out = fs.create(new Path(d, ConsumedMarker), true)
+        try out.write(Array.emptyByteArray) finally out.close()
+      }
+      (n, stillBad)
+    } finally cleanRows.unpersist(): Unit
   }
 }

@@ -113,6 +113,64 @@ class DlqSpec extends AnyFunSuite {
     assert(state(table) == state(cleanT))
   }
 
+  test("reinject drains active epochs through a fix into the table; still-bad rows stay active") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.types._
+    val payload = StructType(Seq(
+      StructField("doc_id", StringType, nullable = false), StructField("v", IntegerType)))
+    val root = SparkTestBase.tempDir("rein-table")
+    val table = IceLite.create(spark, root, payload, "doc_id", numBuckets = 2)
+    table.merge(spark.sql(
+      "SELECT 'k0' AS doc_id, 'c' AS op, 1L AS lsn, named_struct('doc_id','k0','v',1) AS after"), "e/0")
+
+    // three violations: fixable bad_op, fixable null_key (key recoverable
+    // from payload), and an unfixable one (null payload, non-delete)
+    val dlqRoot = SparkTestBase.tempDir("rein-dlq")
+    val batch = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('k1',                 'x', 10L, named_struct('doc_id','k1','v',7)),
+        |  (CAST(NULL AS STRING), 'u', 11L, named_struct('doc_id','k2','v',8)),
+        |  ('k3',                 'u', 12L, CAST(NULL AS STRUCT<doc_id: STRING, v: INT>))
+        |AS t(doc_id, op, lsn, after)""".stripMargin)
+    val (_, n) = Dlq.split(batch, "doc_id", dlqRoot, "r/0")
+    assert(n == 3)
+
+    // fix: bad op -> 'u', recover the key from the JSON payload
+    def fixer(dlq: DataFrame): DataFrame = dlq.select(
+      coalesce(col("key"), get_json_object(col("payload"), "$.doc_id")).as("doc_id"),
+      when(col("op") === "x", "u").otherwise(col("op")).as("op"),
+      col("lsn"),
+      from_json(col("payload"), payload).as("after"))
+
+    val (reinjected, stillBad) = Dlq.reinject(table, dlqRoot, fixer)
+    assert(reinjected == 2 && stillBad == 1)
+    val got = table.read().collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(got == Map("k0" -> 1, "k1" -> 7, "k2" -> 8))
+    assert(table.snapshot.lineage("dlq.reinjected") == 2)
+    // active view: only the unfixable row; audit view: originals + residual
+    val active = Dlq.read(spark, dlqRoot).collect()
+    assert(active.length == 1 && active.head.getString(4) == "null_payload")
+    assert(Dlq.read(spark, dlqRoot, includeConsumed = true).count() == 4)
+
+    // second reinject with the same fix: the residual row just re-routes —
+    // nothing new lands in the table, active stays a single copy
+    val v = table.snapshot.version
+    val (r2, b2) = Dlq.reinject(table, dlqRoot, fixer)
+    assert(r2 == 0 && b2 == 1)
+    assert(table.snapshot.version == v)
+    assert(Dlq.read(spark, dlqRoot).count() == 1)
+
+    // crash-shaped: drop one consumed marker and re-run — value-idempotent
+    // under the LWW fold, final state unchanged
+    val consumed = new java.io.File(dlqRoot).listFiles()
+      .filter(f => f.getName.startsWith("epoch_r_0")).head
+    assert(new java.io.File(consumed, "_consumed").delete())
+    val (r3, _) = Dlq.reinject(table, dlqRoot, fixer)
+    assert(r3 == 2) // re-applied, same lsn/payload
+    assert(table.read().collect().map(r => r.getString(0) -> r.getInt(1)).toMap == got)
+    assert(Dlq.read(spark, dlqRoot).count() == 1)
+  }
+
   test("crash-shaped staging residue is overwritten by the re-run") {
     val dlqRoot = SparkTestBase.tempDir("dlq-crash")
     val residue = new java.io.File(s"$dlqRoot/.stage_epoch_c_0")
