@@ -302,6 +302,34 @@ object SparkEntry {
       t2.read().select(col("doc_id"),
         array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
     }),
+    "q_drop_evolve" -> ((s, dir) => {
+      // Iceberg-style METADATA-ONLY drop evolution mid-stream: replay the
+      // first half, DROP the source column (zero data files rewritten —
+      // the bytes stay until compaction, invisible to reads), then replay
+      // the second half with payloads that no longer carry it. The final
+      // state is the same LWW fold minus the column.
+      val root = java.nio.file.Files.createTempDirectory("graft-drop").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      val changes = derivedChanges(s, dir)
+      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val mid = lsnMax / 2
+      Pipeline.replayBatch(s, changes.filter(col("lsn") < mid), table, "pre",
+        epochs = 2, lsnMax = mid)
+      val filesBefore = IceLite.load(s, root).snapshot.files.map(_.path).toSet
+      table.dropColumn("source")
+      require(IceLite.load(s, root).snapshot.files.map(_.path).toSet == filesBefore,
+        "drop must rewrite nothing")
+      val droppedPayload = StructType(derivedPayloadType.fields.filterNot(_.name == "source"))
+      val post = changes.filter(col("lsn") >= mid).withColumn("after",
+        when(col("after").isNull, lit(null).cast(droppedPayload))
+          .otherwise(struct(col("after.doc_id").as("doc_id"),
+            col("after.tokens").as("tokens"), col("after.n_tok").as("n_tok"))))
+      Pipeline.replayBatch(s, post, table, "post", epochs = 2, lsnMax = lsnMax)
+      val t2 = IceLite.load(s, root)
+      require(!t2.snapshot.schema.fieldNames.contains("source"), "column must be gone")
+      t2.read().select(col("doc_id"),
+        array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"))
+    }),
     "q_sql_scan" -> ((s, dir) => {
       // SQL-only consumption: replay, then read the table state PURELY
       // through the injected table-valued functions — icelite_scan for the
@@ -1141,6 +1169,17 @@ object SparkEntry {
         |       CAST(CASE WHEN event_id >= (SELECT mid FROM m)
         |                 THEN 4000000000 + event_id % 97 ELSE 2 END AS BIGINT) AS n_tok,
         |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // The drop is metadata-only relabeling: the fold is unchanged, the
+    // surviving columns just come back without the dropped one.
+    "q_drop_evolve" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok
         |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     // The TVF read is the same LWW fold — SQL-only consumption changes
     // nothing about the state.

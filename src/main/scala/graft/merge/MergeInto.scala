@@ -861,14 +861,16 @@ object MergeInto {
   /** Column mapping after additive evolution: a new logical column normally
     * stores under its own name, UNLESS that physical name is already in use —
     * i.e. it is the RETIRED storage name of a column renamed away
-    * ([[graft.table.IceLiteTable.renameColumn]]). Then a fresh physical name
+    * ([[graft.table.IceLiteTable.renameColumn]]) or dropped
+    * ([[graft.table.IceLiteTable.dropColumn]]). Then a fresh physical name
     * is minted (Iceberg's new-field-id semantics): the re-added name is a NEW
     * column, and the old column's data — still sitting under the retired
-    * physical name in pre-rename files — can never leak into it. */
+    * physical name in pre-rename/pre-drop files — can never leak into it. */
   private[merge] def evolveMapping(snap: Snapshot, newSchema: StructType): Map[String, String] = {
-    if (snap.columnMapping.isEmpty) return snap.columnMapping // no renames ever: identity
+    if (snap.columnMapping.isEmpty && snap.retiredPhysical.isEmpty)
+      return snap.columnMapping // no renames or drops ever: identity
     val oldNames = snap.schema.fieldNames.toSet
-    val inUsePhysical = snap.schema.fieldNames.map(snap.physicalName).toSet
+    val inUsePhysical = snap.schema.fieldNames.map(snap.physicalName).toSet ++ snap.retiredPhysical
     newSchema.fieldNames.filterNot(oldNames).foldLeft(snap.columnMapping) { (m, name) =>
       if (!inUsePhysical.contains(name)) m
       else m + (name -> s"${name}__p${snap.version + 1}")

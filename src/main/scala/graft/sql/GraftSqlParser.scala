@@ -36,6 +36,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val renamePattern =
     """(?is)^\s*ALTER\s+TABLE\s+icelite\s*\.\s*`([^`]+)`\s+RENAME\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s+TO\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
 
+  /** `ALTER TABLE icelite.`/path` DROP COLUMN x` — the SQL surface of
+    * [[graft.table.IceLiteTable.dropColumn]] (metadata-only). */
+  private val dropPattern =
+    """(?is)^\s*ALTER\s+TABLE\s+icelite\s*\.\s*`([^`]+)`\s+DROP\s+COLUMN\s+([A-Za-z_][A-Za-z0-9_]*)\s*;?\s*$""".r
+
   /** `ALTER TABLE icelite.`/path` SET TBLPROPERTIES ('k'='v', ...)` and
     * `... UNSET TBLPROPERTIES ('k', ...)` — the SQL surface of
     * [[graft.table.IceLiteTable.alterProperties]] (metadata-only). */
@@ -51,6 +56,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       MergeIntoIceLiteCommand(root, delegate.parsePlan(sourceSql), epochKey)
     case renamePattern(root, from, to) =>
       RenameColumnIceLiteCommand(root, from, to)
+    case dropPattern(root, name) =>
+      DropColumnIceLiteCommand(root, name)
     case setPropsPattern(root, pairs) =>
       val set = propPair.findAllMatchIn(pairs).map(m => m.group(1) -> m.group(2)).toMap
       if (set.isEmpty) throw new IllegalArgumentException(
@@ -110,6 +117,19 @@ case class RenameColumnIceLiteCommand(root: String, from: String, to: String)
 
   override def run(sparkSession: SparkSession): Seq[Row] =
     Seq(Row(IceLite.load(sparkSession, root).renameColumn(from, to)))
+}
+
+/** `ALTER TABLE icelite.`/path` DROP COLUMN x`: metadata-only drop
+  * evolution ([[graft.table.IceLiteTable.dropColumn]]); returns the
+  * committed version. */
+case class DropColumnIceLiteCommand(root: String, name: String)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] =
+    Seq(Row(IceLite.load(sparkSession, root).dropColumn(name)))
 }
 
 /** `ALTER TABLE icelite.`/path` SET|UNSET TBLPROPERTIES (...)`:

@@ -126,7 +126,14 @@ final case class Snapshot(
       * logical at the scan boundary ([[IceLiteTable.readFiles]]) and writers
       * alias back ([[graft.merge.MergeInto.writeDataFiles]]). Absent = the
       * names coincide. */
-    columnMapping: Map[String, String] = Map.empty) {
+    columnMapping: Map[String, String] = Map.empty,
+    /** Physical storage names RETIRED by [[IceLiteTable.dropColumn]]: their
+      * bytes still sit in pre-drop files, so a later re-add of the same
+      * logical name must mint a FRESH storage name (Iceberg's new-field-id
+      * semantics — [[graft.merge.MergeInto.evolveMapping]]) or the old data
+      * would leak into the new column. Compaction rewrites shed the retired
+      * bytes physically; the name stays reserved regardless. */
+    retiredPhysical: List[String] = Nil) {
   /** Storage (parquet) name of a logical column. */
   def physicalName(logical: String): String = columnMapping.getOrElse(logical, logical)
   /** `logical` with every field renamed to its storage name. */
@@ -348,9 +355,10 @@ object IceLite {
     val props = n.path("properties").fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
     val wms = n.path("epochWatermarks").fields().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
     val colMap = n.path("columnMapping").fields().asScala.map(e => e.getKey -> e.getValue.asText()).toMap
+    val retired = n.path("retiredPhysical").elements().asScala.map(_.asText()).toList
     Snapshot(n.path("version").asLong(), n.path("schemaJson").asText(), n.path("keyColumn").asText(),
       n.path("numBuckets").asInt(), files, epochs, n.path("registryJson").asText(),
-      lineage, n.path("parentVersion").asLong(), stats, props, wms, colMap)
+      lineage, n.path("parentVersion").asLong(), stats, props, wms, colMap, retired)
   }
 
   /** Atomic commit: write to temp, atomically publish as the version file;
@@ -709,12 +717,13 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
           // versa); two divergent renames recompute.
           val keyColumn = oneSided(base.keyColumn, cur.keyColumn, candidate.keyColumn)
           val colMap = oneSided(base.columnMapping, cur.columnMapping, candidate.columnMapping)
+          val retired = oneSided(base.retiredPhysical, cur.retiredPhysical, candidate.retiredPhysical)
           // Table properties follow the same rule: a property change rebases
           // across a data-only commit (and a merge rebases across a property
           // change); two divergent property edits recompute.
           val props = oneSided(base.properties, cur.properties, candidate.properties)
           if (filesIn(cur) != filesIn(base) || schemaJson.isEmpty || registryJson.isEmpty ||
-              keyColumn.isEmpty || colMap.isEmpty || props.isEmpty) {
+              keyColumn.isEmpty || colMap.isEmpty || props.isEmpty || retired.isEmpty) {
             abandon(); return CommitOutcome.Overlap
           }
           cand = cur.copy(
@@ -722,6 +731,7 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
             schemaJson = schemaJson.get,
             keyColumn = keyColumn.get,
             columnMapping = colMap.get,
+            retiredPhysical = retired.get,
             properties = props.get,
             files = cur.files.filterNot(f => removedPaths(f.path)) ++ added,
             committedEpochs = cur.committedEpochs ++ newEpochs,
@@ -990,6 +1000,37 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
       case CommitOutcome.Committed => snapshot.version
       case out => throw new IllegalStateException(
         s"renameColumn($oldName -> $newName) lost to a concurrent schema change: $out")
+    }
+  }
+
+  /** METADATA-ONLY column drop (Iceberg-style): no data file is touched —
+    * the column leaves the snapshot schema, its bytes stay in existing
+    * files (invisible: every read projects the current schema) until
+    * compaction naturally rewrites them, and its PHYSICAL name is retired
+    * so a later re-add of the same logical name mints a fresh storage name
+    * — old data can never leak into the new column
+    * ([[graft.merge.MergeInto.evolveMapping]]). Time travel to pre-drop
+    * versions still shows the column. The key column cannot be dropped.
+    * Commits through [[commitRebasing]] (concurrent data-only merges
+    * rebase; divergent schema changes abort). Returns the committed
+    * version. */
+  def dropColumn(name: String): Long = {
+    val snap = snapshot
+    require(snap.schema.fieldNames.contains(name),
+      s"dropColumn: no column $name in ${snap.schema.fieldNames.mkString(",")}")
+    require(snap.keyColumn != name, s"dropColumn: $name is the key column")
+    val phys = snap.physicalName(name)
+    val cand = snap.copy(
+      version = snap.version + 1,
+      schemaJson = StructType(snap.schema.fields.filterNot(_.name == name)).json,
+      columnMapping = snap.columnMapping - name,
+      retiredPhysical = (snap.retiredPhysical :+ phys).distinct,
+      parentVersion = snap.version,
+      stats = None)
+    commitRebasing(snap, cand) match {
+      case CommitOutcome.Committed => snapshot.version
+      case out => throw new IllegalStateException(
+        s"dropColumn($name) lost to a concurrent schema change: $out")
     }
   }
 
