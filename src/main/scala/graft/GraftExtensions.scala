@@ -286,11 +286,16 @@ object GraftExtensions {
 
   val sqlAtDescriptor: TableDescriptor = (
     FunctionIdentifier("icelite_at"),
-    info("icelite_at", "icelite_at(path, version) - TIME TRAVEL: table state at snapshot <version>."),
+    info("icelite_at", "icelite_at(path, version | 'tag') - TIME TRAVEL: table state at a snapshot version or named tag."),
     (args: Seq[Expression]) => {
-      require(args.size == 2, "icelite_at(path, version)")
-      planOf(graft.table.IceLite.load(activeSession, constStr(args.head, "icelite_at", "path"))
-        .readVersion(constLong(args(1), "icelite_at", "version")))
+      require(args.size == 2, "icelite_at(path, version | 'tag')")
+      val t = graft.table.IceLite.load(activeSession, constStr(args.head, "icelite_at", "path"))
+      val df = args(1).dataType match {
+        case _: org.apache.spark.sql.types.StringType =>
+          t.readTag(constStr(args(1), "icelite_at", "tag"))
+        case _ => t.readVersion(constLong(args(1), "icelite_at", "version"))
+      }
+      planOf(df)
     })
 
   val sqlChangesDescriptor: TableDescriptor = (

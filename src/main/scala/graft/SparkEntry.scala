@@ -302,6 +302,25 @@ object SparkEntry {
       t2.read().select(col("doc_id"),
         array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
     }),
+    "q_tag_travel" -> ((s, dir) => {
+      // Named snapshot tag as the reproducible-training-corpus handle: tag
+      // the mid-stream version, keep ingesting, expire + vacuum everything
+      // untagged — the tag still reads EXACTLY the first half's LWW fold.
+      val root = java.nio.file.Files.createTempDirectory("graft-tag").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      val changes = derivedChanges(s, dir)
+      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val mid = lsnMax / 2
+      Pipeline.replayBatch(s, changes.filter(col("lsn") < mid), table, "pre",
+        epochs = 2, lsnMax = mid)
+      table.tagSnapshot("train-v1")
+      Pipeline.replayBatch(s, changes.filter(col("lsn") >= mid), table, "post",
+        epochs = 2, lsnMax = lsnMax)
+      table.expireSnapshots(keepSnapshots = 1): Unit
+      table.vacuum(keepSnapshots = 1): Unit
+      IceLite.load(s, root).readTag("train-v1").select(col("doc_id"),
+        array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
+    }),
     "q_drop_evolve" -> ((s, dir) => {
       // Iceberg-style METADATA-ONLY drop evolution mid-stream: replay the
       // first half, DROP the source column (zero data files rewritten —
@@ -1168,6 +1187,19 @@ object SparkEntry {
         |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
         |       CAST(CASE WHEN event_id >= (SELECT mid FROM m)
         |                 THEN 4000000000 + event_id % 97 ELSE 2 END AS BIGINT) AS n_tok,
+        |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // The tag pins the mid-stream snapshot: its read is the LWW fold over
+    // only the first half, regardless of later ingest and maintenance.
+    "q_tag_travel" ->
+      """WITH m AS (SELECT (MAX(event_id)+1)//2 AS mid FROM events),
+        |last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events WHERE event_id < (SELECT mid FROM m))
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok,
         |       event_type AS source
         |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     // The drop is metadata-only relabeling: the fold is unchanged, the

@@ -1003,6 +1003,38 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     }
   }
 
+  /** Tag a snapshot under a stable name (Iceberg tags): `ref.<name> ->
+    * version` rides the table properties — metadata-only, rebases across
+    * concurrent data merges. A tagged version is PINNED: [[expireSnapshots]]
+    * keeps its version file and [[vacuum]] keeps its data files, however old
+    * it gets — the "corpus revision this model trained on" handle, readable
+    * forever via [[readTag]] / `icelite_at(path, 'name')`. Tags live in
+    * snapshot properties, so [[rollbackTo]] restores the ref set as of the
+    * rollback target. Defaults to the current version. Returns the
+    * committed version. */
+  def tagSnapshot(name: String, version: Long = -1L): Long = {
+    require(name.matches("[A-Za-z0-9._-]+"), s"tagSnapshot: invalid tag name '$name'")
+    val v = if (version < 0L) snapshot.version else version
+    require(versionExists(v), s"tagSnapshot: version $v does not exist")
+    alterProperties(Map(s"ref.$name" -> v.toString))
+  }
+
+  /** Remove a tag — its snapshot becomes reclaimable by the normal
+    * [[expireSnapshots]]/[[vacuum]] retention again. */
+  def dropTag(name: String): Long = {
+    require(tags.contains(name), s"dropTag: no tag '$name'")
+    alterProperties(Map.empty, Seq(s"ref.$name"))
+  }
+
+  /** Current tag map: name -> pinned version. */
+  def tags: Map[String, Long] = snapshot.properties.collect {
+    case (k, v) if k.startsWith("ref.") => k.stripPrefix("ref.") -> v.toLong
+  }
+
+  /** Table state at the tagged version (time travel by name). */
+  def readTag(name: String): DataFrame = readVersion(tags.getOrElse(name,
+    throw new IllegalArgumentException(s"readTag: no tag '$name'")))
+
   /** METADATA-ONLY column drop (Iceberg-style): no data file is touched —
     * the column leaves the snapshot schema, its bytes stay in existing
     * files (invisible: every read projects the current schema) until
@@ -1100,7 +1132,9 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   def vacuum(keepSnapshots: Int = 1, graceMs: Long = 0L): Int = {
     val current = IceLite.currentVersion(fs, rootP).getOrElse(return 0)
     val keepFrom = math.max(0, current - keepSnapshots + 1)
-    val referenced = (keepFrom to current).filter(versionExists)
+    // tagged versions' files stay referenced however old the tag gets
+    val kept = ((keepFrom to current) ++ tags.values).distinct.filter(versionExists)
+    val referenced = kept
       .flatMap(v => IceLite.readSnapshot(fs, rootP, v).files.map(_.path)).toSet
     val dataDir = new Path(rootP, "data")
     if (!fs.isDirectory(dataDir)) return 0
@@ -1197,8 +1231,9 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     require(keepSnapshots >= 1, "expireSnapshots: must keep at least the current version")
     val current = IceLite.currentVersion(fs, rootP).getOrElse(return 0)
     val keepFrom = current - keepSnapshots + 1
+    val pinned = tags.values.toSet // tagged versions never expire
     var removed = 0
-    existingVersions.filter(_ < keepFrom).foreach { v =>
+    existingVersions.filter(v => v < keepFrom && !pinned(v)).foreach { v =>
       fs.delete(new Path(new Path(rootP, "meta"), s"v$v.json"), false); removed += 1
     }
     removed
