@@ -1058,6 +1058,24 @@ object SparkEntry {
       table.scanRange("n_tok", 20, 40)
         .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
           col("n_tok"), col("source"))
+    }),
+
+    "q_zorder_scan" -> ((s, dir) => {
+      // Z-order clustering: the replayed table is rewritten along a Morton
+      // curve over (n_tok, source), which tightens BOTH columns' per-file
+      // zone maps at once (IceLiteTable.clusterZOrder; pruning pinned in
+      // ZOrderSpec); the scan then ranges over the STRING column. Layout is
+      // transparent to results — the oracle is the same LWW fold with the
+      // same predicate, blind to the curve.
+      val ch = zoneChanges(s, dir)
+      val lsnMax = ch.agg(max("lsn")).head().getLong(0) + 1
+      val root = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      Pipeline.replayBatch(s, ch, table, "zorder", epochs = 4, lsnMax = lsnMax)
+      table.clusterZOrder(Seq("n_tok", "source"))
+      table.scanRange("source", "purchase", "signup")
+        .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+          col("n_tok"), col("source"))
     })
   )
 
@@ -2118,7 +2136,20 @@ object SparkEntry {
         |       event_type AS source
         |FROM last
         |WHERE rn = 1 AND event_type <> 'error'
-        |  AND (event_id % 101) BETWEEN 20 AND 40""".stripMargin
+        |  AND (event_id % 101) BETWEEN 20 AND 40""".stripMargin,
+
+    "q_zorder_scan" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       CAST(event_id % 101 AS INT) AS n_tok,
+        |       event_type AS source
+        |FROM last
+        |WHERE rn = 1 AND event_type <> 'error'
+        |  AND event_type BETWEEN 'purchase' AND 'signup'""".stripMargin
   )
 
   /** Column-level patch fold recomputed from the raw stream: per key, drop

@@ -602,7 +602,8 @@ object MergeInto {
   private[graft] def writeDataFiles(table: IceLiteTable, snap: Snapshot,
                                     df: DataFrame, version: Long,
                                     bucketClustered: Boolean = false,
-                                    mark: String => Unit = _ => ()): List[DataFileMeta] = {
+                                    mark: String => Unit = _ => (),
+                                    sortOverride: Option[Seq[Column]] = None): List[DataFileMeta] = {
     val spark = table.spark
     val key = snap.keyColumn
     val commitId = UUID.randomUUID().toString.take(8)
@@ -630,9 +631,14 @@ object MergeInto {
     // the bucket so the zone maps gathered below get tight per-file ranges
     // (see IceLiteTable.scanRange). The key stays last in the sort — point
     // lookups keep locality within equal sort values.
-    val sortCols = snap.sortColumns.map(snap.logicalName).filter(withBucket.columns.contains)
+    // sortOverride (e.g. a z-order curve, see IceLiteTable.clusterZOrder)
+    // replaces the linear secondary sort; the bucket stays the leading term
+    // and the key the last, so point-lookup locality within equal curve
+    // values is preserved either way.
+    val sortCols: Seq[Column] = sortOverride.getOrElse(
+      snap.sortColumns.map(snap.logicalName).filter(withBucket.columns.contains).map(col))
     val clustered = (if (bucketClustered) withBucket else withBucket.repartition(col(BUCKET)))
-      .sortWithinPartitions((col(BUCKET) +: sortCols.map(col)) :+ col(key): _*)
+      .sortWithinPartitions((col(BUCKET) +: sortCols) :+ col(key): _*)
     // Renamed table: files ALWAYS store the immutable physical names
     // (IceLiteTable.renameColumn is metadata-only; readers alias back).
     // The rename-only Project preserves the clustering and sort order.

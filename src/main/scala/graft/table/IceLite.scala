@@ -856,6 +856,67 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     picked
   }
 
+  /** Z-ORDER the table: rewrite every bucket to its resolved state sorted
+    * along a Morton curve over `columns`, so the per-file zone maps
+    * ([[scanRange]]) get tight ranges on ALL of them at once — the
+    * multi-column analogue of `write.sort.columns` (which only tightens its
+    * leading column), and this engine's `rewrite_data_files(zorder(...))`.
+    *
+    * Mechanics: one small agg job computes each column's order-preserving
+    * encoded bounds ([[ZEncExpr]]); the rewrite then sorts within each
+    * bucket by the codegen'd interleaved curve ([[ZValueExpr]]) and commits
+    * through the rebasing protocol (yields to concurrent ingest like every
+    * maintenance op). The committed snapshot extends `write.stats.columns`
+    * with `columns` so this rewrite — and every future merge — collects
+    * their zone maps, and records the curve in `table.zorder.columns`.
+    * Layout-only: the resolved row set is exactly [[compactBuckets]]'s.
+    * O(table) rewrite by design — run it at compaction cadence, not per
+    * epoch; at the 10^10-row design point restrict via lsnWatermark-driven
+    * bucket selection the same way compaction does. */
+  def clusterZOrder(columns: Seq[String], lsnWatermark: Long = Long.MinValue): Int = {
+    import org.apache.spark.sql.functions._
+    import graft.merge.MergeInto.{DELETED, LSN}
+    require(columns.nonEmpty, "clusterZOrder: at least one column")
+    var attempt = 0
+    while (true) {
+      val snap = snapshot
+      columns.foreach(c => require(snap.schema.fieldNames.contains(c),
+        s"clusterZOrder: no such column $c"))
+      val affected = snap.files
+      if (affected.isEmpty) return 0
+      val dataSchema = graft.merge.MergeInto.dataSchemaOf(snap.schema, snap.fold == "patch")
+      val resolved = IceLiteTable.resolve(
+        readFiles(snap.copy(schemaJson = dataSchema.json), affected), snap)
+        .filter(!(coalesce(col(DELETED), lit(false)) && col(LSN) < lsnWatermark))
+      // Encoded bounds per curve column — ONE tiny agg job (partial
+      // aggregation: the shuffle is 2k longs per input partition).
+      val aggs = columns.zipWithIndex.flatMap { case (c, i) =>
+        Seq(min(ZOrder.enc(col(c))).as(s"__zlo$i"), max(ZOrder.enc(col(c))).as(s"__zhi$i")) }
+      val bounds = resolved.agg(aggs.head, aggs.tail: _*).head()
+      def bound(idx: Int, dflt: Long): Long =
+        if (bounds.isNullAt(idx)) dflt else bounds.getLong(idx)
+      val los = columns.indices.map(i => bound(2 * i, 0L))
+      val his = columns.indices.map(i => bound(2 * i + 1, 0L))
+      val zcol = ZOrder.zvalue(columns.map(col), los, his)
+      val physCols = columns.map(snap.physicalName)
+      val snapForWrite = snap.copy(properties = snap.properties ++ Map(
+        "write.stats.columns" -> (snap.statsColumns ++ physCols).distinct.mkString(","),
+        "table.zorder.columns" -> columns.mkString(",")))
+      val newFiles = graft.merge.MergeInto.writeDataFiles(
+        this, snapForWrite, resolved, snap.version + 1, sortOverride = Some(Seq(zcol)))
+      commitRebasing(snap, snapForWrite.copy(
+        version = snap.version + 1,
+        files = newFiles,
+        parentVersion = snap.version)) match {
+        case CommitOutcome.Committed => return affected.size
+        case CommitOutcome.Overlap if attempt < 5 => attempt += 1 // recompute
+        case out => throw new IllegalStateException(
+          s"clusterZOrder: gave up after $attempt recomputes under contention ($out)")
+      }
+    }
+    -1 // unreachable
+  }
+
   /** Delete data files not referenced by the last `keepSnapshots` snapshots
     * (orphans from failed commits, and files rewritten away by COW merges). */
   /** Incremental CDC-out: the NET row-level changes between two snapshots,
