@@ -1076,6 +1076,29 @@ object SparkEntry {
       table.scanRange("source", "purchase", "signup")
         .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
           col("n_tok"), col("source"))
+    }),
+
+    "q_wap_publish" -> ((s, dir) => {
+      // Write-audit-publish: the first 3 lsn-quarters replay normally; the
+      // final quarter is STAGED (invisible to readers), audited over its net
+      // delta, then published atomically via the rebasing protocol
+      // (IceLiteTable.mergeStaged/publishStaged; isolation + drop/overlap
+      // paths pinned in WapSpec). The published state must equal a plain
+      // replay — the oracle is the same full LWW fold, blind to the gap.
+      val root = java.nio.file.Files.createTempDirectory("graft-wap").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      val changes = derivedChanges(s, dir)
+      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val w = lsnMax * 3 / 4
+      Pipeline.replayBatch(s, changes.filter(col("lsn") < w), table, "wap", epochs = 3, lsnMax = w)
+      table.mergeStaged(changes.filter(col("lsn") >= w), "wap/3", "audit-final")
+      val published = table.publishStagedIf("audit-final") { delta =>
+        delta.limit(1).count() > 0 // quality gate: a non-empty, readable delta
+      }
+      require(published.contains(graft.table.CommitOutcome.Committed),
+        s"WAP publish failed: $published")
+      table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+        col("n_tok"), col("source"))
     })
   )
 
@@ -2149,7 +2172,20 @@ object SparkEntry {
         |       event_type AS source
         |FROM last
         |WHERE rn = 1 AND event_type <> 'error'
-        |  AND event_type BETWEEN 'purchase' AND 'signup'""".stripMargin
+        |  AND event_type BETWEEN 'purchase' AND 'signup'""".stripMargin,
+
+    // Write-audit-publish must be invisible in the final state: same full
+    // LWW fold as an ungated replay.
+    "q_wap_publish" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin
   )
 
   /** Column-level patch fold recomputed from the raw stream: per key, drop

@@ -99,7 +99,8 @@ object MergeInto {
   def run(table: IceLiteTable, changes: DataFrame, epochKey: String,
           registryJson: Option[String] = None,
           preDeduped: Option[DataFrame] = None,
-          extraLineage: Map[String, Long] = Map.empty): CommitStats =
+          extraLineage: Map[String, Long] = Map.empty,
+          commitFn: Option[(Snapshot, Snapshot) => graft.table.CommitOutcome] = None): CommitStats =
     withMergeConfs(table.spark) {
       // Concurrent-writer loop: a same-bucket conflict recomputes the merge
       // against the fresh snapshot (disjoint-bucket and same-epoch races are
@@ -109,7 +110,7 @@ object MergeInto {
       // against a pathological livelock.
       var attempt = 0
       while (true) {
-        try return runInner(table, changes, epochKey, registryJson, preDeduped, extraLineage)
+        try return runInner(table, changes, epochKey, registryJson, preDeduped, extraLineage, commitFn)
         catch {
           case _: RebaseOverlap if attempt < 5 =>
             attempt += 1
@@ -125,7 +126,13 @@ object MergeInto {
   private def runInner(table: IceLiteTable, changes: DataFrame, epochKey: String,
                        registryJson: Option[String],
                        preDeduped: Option[DataFrame],
-                       extraLineage: Map[String, Long]): CommitStats = {
+                       extraLineage: Map[String, Long],
+                       commitFn: Option[(Snapshot, Snapshot) => graft.table.CommitOutcome] = None): CommitStats = {
+    // commitFn overrides how the candidate snapshot lands: the default is
+    // the rebasing chain commit; mergeStaged parks it as a staged snapshot
+    // instead (write-audit-publish).
+    val commitTo: (Snapshot, Snapshot) => graft.table.CommitOutcome =
+      commitFn.getOrElse(table.commitRebasing(_, _))
     val snap = table.snapshot
     if (snap.epochCommitted(epochKey)) {
       // Re-delivered epoch (at-least-once upstream): exactly-once via no-op.
@@ -169,7 +176,7 @@ object MergeInto {
 
     if (snap.writeMode == "mor")
       return runMor(table, changes, epochKey, registryJson, snap, afterSchema, newSchema, mark,
-        preDeduped, extraLineage)
+        preDeduped, extraLineage, commitFn)
 
     // 2. Intra-batch dedup: last write per key by lsn, ONE ObjectHashAggregate
     // with map-side partial combine (see dedupeBatch). The winner set then
@@ -332,7 +339,7 @@ object MergeInto {
             k -> (snap.lineage.getOrElse(k, 0L) + v) },
           parentVersion = snap.version,
           stats = Some(s0))
-        val out0 = table.commitRebasing(snap, cand0)
+        val out0 = commitTo(snap, cand0)
         table.deleteDataFiles(newFiles.map(_.path))
         out0 match {
           case graft.table.CommitOutcome.Overlap => throw new RebaseOverlap
@@ -361,7 +368,7 @@ object MergeInto {
       val keptFiles = snap.files.filterNot(f => affectedPaths.contains(f.path))
       val lineage = updateLineage(snap.lineage, newFiles, stats, extraLineage)
       val ledger = graft.table.EpochLedger.appended(snap, epochKey)
-      table.commitRebasing(snap, snap.copy(
+      commitTo(snap, snap.copy(
         version = version,
         schemaJson = newSchema.json,
         columnMapping = newMapping,
@@ -526,7 +533,8 @@ object MergeInto {
                      afterSchema: StructType, newSchema: StructType,
                      mark: String => Unit,
                      preDeduped: Option[DataFrame] = None,
-                     extraLineage: Map[String, Long] = Map.empty): CommitStats = {
+                     extraLineage: Map[String, Long] = Map.empty,
+                     commitFn: Option[(Snapshot, Snapshot) => graft.table.CommitOutcome] = None): CommitStats = {
     val key = snap.keyColumn
     val nBuckets = snap.numBuckets
     // Same one-shuffle shape as the COW path: cluster by bucket once, then
@@ -571,7 +579,7 @@ object MergeInto {
       rewrittenFiles = 0,
       touchedBuckets = newFiles.map(_.bucket).distinct.size)
     val ledgerMor = graft.table.EpochLedger.appended(snap, epochKey)
-    table.commit(snap.copy(
+    val candMor = snap.copy(
       version = version,
       schemaJson = newSchema.json,
       columnMapping = newMapping,
@@ -581,16 +589,24 @@ object MergeInto {
       registryJson = registryJson.getOrElse(snap.registryJson),
       lineage = updateLineage(snap.lineage, newFiles, stats, extraLineage),
       parentVersion = snap.version,
-      stats = Some(stats)))
+      stats = Some(stats))
+    commitFn match {
+      case Some(f) => f(snap, candMor): Unit // staged: parks, never conflicts
+      case None => table.commit(candMor)
+    }
     mark("mor commit")
     // Inline compaction bounds read amplification: any bucket whose file
     // count crossed the threshold is rewritten to its resolved state.
-    val threshold = snap.properties.getOrElse("mor.compact.threshold", "16").toInt
-    val crowded = table.snapshot.files.groupBy(_.bucket)
-      .collect { case (b, fs) if fs.size > threshold => b }.toSet
-    if (crowded.nonEmpty) {
-      table.compactBuckets(crowded)
-      mark(s"mor compaction (${crowded.size} buckets)")
+    // Skipped for staged commits: maintenance operates on PUBLISHED state
+    // only (the staged delta is not in table.snapshot yet).
+    if (commitFn.isEmpty) {
+      val threshold = snap.properties.getOrElse("mor.compact.threshold", "16").toInt
+      val crowded = table.snapshot.files.groupBy(_.bucket)
+        .collect { case (b, fs) if fs.size > threshold => b }.toSet
+      if (crowded.nonEmpty) {
+        table.compactBuckets(crowded)
+        mark(s"mor compaction (${crowded.size} buckets)")
+      }
     }
     stats
   }

@@ -322,6 +322,9 @@ object IceLite {
     * shards — the cheap walk vacuum's manifest GC needs. Empty for inline
     * snapshots (and for missing version files: an expired version references
     * nothing). */
+  private[table] def mapperTree(fs: FileSystem, p: Path): com.fasterxml.jackson.databind.JsonNode =
+    mapper.readTree(readBytes(fs, p))
+
   private[table] def manifestRefsOf(fs: FileSystem, root: Path, version: Long): Seq[String] = {
     val p = new Path(new Path(root, "meta"), s"v$version.json")
     if (!fs.exists(p)) return Nil
@@ -334,8 +337,11 @@ object IceLite {
   // as Integer and blow up at use sites.
   private[table] def readSnapshot(fs: FileSystem, root: Path, version: Long): Snapshot = {
     val meta = new Path(root, "meta")
-    val p = new Path(meta, s"v$version.json")
-    val n = mapper.readTree(readBytes(fs, p))
+    parseSnapshot(fs, meta, mapper.readTree(readBytes(fs, new Path(meta, s"v$version.json"))))
+  }
+
+  private[table] def parseSnapshot(fs: FileSystem, meta: Path,
+                                   n: com.fasterxml.jackson.databind.JsonNode): Snapshot = {
     // Inline file list, or content-addressed manifest shards (big tables —
     // see writeSnapshot). Shards load in stored order; within a shard the
     // writer sorted by (bucket, path), so the full list is deterministic.
@@ -359,6 +365,45 @@ object IceLite {
     Snapshot(n.path("version").asLong(), n.path("schemaJson").asText(), n.path("keyColumn").asText(),
       n.path("numBuckets").asInt(), files, epochs, n.path("registryJson").asText(),
       lineage, n.path("parentVersion").asLong(), stats, props, wms, colMap, retired)
+  }
+
+  // ---- staged snapshots (write-audit-publish) -----------------------------
+  // A staged snapshot is a fully-built candidate (data files written, ledger
+  // marker included) parked at meta/staged-<name>.json instead of the
+  // version chain — invisible to every reader of the table until published.
+  // Same body format as a version file (manifest sharding included), so the
+  // staged metadata cost is O(touched buckets) on big tables too.
+
+  private[table] def stagedPath(root: Path, name: String): Path = {
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"stage name must be [A-Za-z0-9_-]+: '$name'")
+    new Path(new Path(root, "meta"), s"staged-$name.json")
+  }
+
+  private[table] def writeStagedSnapshot(fs: FileSystem, root: Path,
+                                         name: String, snap: Snapshot): Unit = {
+    val p = stagedPath(root, name)
+    // Overwrite is deliberate (re-staging after a failed audit); callers
+    // reclaim the previous attempt's data files first (dropStaged).
+    val out = fs.create(p, true)
+    try out.write(snapshotBody(fs, new Path(root, "meta"), snap))
+    finally out.close()
+  }
+
+  private[table] def readStagedSnapshot(fs: FileSystem, root: Path,
+                                        name: String): Option[Snapshot] = {
+    val p = stagedPath(root, name)
+    if (!fs.exists(p)) None
+    else Some(parseSnapshot(fs, new Path(root, "meta"), mapper.readTree(readBytes(fs, p))))
+  }
+
+  private[table] def stagedNamesOf(fs: FileSystem, root: Path): Seq[String] = {
+    val meta = new Path(root, "meta")
+    if (!fs.isDirectory(meta)) return Nil
+    fs.listStatus(meta).toSeq.map(_.getPath.getName)
+      .collect { case s if s.startsWith("staged-") && s.endsWith(".json") =>
+        s.stripPrefix("staged-").stripSuffix(".json") }
+      .sorted
   }
 
   /** Atomic commit: write to temp, atomically publish as the version file;
@@ -944,12 +989,15 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     * incremental view maintenance needs (see [[Maintain]]). */
   def changesBetween(fromVersion: Long, toVersion: Long,
                      includeBefore: Boolean = false): DataFrame = {
-    import org.apache.spark.sql.functions._
-    import graft.merge.MergeInto.{DELETED, LSN}
     require(fromVersion <= toVersion,
       s"changesBetween: fromVersion $fromVersion > toVersion $toVersion")
-    val from = snapshotAt(fromVersion)
-    val to = snapshotAt(toVersion)
+    changesBetweenSnapshots(snapshotAt(fromVersion), snapshotAt(toVersion), includeBefore)
+  }
+
+  private[graft] def changesBetweenSnapshots(from: Snapshot, to: Snapshot,
+                                             includeBefore: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import graft.merge.MergeInto.{DELETED, LSN}
     val key = to.keyColumn
     val fromPaths = from.files.map(_.path).toSet
     val added = to.files.filterNot(f => fromPaths(f.path))
@@ -1000,6 +1048,92 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
           (payloadCols.map(c => when(liveA, col(c)).otherwise(lit(null)).as(c)) ++
             beforeImage): _*)
   }
+
+  // ---- write-audit-publish (staged commits) -----------------------------
+
+  /** MERGE a change batch WITHOUT publishing it: the full merge compute
+    * runs (data files written, epoch-ledger marker built, stats collected),
+    * but the candidate snapshot parks at `meta/staged-<stage>.json` instead
+    * of the version chain — invisible to every reader until
+    * [[publishStaged]]. The write-audit-publish pattern for training-data
+    * governance: stage an epoch, run quality gates over [[stagedChanges]]
+    * (or [[readStaged]]), then publish atomically or [[dropStaged]] —
+    * readers never observe a batch that failed its audit.
+    *
+    * Re-staging the same name first reclaims the previous attempt's files.
+    * Exactly-once holds across the gap: the staged ledger marker rides into
+    * the publish commit, and a concurrent duplicate delivery of the same
+    * epoch makes publish a no-op ([[CommitOutcome.EpochWon]]). */
+  def mergeStaged(changes: DataFrame, epochKey: String, stage: String,
+                  registryJson: Option[String] = None,
+                  extraLineage: Map[String, Long] = Map.empty): CommitStats = {
+    dropStaged(stage): Unit
+    graft.merge.MergeInto.run(this, changes, epochKey, registryJson,
+      extraLineage = extraLineage,
+      commitFn = Some((_, cand) => {
+        IceLite.writeStagedSnapshot(fs, rootP, stage, cand)
+        CommitOutcome.Committed
+      }))
+  }
+
+  /** The staged candidate snapshot, if `stage` exists. */
+  def stagedSnapshot(stage: String): Option[Snapshot] =
+    IceLite.readStagedSnapshot(fs, rootP, stage)
+
+  private def requireStaged(stage: String): Snapshot =
+    stagedSnapshot(stage).getOrElse(
+      throw new IllegalArgumentException(s"no staged commit named '$stage'"))
+
+  /** Read the table AS IF `stage` were published (tombstones filtered,
+    * internal columns hidden) — the audit's whole-table view. */
+  def readStaged(stage: String): DataFrame = readSnap(requireStaged(stage))
+
+  /** The NET row-level changes `stage` would publish (same shape as
+    * [[changesBetween]]: change_op insert/update/delete, optional
+    * before-images) — the audit's delta view, O(touched buckets). */
+  def stagedChanges(stage: String, includeBefore: Boolean = false): DataFrame = {
+    val cand = requireStaged(stage)
+    changesBetweenSnapshots(snapshotAt(cand.parentVersion), cand, includeBefore)
+  }
+
+  /** Names of parked staged commits. */
+  def stagedNames: Seq[String] = IceLite.stagedNamesOf(fs, rootP)
+
+  /** Publish a staged commit atomically onto the CURRENT head via the
+    * rebasing protocol: ingest that landed in other buckets since the stage
+    * is absorbed driver-side; a same-epoch duplicate yields
+    * ([[CommitOutcome.EpochWon]]); an overlapping-bucket commit returns
+    * [[CommitOutcome.Overlap]] (stage the batch again — its data files were
+    * reclaimed). The stage marker is consumed in every outcome. */
+  def publishStaged(stage: String): CommitOutcome = {
+    val cand = requireStaged(stage)
+    val base = snapshotAt(cand.parentVersion)
+    val out = commitRebasing(base, cand)
+    fs.delete(IceLite.stagedPath(rootP, stage), false): Unit
+    out
+  }
+
+  /** Discard a staged commit: its added data files are deleted (diffed
+    * against the base snapshot; if the base was expired meanwhile the files
+    * are left to [[vacuum]], which stops protecting them once the marker is
+    * gone). Returns false when no such stage exists. */
+  def dropStaged(stage: String): Boolean =
+    stagedSnapshot(stage) match {
+      case None => false
+      case Some(cand) =>
+        try {
+          val basePaths = snapshotAt(cand.parentVersion).files.map(_.path).toSet
+          deleteDataFiles(cand.files.map(_.path).filterNot(basePaths))
+        } catch { case _: Throwable => () }
+        fs.delete(IceLite.stagedPath(rootP, stage), false)
+    }
+
+  /** Audit-and-publish in one call: `audit` sees the staged DELTA
+    * ([[stagedChanges]]); true publishes, false drops. Returns the commit
+    * outcome, or None when the audit rejected the stage. */
+  def publishStagedIf(stage: String)(audit: DataFrame => Boolean): Option[CommitOutcome] =
+    if (audit(stagedChanges(stage))) Some(publishStaged(stage))
+    else { dropStaged(stage): Unit; None }
 
   /** Metadata table (Iceberg's `table$history` analog): one row per
     * snapshot version with parent, epoch count, write mode and the commit
@@ -1195,8 +1329,11 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     val keepFrom = math.max(0, current - keepSnapshots + 1)
     // tagged versions' files stay referenced however old the tag gets
     val kept = ((keepFrom to current) ++ tags.values).distinct.filter(versionExists)
-    val referenced = kept
-      .flatMap(v => IceLite.readSnapshot(fs, rootP, v).files.map(_.path)).toSet
+    // parked staged commits (write-audit-publish) hold their files too —
+    // their bases may have been rewritten since, so include the full lists
+    val stagedSnaps = stagedNames.flatMap(stagedSnapshot)
+    val referenced = (kept.map(v => IceLite.readSnapshot(fs, rootP, v)) ++ stagedSnaps)
+      .flatMap(_.files.map(_.path)).toSet
     val dataDir = new Path(rootP, "data")
     if (!fs.isDirectory(dataDir)) return 0
     var removed = 0
@@ -1234,8 +1371,13 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     * version file does. Returns the number of shards removed. */
   private def gcManifests(cutoff: Long): Int = {
     val meta = new Path(rootP, "meta")
-    val referenced = existingVersions
-      .flatMap(v => IceLite.manifestRefsOf(fs, rootP, v)).toSet
+    val stagedRefs = stagedNames.flatMap { n =>
+      try IceLite.mapperTree(fs, IceLite.stagedPath(rootP, n)).path("manifests")
+        .elements().asScala.map(_.path("name").asText()).toSeq
+      catch { case _: Throwable => Nil }
+    }
+    val referenced = (existingVersions
+      .flatMap(v => IceLite.manifestRefsOf(fs, rootP, v)) ++ stagedRefs).toSet
     var removed = 0
     fs.listStatus(meta).foreach { st =>
       val name = st.getPath.getName
