@@ -324,9 +324,28 @@ object GraftExtensions {
       planOf(graft.table.IceLite.load(activeSession, constStr(args.head, "icelite_files", "path")).filesMeta)
     })
 
+  val sqlStagedDescriptor: TableDescriptor = (
+    FunctionIdentifier("icelite_staged"),
+    info("icelite_staged", "icelite_staged(path, stage) - table state AS IF the staged commit <stage> were published (write-audit-publish audit view)."),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, "icelite_staged(path, stage)")
+      planOf(graft.table.IceLite.load(activeSession, constStr(args.head, "icelite_staged", "path"))
+        .readStaged(constStr(args(1), "icelite_staged", "stage")))
+    })
+
+  val sqlStagedChangesDescriptor: TableDescriptor = (
+    FunctionIdentifier("icelite_staged_changes"),
+    info("icelite_staged_changes", "icelite_staged_changes(path, stage) - the net per-key delta the staged commit <stage> would publish (audit the batch, not the table)."),
+    (args: Seq[Expression]) => {
+      require(args.size == 2, "icelite_staged_changes(path, stage)")
+      planOf(graft.table.IceLite.load(activeSession, constStr(args.head, "icelite_staged_changes", "path"))
+        .stagedChanges(constStr(args(1), "icelite_staged_changes", "stage")))
+    })
+
   val allTableDescriptors: Seq[TableDescriptor] = Seq(
     sqlScanDescriptor, sqlAtDescriptor, sqlChangesDescriptor,
-    sqlHistoryDescriptor, sqlFilesDescriptor)
+    sqlHistoryDescriptor, sqlFilesDescriptor,
+    sqlStagedDescriptor, sqlStagedChangesDescriptor)
 
   /** Register on an existing session (tests / REPL convenience). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {

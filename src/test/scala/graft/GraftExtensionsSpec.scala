@@ -94,6 +94,29 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(agg.collect().map(_.getLong(1)).sum == viaApi.size)
   }
 
+  test("table-valued functions: icelite_staged / _staged_changes (audit views)") {
+    import graft.stream.{ChangeGen, GenConfig}
+    import graft.table.IceLite
+    GraftExtensions.register(spark)
+    val root = SparkTestBase.tempDir("tvf-staged")
+    val table = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id", numBuckets = 4)
+    val ev = ChangeGen.events(spark, GenConfig(numDocs = 12, numEvents = 60, seed = 5, withMetadata = false))
+    table.merge(ev.filter(org.apache.spark.sql.functions.col("lsn") < 30), "tv/0")
+    table.mergeStaged(ev.filter(org.apache.spark.sql.functions.col("lsn") >= 30), "tv/1", "audit")
+
+    assert(spark.sql(s"SELECT * FROM icelite_staged('$root', 'audit')")
+      .collect().map(_.toString).sorted.toSeq ==
+      table.readStaged("audit").collect().map(_.toString).sorted.toSeq)
+    val deltaSql = spark.sql(
+      s"""SELECT change_op, count(*) AS c
+         |FROM icelite_staged_changes('$root', 'audit') GROUP BY change_op""".stripMargin)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(deltaSql.values.sum == table.stagedChanges("audit").count() && deltaSql.values.sum > 0)
+    // the published scan still excludes the stage
+    assert(spark.sql(s"SELECT count(*) FROM icelite_scan('$root')").head().getLong(0) ==
+      table.read().count())
+  }
+
   test("bucket labels pack perfectly into any power-of-two partition count") {
     val ls = graft.hashing.KafkaMurmur2.labels(64)
     for (p <- Seq(2, 4, 8, 16, 32, 64)) {
