@@ -1099,6 +1099,29 @@ object SparkEntry {
         s"WAP publish failed: $published")
       table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
         col("n_tok"), col("source"))
+    }),
+
+    "q_sql_dml" -> ((s, dir) => {
+      // Ad-hoc row-level corrections OUTSIDE the CDC stream (the GDPR /
+      // bad-batch path): replay the full stream, then SQL-DELETE one
+      // deterministic key slice and SQL-UPDATE another (assignments
+      // referencing current values), both through the merge path
+      // (IceLiteTable.deleteWhere/updateWhere via GraftSqlParser). The
+      // oracle recomputes the LWW fold and applies the same corrections
+      // relationally.
+      val root = java.nio.file.Files.createTempDirectory("graft-dml").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
+      val changes = derivedChanges(s, dir)
+      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      Pipeline.replayBatch(s, changes, table, "dml", epochs = 2, lsnMax = lsnMax)
+      val parser = new graft.sql.GraftSqlParser(s.sessionState.sqlParser)
+      def runSql(stmt: String): Unit =
+        org.apache.spark.sql.graftbridge.Exprs.ofRows(s, parser.parsePlan(stmt)).collect(): Unit
+      runSql(s"DELETE FROM icelite.`$root` WHERE CAST(doc_id AS INT) % 10 = 3")
+      runSql(s"UPDATE icelite.`$root` SET source = upper(source), n_tok = n_tok + 100 " +
+        "WHERE CAST(doc_id AS INT) % 10 = 4")
+      table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+        col("n_tok"), col("source"))
     })
   )
 
@@ -2185,7 +2208,27 @@ object SparkEntry {
         |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
         |       2 AS n_tok,
         |       event_type AS source
-        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+
+    // The LWW fold with the DML corrections applied relationally: the
+    // %10=3 slice deleted, the %10=4 slice updated (n_tok += 100, source
+    // uppercased) — tokens untouched by the UPDATE.
+    "q_sql_dml" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |final AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |         2 AS n_tok,
+        |         event_type AS source
+        |  FROM last WHERE rn = 1 AND event_type <> 'error')
+        |SELECT doc_id, tokens_s,
+        |       CASE WHEN CAST(doc_id AS INT) % 10 = 4 THEN n_tok + 100 ELSE n_tok END AS n_tok,
+        |       CASE WHEN CAST(doc_id AS INT) % 10 = 4 THEN upper(source) ELSE source END AS source
+        |FROM final
+        |WHERE CAST(doc_id AS INT) % 10 <> 3""".stripMargin
   )
 
   /** Column-level patch fold recomputed from the raw stream: per key, drop

@@ -51,6 +51,52 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val propPair = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val propKey = """'([^']*)'""".r
 
+  /** `OPTIMIZE icelite.`/path`` (small-file compaction) and
+    * `OPTIMIZE icelite.`/path` ZORDER BY (a, b)` (multi-column clustering
+    * rewrite) — SQL surfaces of [[graft.table.IceLiteTable.compactSmallFiles]]
+    * and [[graft.table.IceLiteTable.clusterZOrder]]. */
+  private val optimizePattern =
+    """(?is)^\s*OPTIMIZE\s+icelite\s*\.\s*`([^`]+)`\s*(?:ZORDER\s+BY\s*\(([^)]+)\))?\s*;?\s*$""".r
+
+  /** `VACUUM icelite.`/path` [RETAIN <n> SNAPSHOTS]` — expire old snapshots
+    * and reap unreferenced files ([[graft.table.IceLiteTable.expireSnapshots]]
+    * + [[graft.table.IceLiteTable.vacuum]]). */
+  private val vacuumPattern =
+    """(?is)^\s*VACUUM\s+icelite\s*\.\s*`([^`]+)`\s*(?:RETAIN\s+(\d+)\s+SNAPSHOTS)?\s*;?\s*$""".r
+
+  /** Route DELETE/UPDATE on `icelite.\`/path\`` to the table's DML methods;
+    * Spark's own parser supplies the grammar (conditions and assignment
+    * expressions arrive unresolved and resolve against the live scan at
+    * execution), so the full SQL expression language works in WHERE/SET. */
+  private def interceptDml(plan: LogicalPlan): LogicalPlan = {
+    import org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
+    import org.apache.spark.sql.catalyst.plans.logical.{DeleteFromTable, UpdateTable}
+    def rootOf(t: LogicalPlan): Option[String] = t match {
+      case r: UnresolvedRelation if r.multipartIdentifier.size == 2 &&
+        r.multipartIdentifier.head.equalsIgnoreCase("icelite") =>
+        Some(r.multipartIdentifier(1))
+      case _ => None
+    }
+    plan match {
+      case d: DeleteFromTable =>
+        rootOf(d.table).map(DeleteIceLiteCommand(_, RawExpr(d.condition))).getOrElse(plan)
+      case u: UpdateTable =>
+        rootOf(u.table).map { root =>
+          val set = u.assignments.map { a =>
+            val name = a.key match {
+              case att: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+                if att.nameParts.size == 1 => att.nameParts.head
+              case other => throw new IllegalArgumentException(
+                s"UPDATE icelite: only top-level column assignments are supported, got $other")
+            }
+            name -> RawExpr(a.value)
+          }
+          UpdateIceLiteCommand(root, set, u.condition.map(RawExpr))
+        }.getOrElse(plan)
+      case p => p
+    }
+  }
+
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case mergePattern(root, sourceSql, epochKey) =>
       MergeIntoIceLiteCommand(root, delegate.parsePlan(sourceSql), epochKey)
@@ -68,7 +114,13 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       if (unset.isEmpty) throw new IllegalArgumentException(
         s"UNSET TBLPROPERTIES: no 'key' entries in ($keys)")
       AlterPropertiesIceLiteCommand(root, Map.empty, unset)
-    case _ => delegate.parsePlan(sqlText)
+    case optimizePattern(root, zorderCols) =>
+      val cols = Option(zorderCols).map(_.split(",").map(_.trim.stripPrefix("`")
+        .stripSuffix("`")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+      OptimizeIceLiteCommand(root, cols)
+    case vacuumPattern(root, retain) =>
+      VacuumIceLiteCommand(root, Option(retain).map(_.toInt).getOrElse(1))
+    case _ => interceptDml(delegate.parsePlan(sqlText))
   }
 
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
@@ -145,4 +197,90 @@ case class AlterPropertiesIceLiteCommand(root: String, set: Map[String, String],
 
   override def run(sparkSession: SparkSession): Seq[Row] =
     Seq(Row(IceLite.load(sparkSession, root).alterProperties(set, unset)))
+}
+
+/** Opaque expression holder: the DML conditions/assignments arrive
+  * UNRESOLVED (they resolve against the table's live scan only inside
+  * `run`), but `QueryPlan.expressions` reflects over constructor args and
+  * CheckAnalysis would reject the command for carrying an unresolved
+  * Expression before it ever executes. A non-Expression wrapper keeps them
+  * out of that traversal — same trick as MergeIntoIceLiteCommand holding
+  * its source as a non-child constructor arg. */
+case class RawExpr(e: Expression)
+
+/** `DELETE FROM icelite.`/path` WHERE <cond>`: row-level correction through
+  * the merge path ([[graft.table.IceLiteTable.deleteWhere]]); returns the
+  * commit stats row. The condition resolves against the table's live scan
+  * at execution. */
+case class DeleteIceLiteCommand(root: String, condition: RawExpr)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("epoch", StringType, nullable = false)(),
+    AttributeReference("deleted", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val stats = IceLite.load(sparkSession, root)
+      .deleteWhere(org.apache.spark.sql.graftbridge.Exprs.column(condition.e))
+    Seq(Row(stats.epochKey, stats.deleted))
+  }
+}
+
+/** `UPDATE icelite.`/path` SET a = <expr>, ... WHERE <cond>`: row-level
+  * correction through the merge path
+  * ([[graft.table.IceLiteTable.updateWhere]]); returns the commit stats
+  * row. Assignment expressions may reference the row's current values. */
+case class UpdateIceLiteCommand(root: String, set: Seq[(String, RawExpr)],
+                                condition: Option[RawExpr])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("epoch", StringType, nullable = false)(),
+    AttributeReference("updated", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.graftbridge.Exprs
+    val cond = condition.map(c => Exprs.column(c.e))
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    val stats = IceLite.load(sparkSession, root)
+      .updateWhere(set.map { case (k, v) => k -> Exprs.column(v.e) }, cond)
+    // every DML event targets an existing live row: COW classifies them as
+    // updates, MOR (delta append, no target join) as upserts — sum both
+    Seq(Row(stats.epochKey, stats.updated + stats.inserted))
+  }
+}
+
+/** `OPTIMIZE icelite.`/path` [ZORDER BY (a, b)]`: small-file compaction, or
+  * a multi-column Z-order clustering rewrite when columns are given;
+  * returns the number of rewritten files. */
+case class OptimizeIceLiteCommand(root: String, zorderColumns: Seq[String])
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("rewritten", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val table = IceLite.load(sparkSession, root)
+    val n = if (zorderColumns.nonEmpty) table.clusterZOrder(zorderColumns)
+            else table.compactSmallFiles().size
+    Seq(Row(n.toLong))
+  }
+}
+
+/** `VACUUM icelite.`/path` [RETAIN <n> SNAPSHOTS]`: expire history beyond
+  * the retention horizon, then reap unreferenced data files and orphaned
+  * manifests; returns (expired snapshots, reaped files). */
+case class VacuumIceLiteCommand(root: String, retainSnapshots: Int)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("expired_snapshots", LongType, nullable = false)(),
+    AttributeReference("reaped_files", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val table = IceLite.load(sparkSession, root)
+    val expired = table.expireSnapshots(retainSnapshots)
+    val reaped = table.vacuum(retainSnapshots)
+    Seq(Row(expired.toLong, reaped.toLong))
+  }
 }

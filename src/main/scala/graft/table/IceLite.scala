@@ -1,6 +1,6 @@
 package graft.table
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.types.{DataType, StructType}
 import com.fasterxml.jackson.databind.ObjectMapper
 import com.fasterxml.jackson.module.scala.DefaultScalaModule
@@ -702,6 +702,80 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   def merge(changes: DataFrame, epochKey: String, registryJson: Option[String] = None,
             extraLineage: Map[String, Long] = Map.empty): CommitStats =
     graft.merge.MergeInto.run(this, changes, epochKey, registryJson, extraLineage = extraLineage)
+
+  /** Resolved LIVE rows (tombstones filtered) with the internal `__lsn`
+    * kept — the per-row causality handle the DML paths build their change
+    * events from. */
+  private def readLiveWithLsn(s: Snapshot): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val raw = readFiles(s.copy(schemaJson =
+      graft.merge.MergeInto.dataSchemaOf(s.schema, s.fold == "patch").json), s.files)
+    IceLiteTable.resolve(raw, s)
+      .filter(!coalesce(col(graft.merge.MergeInto.DELETED), lit(false)))
+  }
+
+  /** Epoch key for an ad-hoc DML statement: digest of (statement, snapshot
+    * version). A crashed-and-retried statement hits the ledger no-op
+    * (exactly-once); a deliberate re-run sees the advanced version and
+    * applies freshly. Free-form key — it stays explicit in the ledger
+    * (never watermark-compacted), which is the right durability for rare
+    * corrections. */
+  private def dmlEpochKey(kind: String, stmt: String, version: Long): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(stmt.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    s"sql-$kind-${hex.take(16)}-v$version"
+  }
+
+  /** Ad-hoc row-level DELETE — the GDPR / bad-batch correction path,
+    * outside the CDC stream. Rows of the CURRENT resolved state matching
+    * `cond` become delete events at `lsn = row.__lsn + 1` and flow through
+    * the normal MERGE: only the victims' buckets rewrite (COW) or gain a
+    * tombstone delta (MOR/patch), the commit rebases across concurrent
+    * ingest, and a LATER upstream change for the same key (necessarily at a
+    * higher lsn) still wins — the correction sits inside the same total
+    * order as the stream it corrects, rather than above it. Cost: one scan
+    * reading only (key, __lsn, cond's columns) — parquet column pruning —
+    * plus the merge's touched-buckets write; the standard lakehouse DML
+    * shape at 10^10 rows. */
+  def deleteWhere(cond: Column, epochKey: String = null): CommitStats = {
+    import org.apache.spark.sql.functions._
+    val s = snapshot
+    val victims = readLiveWithLsn(s).filter(cond).select(
+      col(s.keyColumn),
+      lit("d").as("op"),
+      lit(null).cast(s.schema).as("after"),
+      (col(graft.merge.MergeInto.LSN) + 1L).as("lsn"))
+    merge(victims, Option(epochKey).getOrElse(
+      dmlEpochKey("delete", cond.toString, s.version)))
+  }
+
+  /** Ad-hoc row-level UPDATE: matching live rows re-emit as update events
+    * (full `after` payload = the row with `set` assignments applied, so
+    * expressions may reference the row's current values) at
+    * `lsn = row.__lsn + 1`, merged like any change batch — same causality,
+    * concurrency, and exactly-once story as [[deleteWhere]]. The key
+    * column is immutable (that is what MERGE's key identity means). */
+  def updateWhere(set: Seq[(String, Column)], cond: Column,
+                  epochKey: String = null): CommitStats = {
+    import org.apache.spark.sql.functions._
+    val s = snapshot
+    val unknown = set.map(_._1).filterNot(s.schema.fieldNames.contains)
+    require(unknown.isEmpty, s"UPDATE: unknown column(s) ${unknown.mkString(", ")}")
+    require(!set.exists(_._1 == s.keyColumn),
+      s"UPDATE: cannot assign the key column ${s.keyColumn}")
+    val m = set.toMap
+    val after = struct(s.schema.fields.toSeq.map(f =>
+      m.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)): _*)
+    val changed = readLiveWithLsn(s).filter(cond).select(
+      col(s.keyColumn),
+      lit("u").as("op"),
+      after.as("after"),
+      (col(graft.merge.MergeInto.LSN) + 1L).as("lsn"))
+    merge(changed, Option(epochKey).getOrElse(
+      dmlEpochKey("update",
+        set.map { case (k, v) => s"$k=$v" }.mkString(",") + "|" + cond.toString,
+        s.version)))
+  }
 
   private[graft] def commit(newSnap: Snapshot): Unit = IceLite.writeSnapshot(fs, rootP, newSnap)
 
