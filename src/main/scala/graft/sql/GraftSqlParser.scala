@@ -51,6 +51,22 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   private val propPair = """'([^']*)'\s*=\s*'([^']*)'""".r
   private val propKey = """'([^']*)'""".r
 
+  /** `CREATE TABLE icelite.`/path` (<columns>) KEY <col> [BUCKETS <n>]
+    * [TBLPROPERTIES ('k'='v', ...)]` — table creation without the Scala
+    * API ([[graft.table.IceLite.create]]). The column list parses through
+    * Spark's own schema grammar (`parseTableSchema`), so every Spark type
+    * works; KEY names the merge-identity column and BUCKETS the hash
+    * layout (default 16). The lazy column match is anchored on `) KEY`, so
+    * parenthesized types (DECIMAL(10,2)) inside the list stay intact. */
+  private val createPattern =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?icelite\s*\.\s*`([^`]+)`\s*\((.+?)\)\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?(?:\s+TBLPROPERTIES\s*\(([^)]*)\))?\s*;?\s*$""".r
+  private val ifNotExistsPattern = """(?is)^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\b.*""".r
+
+  /** `DESCRIBE [TABLE] icelite.`/path`` — schema + layout + properties in
+    * the familiar DESCRIBE shape. */
+  private val describePattern =
+    """(?is)^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?icelite\s*\.\s*`([^`]+)`\s*;?\s*$""".r
+
   /** `OPTIMIZE icelite.`/path`` (small-file compaction) and
     * `OPTIMIZE icelite.`/path` ZORDER BY (a, b)` (multi-column clustering
     * rewrite) — SQL surfaces of [[graft.table.IceLiteTable.compactSmallFiles]]
@@ -114,6 +130,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       if (unset.isEmpty) throw new IllegalArgumentException(
         s"UNSET TBLPROPERTIES: no 'key' entries in ($keys)")
       AlterPropertiesIceLiteCommand(root, Map.empty, unset)
+    case createPattern(root, colDefs, key, buckets, props) =>
+      val schema = delegate.parseTableSchema(colDefs)
+      val properties = Option(props)
+        .map(p => propPair.findAllMatchIn(p).map(m => m.group(1) -> m.group(2)).toMap)
+        .getOrElse(Map.empty[String, String])
+      CreateIceLiteCommand(root, schema, key,
+        Option(buckets).map(_.toInt).getOrElse(16), properties,
+        ifNotExists = ifNotExistsPattern.matches(sqlText))
+    case describePattern(root) =>
+      DescribeIceLiteCommand(root)
     case optimizePattern(root, zorderCols) =>
       val cols = Option(zorderCols).map(_.split(",").map(_.trim.stripPrefix("`")
         .stripSuffix("`")).filter(_.nonEmpty).toSeq).getOrElse(Nil)
@@ -247,6 +273,56 @@ case class UpdateIceLiteCommand(root: String, set: Seq[(String, RawExpr)],
     // every DML event targets an existing live row: COW classifies them as
     // updates, MOR (delta append, no target join) as upserts — sum both
     Seq(Row(stats.epochKey, stats.updated + stats.inserted))
+  }
+}
+
+/** `CREATE TABLE icelite.`/path` (cols) KEY k [BUCKETS n]
+  * [TBLPROPERTIES (...)]`: creates the table
+  * ([[graft.table.IceLite.create]]); returns the created version (0).
+  * With IF NOT EXISTS an existing table is left untouched and its current
+  * version returns instead. */
+case class CreateIceLiteCommand(root: String, tableSchema: StructType, keyColumn: String,
+                                numBuckets: Int, properties: Map[String, String],
+                                ifNotExists: Boolean)
+    extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    if (IceLite.exists(root)) {
+      if (!ifNotExists) throw new IllegalArgumentException(
+        s"CREATE TABLE: icelite table already exists at $root (use IF NOT EXISTS)")
+      Seq(Row(IceLite.load(sparkSession, root).snapshot.version))
+    } else {
+      val t = IceLite.create(sparkSession, root, tableSchema, keyColumn, numBuckets, properties)
+      Seq(Row(t.snapshot.version))
+    }
+  }
+}
+
+/** `DESCRIBE [TABLE] icelite.`/path``: one row per column plus layout and
+  * property rows, in the familiar DESCRIBE shape. */
+case class DescribeIceLiteCommand(root: String) extends LeafRunnableCommand {
+
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("col_name", StringType, nullable = false)(),
+    AttributeReference("data_type", StringType, nullable = false)(),
+    AttributeReference("comment", StringType, nullable = true)())
+
+  override def run(sparkSession: SparkSession): Seq[Row] = {
+    val s = IceLite.load(sparkSession, root).snapshot
+    val cols = s.schema.fields.toSeq.map(f =>
+      Row(f.name, f.dataType.simpleString,
+        if (f.name == s.keyColumn) "key" else null))
+    val layout = Seq(
+      Row("# version", s.version.toString, null),
+      Row("# key", s.keyColumn, null),
+      Row("# buckets", s.numBuckets.toString, null),
+      Row("# write.mode", s.writeMode, null))
+    val props = s.properties.toSeq.sortBy(_._1).map { case (k, v) =>
+      Row(s"# property:$k", v, null) }
+    cols ++ layout ++ props
   }
 }
 

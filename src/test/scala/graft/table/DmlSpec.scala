@@ -157,4 +157,34 @@ class DmlSpec extends AnyFunSuite {
     assert(vac.getLong(0) > 0) // expired snapshots
     assert(state(t).size == 16) // data intact after maintenance
   }
+
+  test("SQL CREATE TABLE / DESCRIBE: creation and inspection without the Scala API") {
+    val root = SparkTestBase.tempDir("ddl") + "/t1"
+    val v = sql(
+      s"""CREATE TABLE icelite.`$root` (
+         |  doc_id STRING NOT NULL, tokens ARRAY<INT>, score DECIMAL(10,2),
+         |  n_tok INT) KEY doc_id BUCKETS 8
+         |TBLPROPERTIES ('write.mode'='mor')""".stripMargin).head().getLong(0)
+    assert(v == 0L)
+    val t = IceLite.load(spark, root)
+    assert(t.snapshot.keyColumn == "doc_id" && t.snapshot.numBuckets == 8)
+    assert(t.snapshot.writeMode == "mor")
+    assert(t.snapshot.schema.fieldNames.toSeq ==
+      Seq("doc_id", "tokens", "score", "n_tok"))
+    assert(t.snapshot.schema("score").dataType.simpleString == "decimal(10,2)")
+    // duplicate CREATE throws; IF NOT EXISTS returns the current version
+    intercept[IllegalArgumentException] {
+      sql(s"CREATE TABLE icelite.`$root` (doc_id STRING) KEY doc_id").collect()
+    }
+    assert(sql(s"CREATE TABLE IF NOT EXISTS icelite.`$root` (doc_id STRING) KEY doc_id")
+      .head().getLong(0) == 0L)
+    // the created table is immediately mergeable and describable
+    val d = sql(s"DESCRIBE icelite.`$root`").collect()
+    assert(d.map(_.getString(0)).take(4).toSeq == Seq("doc_id", "tokens", "score", "n_tok"))
+    assert(d.find(_.getString(0) == "doc_id").get.getString(2) == "key")
+    assert(d.exists(r => r.getString(0) == "# buckets" && r.getString(1) == "8"))
+    assert(d.exists(r => r.getString(0) == "# property:write.mode" && r.getString(1) == "mor"))
+    // a non-icelite CREATE/DESCRIBE still parses through the delegate
+    assert(sql("DESCRIBE SELECT 1 AS x").collect().nonEmpty)
+  }
 }
