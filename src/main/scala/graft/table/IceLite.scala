@@ -499,13 +499,22 @@ object IceLite {
 
 object IceLiteTable {
   /** MOR read-side resolve: one winner row per key by the __lsn high-water
-    * mark (hash agg + equi-join — the same no-sort shape as the merge's
-    * intra-batch dedup; duplicate (key, lsn) redeliveries collapse). */
+    * mark — the SAME [[graft.merge.LastWriteWinsAgg]] ObjectHashAggregate
+    * kernel the merge's intra-batch dedup runs (one shuffle, map-side
+    * partial, no sorts; equal-LSN redeliveries collapse to the first-seen
+    * buffer). The previous formulation (max-lsn agg + equi-join +
+    * dropDuplicates) planned two exchanges plus a broadcast join, and its
+    * `first()`-based dedup aggregate tripped a Catalyst binding failure
+    * when the read fed set operators (`exceptAll`). */
   private[graft] def resolveMor(df: DataFrame, key: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import graft.merge.MergeInto.LSN
-    val last = df.groupBy(col(key)).agg(max(LSN).as(LSN))
-    df.join(last, Seq(key, LSN)).dropDuplicates(key, LSN)
+    val cols = df.columns.toSeq
+    val packed = LSN +: cols.filterNot(c => c == key || c == LSN)
+    val w = graft.merge.LastWriteWinsAgg.lww(struct(packed.map(col): _*))
+    df.groupBy(col(key)).agg(w.as("__w"))
+      .select(cols.map(c =>
+        if (c == key) col(key) else col(s"__w.`$c`").as(c)): _*)
   }
 
   /** MOR read-side resolve for PATCH tables: delta rows are partial (null
