@@ -371,6 +371,24 @@ object SparkEntry {
       s.sql(s"SELECT doc_id, array_join(tokens, ',') AS tokens_s, n_tok, source " +
         s"FROM icelite_scan('$root')")
     }),
+    "q_dsv2_scan" -> ((s, dir) => {
+      // STANDARD-API consumption: replay into a MOR table, then read it
+      // back through the DataSource V2 connector — spark.read.format
+      // ("icelite") — with a key-range predicate (pushed: prunes buckets
+      // manifest-side before any file opens) plus a residual filter. The
+      // LWW winners resolve INSIDE the partition readers with zero
+      // shuffle; the result must equal the same fold recomputed in SQL.
+      val root = java.nio.file.Files.createTempDirectory("graft-dsv2").toString
+      val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8,
+        properties = Map("write.mode" -> "mor"))
+      val changes = derivedChanges(s, dir)
+      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      Pipeline.replayBatch(s, changes, table, "v2", epochs = 3, lsnMax = lsnMax)
+      s.read.format("icelite").load(root)
+        .filter(col("doc_id") >= "100" && col("source") =!= "purchase")
+        .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+          col("n_tok"), col("source"))
+    }),
     "q_compact_replay" -> ((s, dir) => {
       // MOR replay WITH in-pipeline small-file compaction (bin-packing
       // cadence every 2 epochs): layout maintenance runs concurrently with
@@ -950,6 +968,17 @@ object SparkEntry {
         .select(col("doc_id"), col("change_op"), col("lsn"),
           array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
     }),
+    "q_dsv2_changes" -> ((s, dir) => {
+      // The same net-change read through the STANDARD API: the DataSource
+      // V2 change feed (`format("icelite").option("changeFeed", "true")`)
+      // with a startingVersion — resolution and diff run inside the
+      // per-bucket partition readers with zero shuffle.
+      val (table, midV) = replayedTable(s, dir)
+      s.read.format("icelite").option("changeFeed", "true")
+        .option("startingVersion", midV.toString).load(table.root)
+        .select(col("doc_id"), col("change_op"), col("lsn"),
+          array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
+    }),
     "q_cdc_incr_agg" -> ((s, dir) => {
       // Incremental view maintenance: per-source (sum n_tok, count) kept
       // current from the mid-replay base aggregate + the pre/post-image
@@ -1289,6 +1318,19 @@ object SparkEntry {
         |       2 AS n_tok,
         |       event_type AS source
         |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
+    // The DataSource V2 read is the same LWW fold under the query's
+    // predicates — pushdown prunes, the residual filter re-applies.
+    "q_dsv2_scan" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'
+        |  AND doc_id >= '100' AND event_type <> 'purchase'""".stripMargin,
     // Layout maintenance (bin-packing compaction mid-replay) must be
     // invisible to readers: the same LWW fold as the plain replay.
     "q_compact_replay" ->
@@ -2049,6 +2091,37 @@ object SparkEntry {
     // CDC-out: diff of the two LWW folds (state after epoch 2 of 4 vs final)
     // over the derived change stream; carried keys (same winner lsn) drop.
     "q_cdc_changes" ->
+      """WITH ch AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id,
+        |         CASE event_type WHEN 'error' THEN 'd' WHEN 'signup' THEN 'c'
+        |              ELSE 'u' END AS op,
+        |         event_id AS lsn,
+        |         CAST(user_id AS INT) AS t0, CAST(event_id % 97 AS INT) AS t1,
+        |         event_type AS source
+        |  FROM events),
+        |cut AS (SELECT ((max(lsn) + 1 + 3) // 4) * 2 AS c FROM ch),
+        |bw AS (SELECT doc_id, max(lsn) AS blsn, arg_max(op, lsn) AS bop
+        |       FROM ch, cut WHERE lsn < c GROUP BY doc_id),
+        |aw AS (SELECT doc_id, max(lsn) AS alsn, arg_max(op, lsn) AS aop,
+        |              arg_max(t0, lsn) AS t0, arg_max(t1, lsn) AS t1,
+        |              arg_max(source, lsn) AS src
+        |       FROM ch GROUP BY doc_id)
+        |SELECT aw.doc_id,
+        |       CASE WHEN (bw.doc_id IS NULL OR bop = 'd') AND aop <> 'd' THEN 'insert'
+        |            WHEN bop <> 'd' AND aop <> 'd' AND alsn <> blsn THEN 'update'
+        |            WHEN bop <> 'd' AND aop = 'd' THEN 'delete' END AS change_op,
+        |       alsn AS lsn,
+        |       CASE WHEN aop <> 'd'
+        |            THEN CAST(t0 AS VARCHAR) || ',' || CAST(t1 AS VARCHAR) END AS tokens_s,
+        |       CASE WHEN aop <> 'd' THEN CAST(2 AS INT) END AS n_tok,
+        |       CASE WHEN aop <> 'd' THEN src END AS source
+        |FROM aw LEFT JOIN bw ON aw.doc_id = bw.doc_id
+        |WHERE CASE WHEN (bw.doc_id IS NULL OR bop = 'd') AND aop <> 'd' THEN 'insert'
+        |           WHEN bop <> 'd' AND aop <> 'd' AND alsn <> blsn THEN 'update'
+        |           WHEN bop <> 'd' AND aop = 'd' THEN 'delete' END IS NOT NULL""".stripMargin,
+    // The V2 change feed computes the SAME net diff as changesBetween —
+    // identical oracle.
+    "q_dsv2_changes" ->
       """WITH ch AS (
         |  SELECT CAST(user_id AS VARCHAR) AS doc_id,
         |         CASE event_type WHEN 'error' THEN 'd' WHEN 'signup' THEN 'c'

@@ -1,0 +1,807 @@
+package graft.sources
+
+import java.util.{Map => JMap}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, GenericInternalRow, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.hashing.KafkaMurmur2
+import graft.merge.{MergeInto, PatchFoldAgg}
+import graft.table.{CdcOut, DataFileMeta, IceLiteTable, Snapshot}
+
+/**
+ * DataSource V2 read connector for IceLite tables — the STANDARD-API
+ * surface: `spark.read.format("icelite").load(path)` (and SQL
+ * `CREATE TEMPORARY VIEW v USING icelite OPTIONS (path '...')`) next to
+ * the library-native `IceLiteTable.read()` / `icelite_scan(...)` TVF.
+ *
+ * What Catalyst sees is a first-class V2 scan:
+ *  - column pruning reaches the parquet readers (only requested + the
+ *    table's internal resolution columns are materialized);
+ *  - pushed filters prune MANIFEST-side before any file opens: key
+ *    equality/IN prunes to the keys' buckets (and, on COW, to files whose
+ *    key range can hold them), and range predicates over
+ *    `write.stats.columns` zone maps (or the key itself) skip files (COW)
+ *    or whole buckets (MOR/patch) — the same planning
+ *    [[IceLiteTable.lookup]] / [[IceLiteTable.scanRange]] do;
+ *  - `estimateStatistics` reports manifest row counts (post-prune), so
+ *    joins against a small IceLite table auto-broadcast.
+ *
+ * Read-side resolution happens INSIDE the partition readers with zero
+ * shuffle, because the layout guarantees a key's rows never leave its
+ * bucket: COW partitions stream file-at-a-time (tombstones filtered);
+ * MOR (lww) partitions read their bucket's base+delta files and keep the
+ * max-`__lsn` row per key in a hash map (O(live keys) memory, the same
+ * bound the bucket was sized for at write time); MOR+patch partitions
+ * drive the exact [[PatchFoldAgg]] kernel per key — one code path for
+ * the agg and the connector, so the two can never diverge. Rows
+ * materialize through Spark's own parquet `RecordMaterializer`
+ * ([[ParquetReadSupport]]'s public no-arg constructor, the documented
+ * third-party `ParquetReader` entry point), which also null-fills
+ * columns added by schema evolution and reads renamed columns under
+ * their immutable physical names.
+ *
+ * All pushed filters are ALSO returned as residuals — pruning is an
+ * optimization, Spark re-applies the exact predicate above the scan.
+ *
+ * Options: `path` (required), `version` (time travel), `tag` (named
+ * snapshot). The snapshot is pinned when the table object is created, so
+ * a multi-stage query reads one consistent version.
+ */
+class IceLiteDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "icelite"
+
+  override def supportsExternalMetadata(): Boolean = false
+
+  private def load(options: CaseInsensitiveStringMap): IceLiteSparkTable = {
+    val path = Option(options.get("path")).getOrElse(
+      throw new IllegalArgumentException("icelite: `path` option is required"))
+    val spark = SparkSession.active
+    val t = new IceLiteTable(spark, path)
+    val snap = (Option(options.get("version")), Option(options.get("tag"))) match {
+      case (Some(v), _) => t.snapshotAt(v.toLong)
+      case (None, Some(tag)) => t.snapshotAt(t.tags.getOrElse(tag,
+        throw new IllegalArgumentException(s"icelite: no tag '$tag' at $path")))
+      case _ => t.snapshot
+    }
+    val changeFeed = options.getBoolean("changefeed", false)
+    val includeBefore = options.getBoolean("includebefore", false)
+    val startingVersion = Option(options.get("startingversion")) match {
+      case Some("latest") => snap.version
+      case Some(v) => v.toLong
+      case None => 0L
+    }
+    new IceLiteSparkTable(path, snap, spark.sessionState.newHadoopConf(),
+      changeFeed, includeBefore, startingVersion)
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    load(options).schema()
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: JMap[String, String]): Table =
+    load(new CaseInsensitiveStringMap(properties))
+}
+
+class IceLiteSparkTable(path: String, snap: Snapshot, hadoopConf: Configuration,
+                        changeFeed: Boolean = false, includeBefore: Boolean = false,
+                        startingVersion: Long = 0L)
+  extends Table with SupportsRead {
+
+  override def name(): String =
+    if (changeFeed) s"icelite.`$path` changes" else s"icelite.`$path`"
+  override def schema(): StructType =
+    if (changeFeed) CdcOut.changeSchema(snap, includeBefore) else snap.schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    if (changeFeed)
+      java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    if (changeFeed)
+      () => new IceLiteChangeScan(path, snap, hadoopConf, includeBefore, startingVersion)
+    else new IceLiteScanBuilder(path, snap, hadoopConf)
+}
+
+class IceLiteScanBuilder(path: String, snap: Snapshot, hadoopConf: Configuration)
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var required: StructType = snap.schema
+  private var used: Array[Filter] = Array.empty
+  /** Pushed key-equality values (None = no key predicate). */
+  private var keys: Option[Set[String]] = None
+  /** Pushed per-column [lo, hi] bounds (logical column name). */
+  private val bounds = mutable.Map.empty[String, (Option[String], Option[String])]
+
+  override def pruneColumns(requiredSchema: StructType): Unit = {
+    // Preserve the table's field order for determinism; Spark passes the
+    // pruned set, possibly reordered.
+    val want = requiredSchema.fieldNames.toSet
+    required = StructType(snap.schema.fields.filter(f => want.contains(f.name)))
+  }
+
+  private def str(v: Any): String = String.valueOf(v)
+
+  private def narrow(col: String, lo: Option[String], hi: Option[String]): Unit = {
+    val (clo, chi) = bounds.getOrElse(col, (None, None))
+    // Latest bound per side wins; with multiple bounds on one column this
+    // can only keep a LOOSER range than the conjunction — pruning stays
+    // sound (conservative) and the exact predicate re-applies above the
+    // scan.
+    bounds(col) = (lo.orElse(clo), hi.orElse(chi))
+  }
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val usable = mutable.ArrayBuffer.empty[Filter]
+    filters.foreach {
+      case f @ EqualTo(a, v) if a == snap.keyColumn && v != null =>
+        keys = Some(keys.getOrElse(Set.empty) ++ Set(str(v))); usable += f
+      case f @ EqualNullSafe(a, v) if a == snap.keyColumn && v != null =>
+        keys = Some(keys.getOrElse(Set.empty) ++ Set(str(v))); usable += f
+      case f @ In(a, vs) if a == snap.keyColumn && vs != null && vs.nonEmpty && !vs.contains(null) =>
+        keys = Some(keys.getOrElse(Set.empty) ++ vs.map(str).toSet); usable += f
+      case f @ EqualTo(a, v) if v != null && prunableCol(a) =>
+        narrow(a, Some(str(v)), Some(str(v))); usable += f
+      case f @ GreaterThan(a, v) if v != null && prunableCol(a) =>
+        narrow(a, Some(str(v)), None); usable += f
+      case f @ GreaterThanOrEqual(a, v) if v != null && prunableCol(a) =>
+        narrow(a, Some(str(v)), None); usable += f
+      case f @ LessThan(a, v) if v != null && prunableCol(a) =>
+        narrow(a, None, Some(str(v))); usable += f
+      case f @ LessThanOrEqual(a, v) if v != null && prunableCol(a) =>
+        narrow(a, None, Some(str(v))); usable += f
+      case _ => ()
+    }
+    used = usable.toArray
+    filters // everything stays a residual: pruning is best-effort
+  }
+
+  /** A column we can prune files by: the key (manifest min/max) or a
+    * column with zone-map stats in at least one file. */
+  private def prunableCol(logical: String): Boolean =
+    logical == snap.keyColumn || {
+      val phys = snap.physicalName(logical)
+      snap.files.exists(_.colStats.contains(phys))
+    }
+
+  override def pushedFilters(): Array[Filter] = used
+
+  override def build(): Scan =
+    new IceLiteScan(path, snap, hadoopConf, required, keys, bounds.toMap)
+}
+
+class IceLiteScan(path: String, snap: Snapshot, hadoopConf: Configuration,
+                  required: StructType, keys: Option[Set[String]],
+                  bounds: Map[String, (Option[String], Option[String])])
+  extends Scan with Batch with SupportsReportStatistics {
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String = {
+    val k = keys.map(ks => s" keys=${ks.size}").getOrElse("")
+    val b = if (bounds.isEmpty) "" else s" bounds=${bounds.keys.mkString(",")}"
+    s"IceLiteScan v${snap.version} mode=${snap.writeMode}/${snap.fold} files=${keptFiles.length}$k$b"
+  }
+
+  /** Manifest-side pruning (driver-only, no job): COW prunes per file; MOR
+    * and patch prune whole BUCKETS (a kept file nominates its bucket, and
+    * the bucket's other files must be read so winners resolve against the
+    * full per-key history — dropping them could elect a stale row). */
+  private lazy val keptFiles: Seq[DataFileMeta] = {
+    val keyBuckets = keys.map(_.map(k => KafkaMurmur2.bucketLabelOf(k, snap.numBuckets)))
+
+    def fileMatches(f: DataFileMeta): Boolean = {
+      val keyOk = keys match {
+        case None => true
+        case Some(ks) =>
+          keyBuckets.get.contains(f.bucket) &&
+            (snap.writeMode == "mor" || f.fullRange || ks.exists(k => k >= f.minKey && k <= f.maxKey))
+      }
+      keyOk && bounds.forall { case (col, (lo, hi)) =>
+        if (col == snap.keyColumn) {
+          f.fullRange || {
+            val loOk = lo.forall(_ <= f.maxKey)
+            val hiOk = hi.forall(_ >= f.minKey)
+            loOk && hiOk
+          }
+        } else {
+          val phys = snap.physicalName(col)
+          f.colStats.get(phys).forall { r =>
+            r.overlaps(lo.getOrElse(r.min), hi.getOrElse(r.max))
+          }
+        }
+      }
+    }
+
+    val nominated = snap.files.filter(fileMatches)
+    if (snap.writeMode != "mor") nominated
+    else {
+      val bks = nominated.map(_.bucket).toSet
+      snap.files.filter(f => bks.contains(f.bucket))
+    }
+  }
+
+  override def estimateStatistics(): Statistics = new Statistics {
+    private val rows = keptFiles.map(_.rows).sum
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, rows * required.defaultSize))
+    override def numRows(): java.util.OptionalLong = java.util.OptionalLong.of(rows)
+  }
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    def abs(f: DataFileMeta): String = s"$path/${f.path}"
+    if (snap.writeMode != "mor")
+      keptFiles.sortBy(_.path).map(f => IceLitePartition(Array(abs(f)))).toArray
+    else
+      keptFiles.groupBy(_.bucket).toSeq.sortBy(_._1).map { case (_, fs) =>
+        IceLitePartition(fs.map(abs).sortBy(identity).toArray)
+      }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory = {
+    // Internal read schema under PHYSICAL names: required payload columns
+    // + key + __lsn/__deleted (+ __reset for patch). Ordinals are fixed
+    // here so the readers do zero name lookups.
+    val patch = snap.fold == "patch"
+    val mode = if (snap.writeMode != "mor") "cow" else if (patch) "patch" else "mor"
+    val payloadNames = required.fieldNames.toSeq
+    val withKey =
+      if (mode == "cow" || payloadNames.contains(snap.keyColumn)) payloadNames
+      else payloadNames :+ snap.keyColumn
+    val internalLogical = StructType(
+      withKey.map(n => snap.schema(n)) ++
+        Seq(StructField(MergeInto.LSN, LongType), StructField(MergeInto.DELETED, BooleanType)) ++
+        (if (patch) Seq(StructField(MergeInto.RESET, LongType)) else Nil))
+    val internalPhys = StructType(internalLogical.fields.map(f =>
+      f.copy(name = snap.physicalName(f.name), nullable = true)))
+    val outOrds = required.fieldNames.map(n => withKey.indexOf(n))
+    val keyOrd = if (mode == "cow") -1 else withKey.indexOf(snap.keyColumn)
+    val lsnOrd = withKey.length
+    val delOrd = withKey.length + 1
+    val resetOrd = if (patch) withKey.length + 2 else -1
+    val confKV = IceLiteSourceConf.captureKV(hadoopConf)
+    IceLiteReaderFactory(mode, confKV, internalPhys.json, required.json,
+      outOrds, keyOrd, lsnOrd, delOrd, resetOrd)
+  }
+}
+
+final case class IceLitePartition(files: Array[String]) extends InputPartition
+
+final case class IceLiteReaderFactory(
+    mode: String, confKV: Array[(String, String)],
+    internalSchemaJson: String, outputSchemaJson: String,
+    outOrds: Array[Int], keyOrd: Int, lsnOrd: Int, delOrd: Int, resetOrd: Int)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[IceLitePartition]
+    val internal = DataType.fromJson(internalSchemaJson).asInstanceOf[StructType]
+    val output = DataType.fromJson(outputSchemaJson).asInstanceOf[StructType]
+    new IceLitePartitionReader(p.files, mode, confKV, internal, output,
+      outOrds, keyOrd, lsnOrd, delOrd, resetOrd)
+  }
+}
+
+/** Per-partition reader. COW streams; MOR/patch resolve their bucket's
+  * rows in memory first (winner map / patch fold), then stream winners. */
+final class IceLitePartitionReader(
+    files: Array[String], mode: String, confKV: Array[(String, String)],
+    internal: StructType, output: StructType,
+    outOrds: Array[Int], keyOrd: Int, lsnOrd: Int, delOrd: Int, resetOrd: Int)
+  extends PartitionReader[InternalRow] {
+
+  private val conf = IceLiteSourceConf.restore(confKV, internal)
+
+  // Copy each materialized record: Spark's ParquetRowConverter reuses its
+  // row buffer across records.
+  private val toUnsafe = UnsafeProjection.create(internal)
+  private val outProj = UnsafeProjection.create(
+    outOrds.toIndexedSeq.map(i => BoundReference(i, internal(i).dataType, nullable = true)
+      : org.apache.spark.sql.catalyst.expressions.Expression))
+
+  private val scanner = new RawFileScanner(files, conf)
+  private var row: InternalRow = _
+  private var resolved: Iterator[UnsafeRow] = _
+
+  private def deleted(r: InternalRow): Boolean = !r.isNullAt(delOrd) && r.getBoolean(delOrd)
+
+  /** Stream the partition's files record-at-a-time (COW path). */
+  private def nextRaw(): InternalRow = scanner.next()
+
+  /** Buffer + resolve the bucket (MOR paths), producing winner rows. */
+  private def resolveBucket(): Iterator[UnsafeRow] = mode match {
+    case "mor" =>
+      // LWW: max __lsn per key; equal LSNs keep the first-read row (same
+      // "any one of the ties" contract as resolveMor's dropDuplicates).
+      val winners = new java.util.LinkedHashMap[String, UnsafeRow]()
+      var r = nextRaw()
+      while (r != null) {
+        val k = r.getUTF8String(keyOrd).toString
+        val lsn = r.getLong(lsnOrd)
+        val cur = winners.get(k)
+        if (cur == null || cur.getLong(lsnOrd) < lsn)
+          winners.put(k, toUnsafe(r).copy())
+        r = nextRaw()
+      }
+      winners.values().iterator().asScala.filter(w => !deleted(w))
+    case "patch" =>
+      // Exact PatchFoldAgg kernel per key over (lsn, op, after, reset)
+      // events — the connector and the SQL agg share one fold.
+      val payload = StructType(outOrds.filter(_ != keyOrd).map(i => internal(i)))
+      val payloadOrds = outOrds.filter(_ != keyOrd)
+      val evType = StructType(Seq(
+        StructField("lsn", LongType, nullable = false),
+        StructField("op", StringType),
+        StructField("after", payload),
+        StructField("reset", LongType)))
+      val agg = PatchFoldAgg(BoundReference(0, evType, nullable = true))
+      val bufs = new java.util.LinkedHashMap[String, PatchFoldAgg.Buf]()
+      val holder = new GenericInternalRow(1)
+      var r = nextRaw()
+      while (r != null) {
+        val k = r.getUTF8String(keyOrd).toString
+        var buf = bufs.get(k)
+        if (buf == null) { buf = agg.createAggregationBuffer(); bufs.put(k, buf) }
+        val isDel = deleted(r)
+        val after =
+          if (isDel) null
+          else {
+            val vals = new Array[Any](payloadOrds.length)
+            var i = 0
+            while (i < payloadOrds.length) {
+              val o = payloadOrds(i)
+              vals(i) = if (r.isNullAt(o)) null
+              else InternalRow.copyValue(r.get(o, internal(o).dataType))
+              i += 1
+            }
+            new GenericInternalRow(vals)
+          }
+        val ev = new GenericInternalRow(Array[Any](
+          r.getLong(lsnOrd),
+          UTF8String.fromString(if (isDel) "d" else "u"),
+          after,
+          if (resetOrd < 0 || r.isNullAt(resetOrd)) null
+          else java.lang.Long.valueOf(r.getLong(resetOrd))))
+        holder.update(0, ev)
+        agg.update(buf, holder)
+        r = nextRaw()
+      }
+      bufs.entrySet().iterator().asScala.flatMap { e =>
+        val w = agg.eval(e.getValue).asInstanceOf[InternalRow]
+        if (w == null || (!w.isNullAt(1) && w.getUTF8String(1).toString == "d")) None
+        else {
+          // Rebuild a row in `internal` ordinal space so outProj applies.
+          val vals = new Array[Any](internal.length)
+          val after = w.getStruct(2, payloadOrds.length)
+          var i = 0
+          while (i < payloadOrds.length) {
+            vals(payloadOrds(i)) =
+              if (after == null || after.isNullAt(i)) null
+              else after.get(i, payload(i).dataType)
+            i += 1
+          }
+          if (keyOrd >= 0) vals(keyOrd) = UTF8String.fromString(e.getKey)
+          Some(toUnsafe(new GenericInternalRow(vals)).copy())
+        }
+      }
+    case other => throw new IllegalStateException(s"resolveBucket on mode $other")
+  }
+
+  override def next(): Boolean = {
+    if (mode == "cow") {
+      var r = nextRaw()
+      while (r != null && deleted(r)) r = nextRaw()
+      row = r
+      row != null
+    } else {
+      if (resolved == null) resolved = resolveBucket()
+      if (resolved.hasNext) { row = resolved.next(); true } else { row = null; false }
+    }
+  }
+
+  override def get(): InternalRow = outProj(row).copy()
+
+  override def close(): Unit = scanner.close()
+}
+
+/** Hadoop-conf capture/restore shared by the batch and change-feed readers. */
+private[sources] object IceLiteSourceConf {
+  /** Driver-side: the session Hadoop conf plus the SQLConf keys Spark's
+    * ParquetReadSupport / ParquetToSparkSchemaConverter read straight off
+    * the Hadoop conf with `.toBoolean` (no default). */
+  def captureKV(hadoopConf: Configuration): Array[(String, String)] = {
+    val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+    import org.apache.spark.sql.internal.SQLConf._
+    val sqlKV = Seq(
+      PARQUET_BINARY_AS_STRING, PARQUET_INT96_AS_TIMESTAMP, CASE_SENSITIVE,
+      PARQUET_INFER_TIMESTAMP_NTZ_ENABLED, LEGACY_PARQUET_NANOS_AS_LONG,
+      PARQUET_FIELD_ID_READ_ENABLED, SESSION_LOCAL_TIMEZONE,
+      PARQUET_REBASE_MODE_IN_READ, PARQUET_INT96_REBASE_MODE_IN_READ
+    ).map(e => (e.key, String.valueOf(sqlConf.getConf(e))))
+    (hadoopConf.iterator().asScala.map(e => (e.getKey, e.getValue)) ++ sqlKV).toArray
+  }
+
+  /** Executor-side: rebuild the conf and request the internal read schema. */
+  def restore(confKV: Array[(String, String)], internal: StructType): Configuration = {
+    val c = new Configuration()
+    confKV.foreach { case (k, v) => c.set(k, v) }
+    c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, internal.json)
+    c
+  }
+}
+
+/** File-at-a-time record cursor over a partition's parquet files, through
+  * Spark's own `RecordMaterializer` (null-fills evolved columns). */
+private[sources] final class RawFileScanner(files: Array[String], conf: Configuration) {
+  private var fileIdx = 0
+  private var current: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
+
+  private def openFile(f: String) =
+    org.apache.parquet.hadoop.ParquetReader
+      .builder[InternalRow](new ParquetReadSupport(), new Path(f))
+      .withConf(conf)
+      .build()
+
+  /** Next record, or null when the partition is exhausted. The returned row
+    * buffer is REUSED by the materializer — copy anything you keep. */
+  def next(): InternalRow = {
+    while (true) {
+      if (current == null) {
+        if (fileIdx >= files.length) return null
+        current = openFile(files(fileIdx)); fileIdx += 1
+      }
+      val r = current.read()
+      if (r == null) { current.close(); current = null }
+      else return r
+    }
+    null // unreachable
+  }
+
+  def close(): Unit =
+    if (current != null) { current.close(); current = null }
+}
+
+// ---------------------------------------------------------------------------
+// Change feed: batch CDF + Structured Streaming tail over the version ledger
+// ---------------------------------------------------------------------------
+
+/** Offset = table version; snapshots are immutable, so a (from, to] version
+  * range always re-plans to the same change rows — replay after failure is
+  * deterministic, which is what makes a checkpointed downstream exactly-once
+  * with any idempotent sink. */
+final case class IceLiteOffset(version: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = s"""{"version":$version}"""
+}
+
+private[sources] object IceLiteOffset {
+  private val Re = """\{"version":(\d+)\}""".r
+  def parse(json: String): IceLiteOffset = json.trim match {
+    case Re(v) => IceLiteOffset(v.toLong)
+    case other => throw new IllegalArgumentException(s"bad icelite offset: $other")
+  }
+}
+
+/**
+ * Change-feed scan: `spark.read.format("icelite").option("changeFeed",
+ * "true")` (batch CDF from `startingVersion`, default 0 = full history as
+ * inserts) and `spark.readStream.format("icelite").option("changeFeed",
+ * "true")` — a Structured Streaming CDC tail STRAIGHT off the table's
+ * version ledger, no export step. Offsets are table versions; each
+ * micro-batch emits the net row-level changes of the committed range
+ * since the last batch, in [[CdcOut.changeSchema]] shape (`change_op`
+ * insert/update/delete, `lsn`, payload, optional `before_*` pre-images).
+ *
+ * Scale posture (same as [[IceLiteTable.changesBetween]]): only buckets
+ * that gained a file in the range are planned — one input partition per
+ * touched bucket; a key's winner never leaves its bucket, so each reader
+ * resolves its bucket's before/after winners locally and diffs them with
+ * ZERO shuffle. On MOR/patch tables the range's added delta files name
+ * the changed keys exactly, and both sides restrict to those keys first —
+ * per-partition memory is O(changed keys in bucket), not O(live keys).
+ * COW rewrites whole buckets, so its readers diff full bucket maps (the
+ * same O(bucket) the write amplification already paid).
+ *
+ * The output schema and physical column mapping are PINNED at stream
+ * start. Additive evolution mid-stream is safe (new columns are simply
+ * absent until restart); restart the stream to pick up renames/widening.
+ */
+class IceLiteChangeScan(path: String, startSnap: Snapshot, hadoopConf: Configuration,
+                        includeBefore: Boolean, startingVersion: Long)
+  extends Scan {
+
+  override def readSchema(): StructType = CdcOut.changeSchema(startSnap, includeBefore)
+  override def description(): String =
+    s"IceLiteChangeFeed `$path` from v$startingVersion" +
+      (if (includeBefore) " +before" else "")
+
+  override def toBatch: Batch = new Batch {
+    override def planInputPartitions(): Array[InputPartition] =
+      IceLiteChangeFeed.planPartitions(path, startingVersion, startSnap.version)
+    override def createReaderFactory(): PartitionReaderFactory =
+      IceLiteChangeFeed.readerFactory(startSnap, hadoopConf, includeBefore)
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new IceLiteChangeStream(path, startSnap, hadoopConf, includeBefore, startingVersion)
+}
+
+/** Micro-batch tail: `latestOffset` polls the ledger's HEAD version (one
+  * small JSON read per trigger); planning is manifest-only. */
+class IceLiteChangeStream(path: String, startSnap: Snapshot, hadoopConf: Configuration,
+                          includeBefore: Boolean, startingVersion: Long)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  override def initialOffset(): Offset = IceLiteOffset(startingVersion)
+
+  override def latestOffset(): Offset =
+    IceLiteOffset(new IceLiteTable(SparkSession.active, path).snapshot.version)
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    IceLiteChangeFeed.planPartitions(path,
+      start.asInstanceOf[IceLiteOffset].version, end.asInstanceOf[IceLiteOffset].version)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    IceLiteChangeFeed.readerFactory(startSnap, hadoopConf, includeBefore)
+
+  override def deserializeOffset(json: String): Offset = IceLiteOffset.parse(json)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+private[sources] object IceLiteChangeFeed {
+
+  /** One input partition per bucket that gained a file in (fromV, toV]. */
+  def planPartitions(path: String, fromV: Long, toV: Long): Array[InputPartition] = {
+    if (fromV >= toV) return Array.empty
+    val t = new IceLiteTable(SparkSession.active, path)
+    val from = t.snapshotAt(fromV)
+    val to = t.snapshotAt(toV)
+    val fromPaths = from.files.map(_.path).toSet
+    val added = to.files.filterNot(f => fromPaths(f.path))
+    val buckets = added.map(_.bucket).toSet
+    def abs(p: String): String = s"$path/$p"
+    buckets.toSeq.sorted.map { b =>
+      IceLiteChangePartition(b,
+        from.files.filter(_.bucket == b).map(f => abs(f.path)).sorted.toArray,
+        to.files.filter(_.bucket == b).map(f => abs(f.path)).sorted.toArray,
+        added.filter(_.bucket == b).map(f => abs(f.path)).sorted.toArray)
+    }.toArray
+  }
+
+  /** Internal read layout (physical names, fixed ordinals) + output schema. */
+  def readerFactory(snap: Snapshot, hadoopConf: Configuration,
+                    includeBefore: Boolean): PartitionReaderFactory = {
+    val patch = snap.fold == "patch"
+    val mode = if (snap.writeMode != "mor") "cow" else if (patch) "patch" else "mor"
+    val fields = snap.schema.fields.toSeq
+    val internalLogical = StructType(
+      fields ++
+        Seq(StructField(MergeInto.LSN, LongType), StructField(MergeInto.DELETED, BooleanType)) ++
+        (if (patch) Seq(StructField(MergeInto.RESET, LongType)) else Nil))
+    val internalPhys = StructType(internalLogical.fields.map(f =>
+      f.copy(name = snap.physicalName(f.name), nullable = true)))
+    val keyOrd = fields.indexWhere(_.name == snap.keyColumn)
+    val payloadOrds = fields.indices.filterNot(_ == keyOrd).toArray
+    val lsnOrd = fields.length
+    val delOrd = fields.length + 1
+    val resetOrd = if (patch) fields.length + 2 else -1
+    IceLiteChangeReaderFactory(mode, IceLiteSourceConf.captureKV(hadoopConf),
+      internalPhys.json, CdcOut.changeSchema(snap, includeBefore).json,
+      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, includeBefore)
+  }
+}
+
+final case class IceLiteChangePartition(bucket: Int, fromFiles: Array[String],
+                                        toFiles: Array[String], addedFiles: Array[String])
+  extends InputPartition
+
+final case class IceLiteChangeReaderFactory(
+    mode: String, confKV: Array[(String, String)],
+    internalSchemaJson: String, outputSchemaJson: String,
+    keyOrd: Int, payloadOrds: Array[Int], lsnOrd: Int, delOrd: Int, resetOrd: Int,
+    includeBefore: Boolean)
+  extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[IceLiteChangePartition]
+    val internal = DataType.fromJson(internalSchemaJson).asInstanceOf[StructType]
+    new IceLiteChangeReader(p, mode, confKV, internal,
+      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, includeBefore)
+  }
+}
+
+private[sources] object IceLiteChangeReader {
+  /** Resolved per-key winner: lsn, dead?, payload values (internal order). */
+  final case class W(lsn: Long, deleted: Boolean, payload: Array[Any])
+}
+
+/** Per-bucket change reader: resolve the bucket's winners at both snapshot
+  * versions locally (LWW max-lsn map, or the exact [[PatchFoldAgg]] fold on
+  * patch tables), diff, emit change rows. No shuffle; memory is O(changed
+  * keys) on MOR/patch (added delta files name them), O(bucket) on COW. */
+final class IceLiteChangeReader(
+    p: IceLiteChangePartition, mode: String, confKV: Array[(String, String)],
+    internal: StructType,
+    keyOrd: Int, payloadOrds: Array[Int], lsnOrd: Int, delOrd: Int, resetOrd: Int,
+    includeBefore: Boolean)
+  extends PartitionReader[InternalRow] {
+
+  import IceLiteChangeReader.W
+
+  private val conf = IceLiteSourceConf.restore(confKV, internal)
+
+  private def copyPayload(r: InternalRow): Array[Any] = {
+    val vals = new Array[Any](payloadOrds.length)
+    var i = 0
+    while (i < payloadOrds.length) {
+      val o = payloadOrds(i)
+      vals(i) = if (r.isNullAt(o)) null
+      else InternalRow.copyValue(r.get(o, internal(o).dataType))
+      i += 1
+    }
+    vals
+  }
+
+  private def deleted(r: InternalRow): Boolean = !r.isNullAt(delOrd) && r.getBoolean(delOrd)
+
+  /** Keys named by the range's added files (MOR/patch restriction). */
+  private def changedKeys(): java.util.HashSet[String] = {
+    val ks = new java.util.HashSet[String]()
+    val sc = new RawFileScanner(p.addedFiles, conf)
+    try {
+      var r = sc.next()
+      while (r != null) { ks.add(r.getUTF8String(keyOrd).toString): Unit; r = sc.next() }
+    } finally sc.close()
+    ks
+  }
+
+  private def winners(files: Array[String], keep: String => Boolean)
+      : java.util.LinkedHashMap[String, W] = {
+    val m = new java.util.LinkedHashMap[String, W]()
+    val sc = new RawFileScanner(files, conf)
+    try {
+      if (mode == "patch") {
+        // Exact PatchFoldAgg kernel per key — same fold as the SQL agg.
+        val payload = StructType(payloadOrds.map(i => internal(i)))
+        val evType = StructType(Seq(
+          StructField("lsn", LongType, nullable = false),
+          StructField("op", StringType),
+          StructField("after", payload),
+          StructField("reset", LongType)))
+        val agg = PatchFoldAgg(BoundReference(0, evType, nullable = true))
+        val bufs = new java.util.LinkedHashMap[String, PatchFoldAgg.Buf]()
+        val holder = new GenericInternalRow(1)
+        var r = sc.next()
+        while (r != null) {
+          val k = r.getUTF8String(keyOrd).toString
+          if (keep(k)) {
+            var buf = bufs.get(k)
+            if (buf == null) { buf = agg.createAggregationBuffer(); bufs.put(k, buf) }
+            val isDel = deleted(r)
+            val after = if (isDel) null else new GenericInternalRow(copyPayload(r))
+            val ev = new GenericInternalRow(Array[Any](
+              r.getLong(lsnOrd),
+              UTF8String.fromString(if (isDel) "d" else "u"),
+              after,
+              if (resetOrd < 0 || r.isNullAt(resetOrd)) null
+              else java.lang.Long.valueOf(r.getLong(resetOrd))))
+            holder.update(0, ev)
+            agg.update(buf, holder)
+          }
+          r = sc.next()
+        }
+        bufs.entrySet().iterator().asScala.foreach { e =>
+          val w = agg.eval(e.getValue).asInstanceOf[InternalRow]
+          if (w != null) {
+            val dead = !w.isNullAt(1) && w.getUTF8String(1).toString == "d"
+            val vals =
+              if (dead) new Array[Any](payloadOrds.length)
+              else {
+                val after = w.getStruct(2, payloadOrds.length)
+                val a = new Array[Any](payloadOrds.length)
+                var i = 0
+                while (i < payloadOrds.length) {
+                  a(i) = if (after == null || after.isNullAt(i)) null
+                  else after.get(i, payload(i).dataType)
+                  i += 1
+                }
+                a
+              }
+            m.put(e.getKey, W(w.getLong(0), dead, vals)): Unit
+          }
+        }
+      } else {
+        // COW / MOR lww: max __lsn per key, equal LSNs keep the first-read
+        // row (the same tie contract as the merge's LastWriteWinsAgg).
+        var r = sc.next()
+        while (r != null) {
+          val k = r.getUTF8String(keyOrd).toString
+          if (keep(k)) {
+            val lsn = r.getLong(lsnOrd)
+            val cur = m.get(k)
+            if (cur == null || cur.lsn < lsn)
+              m.put(k, W(lsn, deleted(r), copyPayload(r))): Unit
+          }
+          r = sc.next()
+        }
+      }
+    } finally sc.close()
+    m
+  }
+
+  /** Diff the two winner maps into change rows ([[IceLiteTable
+    * .changesBetween]] semantics: same-lsn carried rows drop, dead-on-both
+    * keys emit nothing, deletes carry the tombstone's lsn — null when the
+    * tombstone itself was compacted away by the range's end). */
+  private lazy val changes: Iterator[InternalRow] = {
+    val keep: String => Boolean =
+      if (mode == "cow") _ => true
+      else { val ks = changedKeys(); ks.contains(_) }
+    val before = winners(p.fromFiles, keep)
+    val after = winners(p.toFiles, keep)
+    val nOut = 3 + payloadOrds.length + (if (includeBefore) payloadOrds.length else 0)
+
+    def emit(key: String, op: String, lsn: Any, a: W, b: W): InternalRow = {
+      val vals = new Array[Any](nOut)
+      vals(0) = UTF8String.fromString(key)
+      vals(1) = UTF8String.fromString(op)
+      vals(2) = lsn
+      var i = 0
+      while (i < payloadOrds.length) {
+        vals(3 + i) = if (a != null && !a.deleted) a.payload(i) else null
+        i += 1
+      }
+      if (includeBefore) {
+        i = 0
+        while (i < payloadOrds.length) {
+          vals(3 + payloadOrds.length + i) =
+            if (b != null && !b.deleted) b.payload(i) else null
+          i += 1
+        }
+      }
+      new GenericInternalRow(vals)
+    }
+
+    val keys = new java.util.LinkedHashSet[String]()
+    keys.addAll(after.keySet()): Unit
+    keys.addAll(before.keySet()): Unit
+    keys.iterator().asScala.flatMap { k =>
+      val b = before.get(k)
+      val a = after.get(k)
+      val liveB = b != null && !b.deleted
+      val liveA = a != null && !a.deleted
+      if (!liveB && liveA) Some(emit(k, "insert", a.lsn, a, null))
+      else if (liveB && liveA && a.lsn != b.lsn) Some(emit(k, "update", a.lsn, a, b))
+      else if (liveB && !liveA)
+        Some(emit(k, "delete", if (a != null) a.lsn else null, null, b))
+      else None
+    }
+  }
+
+  private var row: InternalRow = _
+
+  override def next(): Boolean =
+    if (changes.hasNext) { row = changes.next(); true } else { row = null; false }
+
+  override def get(): InternalRow = row
+
+  override def close(): Unit = ()
+}

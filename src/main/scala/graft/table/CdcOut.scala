@@ -75,9 +75,14 @@ object CdcOut {
   /** Schema of [[IceLiteTable.changesBetween]] / the exported ranges, for
     * consumers that need it up front (the streaming file source does). */
   def changeSchema(table: IceLiteTable, includeBefore: Boolean = false)
+      : org.apache.spark.sql.types.StructType =
+    changeSchema(table.snapshot, includeBefore)
+
+  /** Same, from a pinned snapshot (the DataSource V2 change feed plans
+    * against one without a table handle). */
+  def changeSchema(s: Snapshot, includeBefore: Boolean)
       : org.apache.spark.sql.types.StructType = {
     import org.apache.spark.sql.types._
-    val s = table.snapshot
     val payload = s.schema.fields.filterNot(_.name == s.keyColumn).toSeq
     StructType(
       Seq(s.schema(s.keyColumn),

@@ -1,0 +1,202 @@
+package graft.sources
+
+import graft.SparkTestBase
+import graft.table.IceLite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DataSource V2 connector: `spark.read.format("icelite")` must equal the
+  * library-native `table.read()` on every write mode, prune columns and
+  * files, and report manifest statistics. */
+class IceLiteSourceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private val payloadType = StructType(Seq(
+    StructField("doc_id", StringType, nullable = false),
+    StructField("tokens", ArrayType(IntegerType)),
+    StructField("n_tok", IntegerType),
+    StructField("source", StringType)))
+
+  private def changes(n: Int, lsnBase: Long): DataFrame =
+    spark.range(0, n).select(
+      concat(lit("doc"), col("id")).as("doc_id"),
+      lit("u").as("op"),
+      (col("id") + lsnBase).as("lsn"),
+      struct(
+        concat(lit("doc"), col("id")).as("doc_id"),
+        sequence(lit(1), (col("id") % 5 + 1).cast("int")).as("tokens"),
+        (col("id") % 5 + 1).cast("int").as("n_tok"),
+        concat(lit("s"), col("id") % 3).as("source")).as("after"))
+
+  private def deletes(keys: Seq[String], lsn: Long): DataFrame =
+    keys.toDF("doc_id").select(col("doc_id"), lit("d").as("op"), lit(lsn).as("lsn"),
+      lit(null).cast(payloadType).as("after"))
+
+  private def mkTable(mode: String, props: Map[String, String] = Map.empty) =
+    IceLite.create(spark, SparkTestBase.tempDir("dsv2"), payloadType, "doc_id",
+      numBuckets = 8, properties = props + ("write.mode" -> mode))
+
+  private def sortedRows(df: DataFrame): Seq[String] =
+    df.orderBy("doc_id").collect().map(_.toString).toSeq
+
+  test("cow: format read equals table.read(), tombstones filtered") {
+    val t = mkTable("cow")
+    t.merge(changes(200, 0), "e1")
+    t.merge(changes(60, 1000), "e2")
+    t.merge(deletes(Seq("doc3", "doc77"), 5000), "e3")
+    val v2 = spark.read.format("icelite").load(t.root)
+    assert(v2.schema.fieldNames.toSeq == payloadType.fieldNames.toSeq)
+    assert(sortedRows(v2) == sortedRows(t.read()))
+  }
+
+  test("mor lww: winners resolve in-reader with no shuffle in the scan") {
+    val t = mkTable("mor")
+    t.merge(changes(150, 0), "e1")
+    t.merge(changes(150, 1000), "e2")
+    t.merge(deletes(Seq("doc5"), 9000), "e3")
+    val v2 = spark.read.format("icelite").load(t.root)
+    assert(sortedRows(v2) == sortedRows(t.read()))
+    // the resolution is in-reader: the physical plan has no Exchange
+    val plan = v2.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"scan must not shuffle:\n$plan")
+  }
+
+  test("mor patch: per-key column fold equals resolvePatch") {
+    val t = mkTable("mor", Map("write.merge.fold" -> "patch"))
+    t.merge(changes(80, 0), "e1")
+    // partial updates: only n_tok set, other columns null = unchanged
+    val partial = spark.range(0, 40).select(
+      concat(lit("doc"), col("id")).as("doc_id"),
+      lit("u").as("op"),
+      (col("id") + 2000).as("lsn"),
+      struct(
+        concat(lit("doc"), col("id")).as("doc_id"),
+        lit(null).cast(ArrayType(IntegerType)).as("tokens"),
+        lit(99).as("n_tok"),
+        lit(null).cast(StringType).as("source")).as("after"))
+    t.merge(partial, "e2")
+    t.merge(deletes(Seq("doc11"), 9000), "e3")
+    val v2 = spark.read.format("icelite").load(t.root)
+    assert(sortedRows(v2) == sortedRows(t.read()))
+    // spot-check the fold semantics end-to-end: folded row keeps e1 tokens
+    val r = v2.filter($"doc_id" === "doc7").select("n_tok", "source").head
+    assert(r.getInt(0) == 99 && r.getString(1) == "s1")
+  }
+
+  test("column pruning reaches the reader schema") {
+    val t = mkTable("cow")
+    t.merge(changes(50, 0), "e1")
+    val v2 = spark.read.format("icelite").load(t.root).select("doc_id", "n_tok")
+    assert(v2.collect().length == 50)
+    assert(v2.queryExecution.executedPlan.toString.contains("IceLiteScan"))
+  }
+
+  test("key-equality pushdown prunes partitions (cow: files; mor: buckets)") {
+    val tCow = mkTable("cow")
+    tCow.merge(changes(400, 0), "e1")
+    val sCow = tCow.snapshot
+    val b = new IceLiteScanBuilder(tCow.root, sCow, spark.sessionState.newHadoopConf())
+    b.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("doc_id", "doc17")))
+    val scan = b.build().asInstanceOf[IceLiteScan]
+    val parts = scan.toBatch.planInputPartitions()
+    assert(parts.length < sCow.files.size,
+      s"expected pruning: ${parts.length} of ${sCow.files.size} files")
+    // correctness end-to-end through the same pushdown
+    val row = spark.read.format("icelite").load(tCow.root)
+      .filter($"doc_id" === "doc17").select("n_tok").head
+    assert(row.getInt(0) == 17 % 5 + 1)
+
+    val tMor = mkTable("mor")
+    tMor.merge(changes(400, 0), "e1")
+    tMor.merge(changes(400, 1000), "e2")
+    val sMor = tMor.snapshot
+    val bm = new IceLiteScanBuilder(tMor.root, sMor, spark.sessionState.newHadoopConf())
+    bm.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("doc_id", "doc17")))
+    val pm = bm.build().asInstanceOf[IceLiteScan].toBatch.planInputPartitions()
+    assert(pm.length == 1, "a single-key MOR scan reads exactly the key's bucket")
+    val got = spark.read.format("icelite").load(tMor.root)
+      .filter($"doc_id" === "doc17").select("n_tok").head
+    assert(got.getInt(0) == 17 % 5 + 1) // winner from e2 has same derived n_tok
+  }
+
+  test("zone-map range pushdown prunes files on a stats column") {
+    val t = mkTable("cow", Map("write.stats.columns" -> "n_tok"))
+    t.merge(changes(300, 0), "e1")
+    val s = t.snapshot
+    val b = new IceLiteScanBuilder(t.root, s, spark.sessionState.newHadoopConf())
+    b.pushFilters(Array(org.apache.spark.sql.sources.GreaterThan("n_tok", 100)))
+    val kept = b.build().asInstanceOf[IceLiteScan].toBatch.planInputPartitions()
+    assert(kept.isEmpty, "n_tok <= 5 everywhere: every file must be skipped")
+    assert(spark.read.format("icelite").load(t.root).filter($"n_tok" > 100).count() == 0)
+  }
+
+  test("time travel via version option; schema evolution null-fills") {
+    val t = mkTable("cow")
+    t.merge(changes(30, 0), "e1")
+    val v1 = t.snapshot.version
+    // evolve: add a column
+    val evolved = StructType(payloadType.fields :+ StructField("lang", StringType))
+    val withLang = spark.range(0, 10).select(
+      concat(lit("doc"), col("id")).as("doc_id"),
+      lit("u").as("op"),
+      (col("id") + 500).as("lsn"),
+      struct(
+        concat(lit("doc"), col("id")).as("doc_id"),
+        sequence(lit(1), lit(2)).cast(ArrayType(IntegerType)).as("tokens"),
+        lit(2).as("n_tok"),
+        lit("s9").as("source"),
+        lit("en").as("lang")).as("after"))
+    t.merge(withLang, "e2")
+    val now = spark.read.format("icelite").load(t.root)
+    assert(now.schema.fieldNames.contains("lang"))
+    // old rows (from e1 files) null-fill lang; new rows carry it
+    assert(now.filter($"lang" === "en").count() == 10)
+    assert(now.filter($"lang".isNull).count() == 20)
+    val old = spark.read.format("icelite").option("version", v1).load(t.root)
+    assert(!old.schema.fieldNames.contains("lang") && old.count() == 30)
+  }
+
+  test("renamed column reads under its logical name") {
+    val t = mkTable("cow")
+    t.merge(changes(25, 0), "e1")
+    t.renameColumn("source", "origin")
+    val v2 = spark.read.format("icelite").load(t.root)
+    assert(v2.schema.fieldNames.contains("origin"))
+    assert(v2.select("origin").distinct().count() == 3)
+    assert(sortedRows(v2) == sortedRows(t.read()))
+  }
+
+  test("estimateStatistics reports manifest row counts post-prune") {
+    val t = mkTable("cow")
+    t.merge(changes(120, 0), "e1")
+    val s = t.snapshot
+    val b = new IceLiteScanBuilder(t.root, s, spark.sessionState.newHadoopConf())
+    val stats = b.build().asInstanceOf[IceLiteScan].estimateStatistics()
+    assert(stats.numRows().getAsLong == 120)
+    assert(stats.sizeInBytes().getAsLong > 0)
+  }
+
+  test("SQL surface: CREATE TEMPORARY VIEW USING icelite") {
+    val t = mkTable("mor")
+    t.merge(changes(40, 0), "e1")
+    spark.sql(s"CREATE OR REPLACE TEMPORARY VIEW dsv2_v USING icelite OPTIONS (path '${t.root}')")
+    assert(spark.sql("SELECT count(*) FROM dsv2_v").head.getLong(0) == 40)
+    val joined = spark.sql(
+      "SELECT v.doc_id FROM dsv2_v v JOIN dsv2_v w ON v.doc_id = w.doc_id WHERE v.n_tok = 3")
+    assert(joined.count() == 8) // ids with id%5+1==3: 2,7,...,37
+  }
+
+  test("tag option reads the tagged snapshot") {
+    val t = mkTable("cow")
+    t.merge(changes(20, 0), "e1")
+    t.tagSnapshot("rc1")
+    t.merge(changes(50, 1000), "e2")
+    val tagged = spark.read.format("icelite").option("tag", "rc1").load(t.root)
+    assert(tagged.count() == 20)
+    assert(spark.read.format("icelite").load(t.root).count() == 50)
+  }
+}
