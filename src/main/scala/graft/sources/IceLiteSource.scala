@@ -22,7 +22,7 @@ import org.apache.spark.unsafe.types.UTF8String
 
 import graft.hashing.KafkaMurmur2
 import graft.merge.{MergeInto, PatchFoldAgg}
-import graft.table.{CdcOut, DataFileMeta, IceLiteTable, Snapshot}
+import graft.table.{CdcOut, DataFileMeta, IceLite, IceLiteTable, Snapshot}
 
 /**
  * DataSource V2 read connector for IceLite tables — the STANDARD-API
@@ -63,15 +63,53 @@ import graft.table.{CdcOut, DataFileMeta, IceLiteTable, Snapshot}
  * snapshot). The snapshot is pinned when the table object is created, so
  * a multi-stage query reads one consistent version.
  */
-class IceLiteDataSource extends TableProvider with DataSourceRegister {
+class IceLiteDataSource extends TableProvider with DataSourceRegister
+  with org.apache.spark.sql.sources.StreamSinkProvider {
   override def shortName(): String = "icelite"
 
   override def supportsExternalMetadata(): Boolean = false
+
+  /** Streaming sink: `df.writeStream.format("icelite").option("path", p)`.
+    * Each micro-batch upserts through [[IceLiteWrites.append]] under epoch
+    * `<epochPrefix>/<batchId>` — batchIds are contiguous-from-zero, exactly
+    * the shape the epoch-ledger watermark compacts, and a batch replayed
+    * after a crash hits its committed epoch and no-ops: exactly-once sink
+    * semantics with the consumer's own checkpoint. Change-shape batches
+    * (`key, op, lsn, after`) carry deletes; plain rows upsert by LWW. */
+  override def createSink(sqlContext: org.apache.spark.sql.SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    val lower = parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+    val path = lower.getOrElse("path",
+      throw new IllegalArgumentException("icelite sink: `path` option is required"))
+    if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
+      throw new UnsupportedOperationException(
+        "icelite sink: Complete mode is unsupported (append/update batches upsert)")
+    val prefix = lower.getOrElse("epochprefix", "sink")
+    new org.apache.spark.sql.execution.streaming.Sink {
+      override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit =
+        IceLiteWrites.append(
+          org.apache.spark.sql.graftbridge.Exprs.asBatch(data), path,
+          k => lower.get(k.toLowerCase(java.util.Locale.ROOT)), s"$prefix/$batchId")
+      override def toString: String = s"IceLiteSink[$path]"
+    }
+  }
 
   private def load(options: CaseInsensitiveStringMap): IceLiteSparkTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("icelite: `path` option is required"))
     val spark = SparkSession.active
+    if (!IceLite.exists(path)) {
+      // Write-side create-on-first-append: `df.write.format("icelite")
+      // .option("key", k).mode("append").save(path)` materializes the table
+      // from the batch's schema. Reads of a missing table keep a clear error.
+      if (!options.containsKey("key"))
+        throw new IllegalStateException(
+          s"icelite: no table at $path (to create one on write, pass option 'key')")
+      return new IceLiteSparkTable(path, None, spark.sessionState.newHadoopConf())
+    }
     val t = new IceLiteTable(spark, path)
     val snap = (Option(options.get("version")), Option(options.get("tag"))) match {
       case (Some(v), _) => t.snapshotAt(v.toLong)
@@ -86,7 +124,7 @@ class IceLiteDataSource extends TableProvider with DataSourceRegister {
       case Some(v) => v.toLong
       case None => 0L
     }
-    new IceLiteSparkTable(path, snap, spark.sessionState.newHadoopConf(),
+    new IceLiteSparkTable(path, Some(snap), spark.sessionState.newHadoopConf(),
       changeFeed, includeBefore, startingVersion)
   }
 
@@ -98,31 +136,71 @@ class IceLiteDataSource extends TableProvider with DataSourceRegister {
     load(new CaseInsensitiveStringMap(properties))
 }
 
-class IceLiteSparkTable(path: String, snap: Snapshot, hadoopConf: Configuration,
+class IceLiteSparkTable(path: String, snapOpt: Option[Snapshot], hadoopConf: Configuration,
                         changeFeed: Boolean = false, includeBefore: Boolean = false,
                         startingVersion: Long = 0L)
-  extends Table with SupportsRead {
+  extends Table with SupportsRead
+  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+
+  private def snap: Snapshot = snapOpt.getOrElse(
+    throw new IllegalStateException(s"icelite: no table at $path yet (write-side create pending)"))
 
   override def name(): String =
     if (changeFeed) s"icelite.`$path` changes" else s"icelite.`$path`"
   override def schema(): StructType =
-    if (changeFeed) CdcOut.changeSchema(snap, includeBefore) else snap.schema
+    if (changeFeed) CdcOut.changeSchema(snap, includeBefore)
+    else snapOpt.map(_.schema).getOrElse(new StructType())
   override def capabilities(): java.util.Set[TableCapability] =
     if (changeFeed)
       java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
-    else java.util.EnumSet.of(TableCapability.BATCH_READ)
+    else java.util.EnumSet.of(TableCapability.BATCH_READ,
+      // BATCH_WRITE routes DataFrameWriter.save through the V2 path;
+      // V1_BATCH_WRITE makes the planner pick the V1 fallback exec for the
+      // driver-orchestrated merge; ACCEPT_ANY_SCHEMA defers shape checks to
+      // the insert (both change-stream and plain-row batches are legal).
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.ACCEPT_ANY_SCHEMA)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (changeFeed)
       () => new IceLiteChangeScan(path, snap, hadoopConf, includeBefore, startingVersion)
     else new IceLiteScanBuilder(path, snap, hadoopConf)
+
+  override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new IceLiteWriteBuilder(path, info.options())
 }
 
 class IceLiteScanBuilder(path: String, snap: Snapshot, hadoopConf: Configuration)
-  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  extends ScanBuilder with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+  with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = snap.schema
   private var used: Array[Filter] = Array.empty
+  private var countStar = false
+
+  /** Metadata-only `count(*)`: a filterless, group-less count over a COW
+    * table is answered from the manifest (`rows - tombstones` per file) —
+    * zero files open. MOR/patch decline (net winners are not knowable from
+    * counts), as does any pushed filter (the manifest prune is best-effort
+    * and a completely pushed aggregate has no residual re-application). */
+  private def countPushable(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    snap.writeMode != "mor" && used.isEmpty && keys.isEmpty && bounds.isEmpty &&
+      agg.groupByExpressions().isEmpty && agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions()(0)
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean =
+    countPushable(agg)
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation): Boolean = {
+    if (!countPushable(agg)) return false
+    countStar = true
+    true
+  }
   /** Pushed key-equality values (None = no key predicate). */
   private var keys: Option[Set[String]] = None
   /** Pushed per-column [lo, hi] bounds (logical column name). */
@@ -182,13 +260,63 @@ class IceLiteScanBuilder(path: String, snap: Snapshot, hadoopConf: Configuration
   override def pushedFilters(): Array[Filter] = used
 
   override def build(): Scan =
-    new IceLiteScan(path, snap, hadoopConf, required, keys, bounds.toMap)
+    if (countStar) new IceLiteCountScan(snap)
+    else new IceLiteScan(path, snap, hadoopConf, required, keys, bounds.toMap)
+}
+
+/** Completely pushed `count(*)`: one row, straight from the manifest. */
+class IceLiteCountScan(snap: Snapshot) extends Scan with Batch {
+  private val total = snap.files.map(f => f.rows - f.tombstones).sum
+  override def readSchema(): StructType =
+    StructType(Seq(StructField("count(*)", LongType, nullable = false)))
+  override def toBatch: Batch = this
+  override def description(): String = s"IceLiteCountScan rows=$total (manifest-only)"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(IceLiteCountPartition(total))
+  override def createReaderFactory(): PartitionReaderFactory = IceLiteCountReaderFactory()
+}
+
+final case class IceLiteCountPartition(count: Long) extends InputPartition
+
+final case class IceLiteCountReaderFactory() extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = if (emitted) false else { emitted = true; true }
+      override def get(): InternalRow = new GenericInternalRow(
+        Array[Any](partition.asInstanceOf[IceLiteCountPartition].count))
+      override def close(): Unit = ()
+    }
 }
 
 class IceLiteScan(path: String, snap: Snapshot, hadoopConf: Configuration,
-                  required: StructType, keys: Option[Set[String]],
+                  required: StructType, pushedKeys: Option[Set[String]],
                   bounds: Map[String, (Option[String], Option[String])])
-  extends Scan with Batch with SupportsReportStatistics {
+  extends Scan with Batch with SupportsReportStatistics
+  with org.apache.spark.sql.connector.read.SupportsRuntimeFiltering {
+
+  /** Key values delivered at RUNTIME (DPP-style: the build side of a join
+    * on the key finishes first and its key set lands here before
+    * `planInputPartitions`). Conjunctive with the statically pushed set. */
+  @volatile private var runtimeKeys: Option[Set[String]] = None
+
+  /** Effective key predicate: intersection of static and runtime sets. */
+  private def keys: Option[Set[String]] = (pushedKeys, runtimeKeys) match {
+    case (Some(a), Some(b)) => Some(a.intersect(b))
+    case (a, b) => a.orElse(b)
+  }
+
+  override def filterAttributes()
+      : Array[org.apache.spark.sql.connector.expressions.NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(snap.keyColumn))
+
+  override def filter(filters: Array[Filter]): Unit = filters.foreach {
+    case In(a, vs) if a == snap.keyColumn && vs != null =>
+      runtimeKeys = Some(vs.filter(_ != null).map(String.valueOf).toSet)
+    case EqualTo(a, v) if a == snap.keyColumn && v != null =>
+      runtimeKeys = Some(Set(String.valueOf(v)))
+    case _ => () // unsupported runtime shape: keep the full plan (sound)
+  }
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -201,8 +329,11 @@ class IceLiteScan(path: String, snap: Snapshot, hadoopConf: Configuration,
   /** Manifest-side pruning (driver-only, no job): COW prunes per file; MOR
     * and patch prune whole BUCKETS (a kept file nominates its bucket, and
     * the bucket's other files must be read so winners resolve against the
-    * full per-key history — dropping them could elect a stale row). */
-  private lazy val keptFiles: Seq[DataFileMeta] = {
+    * full per-key history — dropping them could elect a stale row).
+    * Recomputed per call — runtime filters may land between planning and
+    * execution; the work is a driver-side pass over the manifest. */
+  private def keptFiles: Seq[DataFileMeta] = {
+    val keys = this.keys
     val keyBuckets = keys.map(_.map(k => KafkaMurmur2.bucketLabelOf(k, snap.numBuckets)))
 
     def fileMatches(f: DataFileMeta): Boolean = {
@@ -474,6 +605,86 @@ private[sources] final class RawFileScanner(files: Array[String], conf: Configur
 
   def close(): Unit =
     if (current != null) { current.close(); current = null }
+}
+
+/**
+ * Write surface: `df.write.format("icelite").mode("append").save(path)`
+ * routes through the merge engine as a V1 write (the merge is a
+ * driver-orchestrated multi-job commit — exactly the shape the V1
+ * fallback exists for; per-task V2 writers cannot express it).
+ *
+ * Two accepted input shapes, detected from the batch's schema:
+ *  - change stream (`key, op, lsn, after`): passed to `merge` verbatim —
+ *    upserts AND deletes, caller-controlled ordering;
+ *  - plain rows in table schema: upserts at `lsn` = option `lsn` (or the
+ *    current snapshot version + 1 — later appends win by LWW).
+ *
+ * Options: `epoch` (idempotence key — pass one to make a retried write
+ * exactly-once; defaults to a fresh UUID per invocation), `lsn`, and for
+ * create-on-first-append `key` (required), `buckets`, `write.*` table
+ * properties. Appending to a missing path with `key` set CREATES the
+ * table from the batch's schema. `ACCEPT_ANY_SCHEMA` skips Spark's
+ * by-name append validation — the shapes above are checked here instead;
+ * additive schema evolution flows through the merge like any CDC batch.
+ */
+private[sources] class IceLiteWriteBuilder(path: String, options: CaseInsensitiveStringMap)
+  extends org.apache.spark.sql.connector.write.WriteBuilder {
+
+  override def build(): org.apache.spark.sql.connector.write.Write =
+    new org.apache.spark.sql.connector.write.V1Write {
+      override def toInsertableRelation: InsertableRelation = new InsertableRelation {
+        override def insert(data: org.apache.spark.sql.DataFrame, overwrite: Boolean): Unit = {
+          if (overwrite) throw new UnsupportedOperationException(
+            "icelite: overwrite writes are not supported — append is an upsert; " +
+              "use SQL DELETE / the merge API for removals")
+          IceLiteWrites.append(data, path, k => Option(options.get(k)),
+            Option(options.get("epoch")).getOrElse(java.util.UUID.randomUUID().toString))
+        }
+      }
+    }
+}
+
+/** Shared append kernel for the batch V1 write and the streaming sink. */
+private[sources] object IceLiteWrites {
+  /** Upsert `data` into the table at `path` (creating it when absent and
+    * `key` is given): change-shape batches pass to `merge` verbatim, plain
+    * rows upsert at `lsn` (option, or snapshot version + 1). */
+  def append(data: org.apache.spark.sql.DataFrame, path: String,
+             opt: String => Option[String], epoch: String): Unit = {
+    import org.apache.spark.sql.functions.{col, lit, struct}
+    val spark = data.sparkSession
+    val isChange = {
+      val names = data.schema.fieldNames.toSet
+      names("op") && names("lsn") && names("after") &&
+        data.schema("after").dataType.isInstanceOf[StructType]
+    }
+    val table =
+      if (IceLite.exists(path)) IceLite.load(spark, path)
+      else {
+        val key = opt("key").getOrElse(throw new IllegalArgumentException(
+          s"icelite: creating $path on write requires option 'key'"))
+        val payload =
+          if (isChange) data.schema("after").dataType.asInstanceOf[StructType]
+          else data.schema
+        val props = Seq("write.mode", "write.merge.fold", "write.stats.columns")
+          .flatMap(k => opt(k).map(k -> _)).toMap
+        IceLite.create(spark, path, payload, key,
+          opt("buckets").map(_.toInt).getOrElse(16), props)
+      }
+    val snap = table.snapshot
+    val changes =
+      if (isChange) data
+      else {
+        val key = snap.keyColumn
+        require(data.schema.fieldNames.contains(key),
+          s"icelite append: batch must carry the key column `$key` " +
+            s"(got ${data.schema.fieldNames.mkString(", ")})")
+        val lsn = opt("lsn").map(_.toLong).getOrElse(snap.version + 1)
+        data.select(col(key), lit("u").as("op"), lit(lsn).as("lsn"),
+          struct(data.columns.toIndexedSeq.map(col): _*).as("after"))
+      }
+    table.merge(changes, epoch): Unit
+  }
 }
 
 // ---------------------------------------------------------------------------

@@ -32,4 +32,16 @@ object Exprs {
   def sameTypeIgnoreNullability(a: org.apache.spark.sql.types.DataType,
                                 b: org.apache.spark.sql.types.DataType): Boolean =
     org.apache.spark.sql.types.DataType.equalsIgnoreNullability(a, b)
+
+  /** Re-wrap a V1 streaming sink's micro-batch as a BATCH DataFrame (the
+    * Sink.addBatch argument keeps `isStreaming = true`, which rejects
+    * `observe()` and friends; `internalCreateDataFrame` is `private[sql]`).
+    * The sources inside the plan are already the micro-batch's concrete
+    * relations, so executing it as a batch is exact — the same move
+    * `foreachBatch` makes before handing the user its DataFrame. */
+  def asBatch(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val ds = df.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+    val spark = ds.sparkSession
+    spark.internalCreateDataFrame(ds.queryExecution.toRdd, ds.schema, isStreaming = false)
+  }
 }

@@ -498,6 +498,14 @@ object IceLite {
 }
 
 object IceLiteTable {
+  /** Maintenance (compaction / z-order) yields to ingest under contention:
+    * bounded recomputes with attempt-scaled backoff, so a steady merge
+    * stream leaves gaps the maintenance commit can land in instead of the
+    * two racing head-to-head until the cap. */
+  private[table] val MaintenanceAttempts = 8
+  private[table] def maintenanceBackoff(attempt: Int): Unit =
+    Thread.sleep(math.min(50L * attempt, 400L))
+
   /** MOR read-side resolve: one winner row per key by the __lsn high-water
     * mark — the SAME [[graft.merge.LastWriteWinsAgg]] ObjectHashAggregate
     * kernel the merge's intra-batch dedup runs (one shuffle, map-side
@@ -920,7 +928,8 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
         files = snap.files.filterNot(f => buckets.contains(f.bucket)) ++ newFiles,
         parentVersion = snap.version)) match {
         case CommitOutcome.Committed => return affected.size
-        case CommitOutcome.Overlap if attempt < 5 => attempt += 1 // recompute
+        case CommitOutcome.Overlap if attempt < IceLiteTable.MaintenanceAttempts =>
+          attempt += 1; IceLiteTable.maintenanceBackoff(attempt) // recompute
         case out => throw new IllegalStateException(
           s"compactBuckets: gave up after $attempt recomputes under contention ($out)")
       }
@@ -953,7 +962,8 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
         files = snap.files.filterNot(f => affected.exists(_.path == f.path)) ++ stats,
         parentVersion = snap.version)) match {
         case CommitOutcome.Committed => return affected.size
-        case CommitOutcome.Overlap if attempt < 5 => attempt += 1 // recompute
+        case CommitOutcome.Overlap if attempt < IceLiteTable.MaintenanceAttempts =>
+          attempt += 1; IceLiteTable.maintenanceBackoff(attempt) // recompute
         case out => throw new IllegalStateException(
           s"compactTombstones: gave up after $attempt recomputes under contention ($out)")
       }
@@ -1037,7 +1047,8 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
         files = newFiles,
         parentVersion = snap.version)) match {
         case CommitOutcome.Committed => return affected.size
-        case CommitOutcome.Overlap if attempt < 5 => attempt += 1 // recompute
+        case CommitOutcome.Overlap if attempt < IceLiteTable.MaintenanceAttempts =>
+          attempt += 1; IceLiteTable.maintenanceBackoff(attempt) // recompute
         case out => throw new IllegalStateException(
           s"clusterZOrder: gave up after $attempt recomputes under contention ($out)")
       }

@@ -190,6 +190,52 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(joined.count() == 8) // ids with id%5+1==3: 2,7,...,37
   }
 
+  test("runtime key filter prunes at execution time (DPP-style)") {
+    val t = mkTable("mor")
+    t.merge(changes(400, 0), "e1")
+    val s = t.snapshot
+    val b = new IceLiteScanBuilder(t.root, s, spark.sessionState.newHadoopConf())
+    val scan = b.build().asInstanceOf[IceLiteScan]
+    val all = scan.toBatch.planInputPartitions().length
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("doc_id", Array[Any]("doc17"))))
+    val pruned = scan.toBatch.planInputPartitions().length
+    assert(all > 1 && pruned == 1,
+      s"runtime In must prune to the key's bucket ($all -> $pruned)")
+    // conjunctive with a statically pushed key: disjoint sets -> empty scan
+    val b2 = new IceLiteScanBuilder(t.root, s, spark.sessionState.newHadoopConf())
+    b2.pushFilters(Array(org.apache.spark.sql.sources.EqualTo("doc_id", "doc17")))
+    val scan2 = b2.build().asInstanceOf[IceLiteScan]
+    scan2.filter(Array[org.apache.spark.sql.sources.Filter](org.apache.spark.sql.sources.In("doc_id", Array[Any]("doc999"))))
+    assert(scan2.toBatch.planInputPartitions().isEmpty)
+    // end-to-end: a key join stays correct whether or not the filter fires
+    val dim = Seq("doc1", "doc42", "doc399").toDF("doc_id")
+    val j = spark.read.format("icelite").load(t.root).join(dim, "doc_id")
+    assert(j.count() == 3)
+  }
+
+  test("count(*) on a COW table is answered from the manifest") {
+    val t = mkTable("cow")
+    t.merge(changes(120, 0), "e1")
+    t.merge(deletes(Seq("doc2", "doc9"), 5000), "e2")
+    val df = spark.read.format("icelite").load(t.root).groupBy().count()
+    assert(df.head.getLong(0) == 118)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("IceLiteCountScan"), s"count must push to the manifest:\n$plan")
+    // MOR declines (net winners unknowable from counts): exact via readers
+    val tm = mkTable("mor")
+    tm.merge(changes(50, 0), "e1")
+    tm.merge(deletes(Seq("doc1"), 5000), "e2")
+    val dm = spark.read.format("icelite").load(tm.root).groupBy().count()
+    assert(dm.head.getLong(0) == 49)
+    assert(!dm.queryExecution.executedPlan.toString.contains("IceLiteCountScan"))
+    // a filter declines the pushdown (manifest pruning is best-effort)
+    val dfF = spark.read.format("icelite").load(t.root)
+      .filter($"n_tok" > 2).groupBy().count()
+    assert(!dfF.queryExecution.executedPlan.toString.contains("IceLiteCountScan"))
+    assert(dfF.head.getLong(0) ==
+      t.read().filter($"n_tok" > 2).count())
+  }
+
   test("tag option reads the tagged snapshot") {
     val t = mkTable("cow")
     t.merge(changes(20, 0), "e1")
