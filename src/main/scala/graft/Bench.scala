@@ -137,7 +137,8 @@ object Bench {
     "q_scd2", "q_asof_join", "q_merge_patch", "q_hot_keys", "q_point_lookup",
     "q_stream_join", "q_multi_table", "q_zone_scan",
     "q_dlq_route", "q_dlq_parse", "q_widen_evolve", "q_drop_evolve", "q_sql_scan",
-    "q_zorder_scan", "q_wap_publish", "q_sql_dml", "q_dsv2_scan", "q_dsv2_changes")
+    "q_zorder_scan", "q_wap_publish", "q_sql_dml", "q_dsv2_scan", "q_dsv2_changes",
+    "q_dsv2_write")
 
   /** One N-vs-4N scaling pair: the two legs' throughput, the raw efficiency,
     * and each leg's measured task-CPU-seconds per event (executorCpuTime

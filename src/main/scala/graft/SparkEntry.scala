@@ -389,6 +389,19 @@ object SparkEntry {
         .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
           col("n_tok"), col("source"))
     }),
+    "q_dsv2_write" -> ((s, dir) => {
+      // STANDARD-API ingest: the whole derived change stream written
+      // through df.write.format("icelite") in change shape — the table is
+      // created on first append, the batch routes through the merge
+      // engine, and the final state must equal the LWW fold.
+      val root = java.nio.file.Files.createTempDirectory("graft-dsv2w").toString
+      derivedChanges(s, dir).write.format("icelite")
+        .option("key", "doc_id").option("buckets", "8")
+        .option("write.mode", "mor").option("epoch", "w1")
+        .mode("append").save(root)
+      IceLite.load(s, root).read().select(col("doc_id"),
+        array_join(col("tokens"), ",").as("tokens_s"), col("n_tok"), col("source"))
+    }),
     "q_compact_replay" -> ((s, dir) => {
       // MOR replay WITH in-pipeline small-file compaction (bin-packing
       // cadence every 2 epochs): layout maintenance runs concurrently with
@@ -1331,6 +1344,17 @@ object SparkEntry {
         |       event_type AS source
         |FROM last WHERE rn = 1 AND event_type <> 'error'
         |  AND doc_id >= '100' AND event_type <> 'purchase'""".stripMargin,
+    // The standard-API write is the same merge: the same LWW fold.
+    "q_dsv2_write" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS source
+        |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     // Layout maintenance (bin-packing compaction mid-replay) must be
     // invisible to readers: the same LWW fold as the plain replay.
     "q_compact_replay" ->

@@ -124,8 +124,9 @@ class IceLiteDataSource extends TableProvider with DataSourceRegister
       case Some(v) => v.toLong
       case None => 0L
     }
+    val maxVersions = options.getLong("maxversionsperbatch", Long.MaxValue)
     new IceLiteSparkTable(path, Some(snap), spark.sessionState.newHadoopConf(),
-      changeFeed, includeBefore, startingVersion)
+      changeFeed, includeBefore, startingVersion, maxVersions)
   }
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -138,7 +139,7 @@ class IceLiteDataSource extends TableProvider with DataSourceRegister
 
 class IceLiteSparkTable(path: String, snapOpt: Option[Snapshot], hadoopConf: Configuration,
                         changeFeed: Boolean = false, includeBefore: Boolean = false,
-                        startingVersion: Long = 0L)
+                        startingVersion: Long = 0L, maxVersionsPerBatch: Long = Long.MaxValue)
   extends Table with SupportsRead
   with org.apache.spark.sql.connector.catalog.SupportsWrite {
 
@@ -163,7 +164,8 @@ class IceLiteSparkTable(path: String, snapOpt: Option[Snapshot], hadoopConf: Con
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     if (changeFeed)
-      () => new IceLiteChangeScan(path, snap, hadoopConf, includeBefore, startingVersion)
+      () => new IceLiteChangeScan(path, snap, hadoopConf, includeBefore,
+        startingVersion, maxVersionsPerBatch)
     else new IceLiteScanBuilder(path, snap, hadoopConf)
 
   override def newWriteBuilder(info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -733,7 +735,8 @@ private[sources] object IceLiteOffset {
  * absent until restart); restart the stream to pick up renames/widening.
  */
 class IceLiteChangeScan(path: String, startSnap: Snapshot, hadoopConf: Configuration,
-                        includeBefore: Boolean, startingVersion: Long)
+                        includeBefore: Boolean, startingVersion: Long,
+                        maxVersionsPerBatch: Long = Long.MaxValue)
   extends Scan {
 
   override def readSchema(): StructType = CdcOut.changeSchema(startSnap, includeBefore)
@@ -750,20 +753,48 @@ class IceLiteChangeScan(path: String, startSnap: Snapshot, hadoopConf: Configura
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new IceLiteChangeStream(path, startSnap, hadoopConf, includeBefore, startingVersion)
+    new IceLiteChangeStream(path, startSnap, hadoopConf, includeBefore,
+      startingVersion, maxVersionsPerBatch)
 }
 
 /** Micro-batch tail: `latestOffset` polls the ledger's HEAD version (one
-  * small JSON read per trigger); planning is manifest-only. */
+  * small JSON read per trigger); planning is manifest-only. Admission
+  * control caps each batch at `maxVersionsPerBatch` committed versions —
+  * a tail resuming after long downtime catches up in bounded bites
+  * instead of one giant replay batch. */
 class IceLiteChangeStream(path: String, startSnap: Snapshot, hadoopConf: Configuration,
-                          includeBefore: Boolean, startingVersion: Long)
-  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
-  import org.apache.spark.sql.connector.read.streaming.Offset
+                          includeBefore: Boolean, startingVersion: Long,
+                          maxVersionsPerBatch: Long = Long.MaxValue)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
 
   override def initialOffset(): Offset = IceLiteOffset(startingVersion)
 
-  override def latestOffset(): Offset =
-    IceLiteOffset(new IceLiteTable(SparkSession.active, path).snapshot.version)
+  private def headVersion: Long =
+    new IceLiteTable(SparkSession.active, path).snapshot.version
+
+  /** Trigger.AvailableNow pins the catch-up target here — implementing the
+    * interface ourselves keeps per-batch admission control live (Spark's
+    * generic wrapper would pin the head AND bypass the batch cap). */
+  @volatile private var availableNowTarget: Long = -1L
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = headVersion
+
+  private def head: Long =
+    if (availableNowTarget >= 0) availableNowTarget else headVersion
+
+  override def latestOffset(): Offset = IceLiteOffset(head)
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val from = start.asInstanceOf[IceLiteOffset].version
+    val h = head
+    val step = math.max(1L, maxVersionsPerBatch)
+    IceLiteOffset(if (h - from <= step) h else from + step)
+  }
+
+  override def reportLatestOffset(): Offset = IceLiteOffset(head)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     IceLiteChangeFeed.planPartitions(path,

@@ -148,6 +148,26 @@ class IceLiteChangeFeedSpec extends AnyFunSuite {
     assert(spark.read.parquet(outDir).count() == 76)
   }
 
+  test("admission control bounds catch-up batches to maxVersionsPerBatch") {
+    val t = mkTable("mor")
+    (0 until 5).foreach(i => t.merge(changes(10, i * 100L), s"e$i")) // 5 versions
+    val ckpt = SparkTestBase.tempDir("cfeed-adm")
+    val batchSizes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("icelite")
+      .option("changeFeed", "true").option("path", t.root)
+      .option("maxVersionsPerBatch", "2").load()
+      .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+        batchSizes += b.count(): Unit
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // 5 committed versions at <=2/batch -> at least 3 micro-batches, and
+    // the union of batches covers the full state exactly once
+    assert(batchSizes.length >= 3, s"expected bounded batches, got $batchSizes")
+    assert(batchSizes.sum >= 10, s"all changes must arrive: $batchSizes")
+  }
+
   test("streaming tail feeds a downstream merge exactly-once (end-to-end CDC relay)") {
     // source table -> change feed stream -> merge into a REPLICA table;
     // the replica must converge to the source's state.
