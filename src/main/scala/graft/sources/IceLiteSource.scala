@@ -87,7 +87,15 @@ class IceLiteDataSource extends TableProvider with DataSourceRegister
     if (outputMode == org.apache.spark.sql.streaming.OutputMode.Complete())
       throw new UnsupportedOperationException(
         "icelite sink: Complete mode is unsupported (append/update batches upsert)")
-    val prefix = lower.getOrElse("epochprefix", "sink")
+    // Epoch prefix defaults to a checkpoint-derived value: batchIds restart
+    // at 0 under a FRESH checkpoint, and a constant prefix would make the
+    // new query's batches silently no-op against the old run's committed
+    // epochs. Same checkpoint -> same prefix -> resume stays exactly-once.
+    val prefix = lower.getOrElse("epochprefix",
+      lower.get("checkpointlocation")
+        .map(c => "sink-" + java.lang.Integer.toHexString(
+          scala.util.hashing.MurmurHash3.stringHash(c)))
+        .getOrElse("sink"))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit =
         IceLiteWrites.append(
@@ -97,7 +105,22 @@ class IceLiteDataSource extends TableProvider with DataSourceRegister
     }
   }
 
+  /** One provider instance serves one read: `inferSchema` and `getTable`
+    * both call [[load]], which would otherwise read the snapshot (and
+    * manifest shards) twice — and a commit landing between the two calls
+    * would pin a DIFFERENT snapshot than the schema Spark planned with.
+    * The memo makes the pair share one loaded table. */
+  @volatile private var memo: (java.util.Map[String, String], IceLiteSparkTable) = _
+
   private def load(options: CaseInsensitiveStringMap): IceLiteSparkTable = {
+    val m = memo
+    if (m != null && m._1.equals(options.asCaseSensitiveMap())) return m._2
+    val t = doLoad(options)
+    memo = (new java.util.HashMap[String, String](options.asCaseSensitiveMap()), t)
+    t
+  }
+
+  private def doLoad(options: CaseInsensitiveStringMap): IceLiteSparkTable = {
     val path = Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("icelite: `path` option is required"))
     val spark = SparkSession.active
@@ -117,6 +140,13 @@ class IceLiteDataSource extends TableProvider with DataSourceRegister
         throw new IllegalArgumentException(s"icelite: no tag '$tag' at $path")))
       case _ => t.snapshot
     }
+    // The connector's readers (winner maps, change-feed diff) key their
+    // hash maps on the STRING key the table contract prescribes; a
+    // non-string key would ClassCastException deep in a task — fail the
+    // plan with a clear message instead.
+    require(snap.schema(snap.keyColumn).dataType == StringType,
+      s"icelite: key column `${snap.keyColumn}` must be STRING " +
+        s"(got ${snap.schema(snap.keyColumn).dataType.catalogString})")
     val changeFeed = options.getBoolean("changefeed", false)
     val includeBefore = options.getBoolean("includebefore", false)
     val startingVersion = Option(options.get("startingversion")) match {
@@ -182,13 +212,17 @@ class IceLiteScanBuilder(path: String, snap: Snapshot, hadoopConf: Configuration
   private var countStar = false
 
   /** Metadata-only `count(*)`: a filterless, group-less count over a COW
-    * table is answered from the manifest (`rows - tombstones` per file) —
-    * zero files open. MOR/patch decline (net winners are not knowable from
-    * counts), as does any pushed filter (the manifest prune is best-effort
-    * and a completely pushed aggregate has no residual re-application). */
+    * table whose files are all tombstone-free is answered from the manifest
+    * (sum of row counts) — zero files open. The manifest's `tombstones` is
+    * a PRESENCE FLAG (0/1, footerStats), not a row count, so any flagged
+    * file declines the pushdown and the count stays exact through the
+    * readers. MOR/patch decline (net winners are not knowable from counts),
+    * as does any pushed filter (the manifest prune is best-effort and a
+    * completely pushed aggregate has no residual re-application). */
   private def countPushable(agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean =
     snap.writeMode != "mor" && used.isEmpty && keys.isEmpty && bounds.isEmpty &&
+      snap.files.forall(_.tombstones == 0L) &&
       agg.groupByExpressions().isEmpty && agg.aggregateExpressions().length == 1 &&
       agg.aggregateExpressions()(0)
         .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
@@ -266,9 +300,11 @@ class IceLiteScanBuilder(path: String, snap: Snapshot, hadoopConf: Configuration
     else new IceLiteScan(path, snap, hadoopConf, required, keys, bounds.toMap)
 }
 
-/** Completely pushed `count(*)`: one row, straight from the manifest. */
+/** Completely pushed `count(*)`: one row, straight from the manifest.
+  * Only planned when every file is tombstone-free (see `countPushable`),
+  * so live rows = stored rows. */
 class IceLiteCountScan(snap: Snapshot) extends Scan with Batch {
-  private val total = snap.files.map(f => f.rows - f.tombstones).sum
+  private val total = snap.files.map(_.rows).sum
   override def readSchema(): StructType =
     StructType(Seq(StructField("count(*)", LongType, nullable = false)))
   override def toBatch: Batch = this
@@ -343,15 +379,11 @@ class IceLiteScan(path: String, snap: Snapshot, hadoopConf: Configuration,
         case None => true
         case Some(ks) =>
           keyBuckets.get.contains(f.bucket) &&
-            (snap.writeMode == "mor" || f.fullRange || ks.exists(k => k >= f.minKey && k <= f.maxKey))
+            (snap.writeMode == "mor" || ks.exists(f.keyInRange))
       }
       keyOk && bounds.forall { case (col, (lo, hi)) =>
         if (col == snap.keyColumn) {
-          f.fullRange || {
-            val loOk = lo.forall(_ <= f.maxKey)
-            val hiOk = hi.forall(_ >= f.minKey)
-            loOk && hiOk
-          }
+          f.keyRangeOverlaps(lo, hi)
         } else {
           val phys = snap.physicalName(col)
           f.colStats.get(phys).forall { r =>
@@ -440,99 +472,39 @@ final class IceLitePartitionReader(
 
   private val conf = IceLiteSourceConf.restore(confKV, internal)
 
-  // Copy each materialized record: Spark's ParquetRowConverter reuses its
-  // row buffer across records.
-  private val toUnsafe = UnsafeProjection.create(internal)
   private val outProj = UnsafeProjection.create(
     outOrds.toIndexedSeq.map(i => BoundReference(i, internal(i).dataType, nullable = true)
       : org.apache.spark.sql.catalyst.expressions.Expression))
 
   private val scanner = new RawFileScanner(files, conf)
   private var row: InternalRow = _
-  private var resolved: Iterator[UnsafeRow] = _
+  private var resolved: Iterator[InternalRow] = _
 
   private def deleted(r: InternalRow): Boolean = !r.isNullAt(delOrd) && r.getBoolean(delOrd)
 
   /** Stream the partition's files record-at-a-time (COW path). */
   private def nextRaw(): InternalRow = scanner.next()
 
-  /** Buffer + resolve the bucket (MOR paths), producing winner rows. */
-  private def resolveBucket(): Iterator[UnsafeRow] = mode match {
-    case "mor" =>
-      // LWW: max __lsn per key; equal LSNs keep the first-read row (same
-      // "any one of the ties" contract as resolveMor's dropDuplicates).
-      val winners = new java.util.LinkedHashMap[String, UnsafeRow]()
-      var r = nextRaw()
-      while (r != null) {
-        val k = r.getUTF8String(keyOrd).toString
-        val lsn = r.getLong(lsnOrd)
-        val cur = winners.get(k)
-        if (cur == null || cur.getLong(lsnOrd) < lsn)
-          winners.put(k, toUnsafe(r).copy())
-        r = nextRaw()
+  /** Buffer + resolve the bucket (MOR paths) through the shared
+    * [[BucketResolve]] kernel, then rebuild live winners in `internal`
+    * ordinal space so `outProj` applies. */
+  private def resolveBucket(): Iterator[InternalRow] = {
+    val payloadOrds = (0 until lsnOrd).filter(_ != keyOrd).toArray
+    val ws = BucketResolve.winners(files, conf, mode, internal,
+      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, _ => true)
+    ws.entrySet().iterator().asScala.flatMap { e =>
+      val w = e.getValue
+      if (w.deleted) None
+      else {
+        val vals = new Array[Any](internal.length)
+        var i = 0
+        while (i < payloadOrds.length) { vals(payloadOrds(i)) = w.payload(i); i += 1 }
+        vals(keyOrd) = UTF8String.fromString(e.getKey)
+        vals(lsnOrd) = java.lang.Long.valueOf(w.lsn)
+        vals(delOrd) = java.lang.Boolean.FALSE
+        Some(new GenericInternalRow(vals): InternalRow)
       }
-      winners.values().iterator().asScala.filter(w => !deleted(w))
-    case "patch" =>
-      // Exact PatchFoldAgg kernel per key over (lsn, op, after, reset)
-      // events — the connector and the SQL agg share one fold.
-      val payload = StructType(outOrds.filter(_ != keyOrd).map(i => internal(i)))
-      val payloadOrds = outOrds.filter(_ != keyOrd)
-      val evType = StructType(Seq(
-        StructField("lsn", LongType, nullable = false),
-        StructField("op", StringType),
-        StructField("after", payload),
-        StructField("reset", LongType)))
-      val agg = PatchFoldAgg(BoundReference(0, evType, nullable = true))
-      val bufs = new java.util.LinkedHashMap[String, PatchFoldAgg.Buf]()
-      val holder = new GenericInternalRow(1)
-      var r = nextRaw()
-      while (r != null) {
-        val k = r.getUTF8String(keyOrd).toString
-        var buf = bufs.get(k)
-        if (buf == null) { buf = agg.createAggregationBuffer(); bufs.put(k, buf) }
-        val isDel = deleted(r)
-        val after =
-          if (isDel) null
-          else {
-            val vals = new Array[Any](payloadOrds.length)
-            var i = 0
-            while (i < payloadOrds.length) {
-              val o = payloadOrds(i)
-              vals(i) = if (r.isNullAt(o)) null
-              else InternalRow.copyValue(r.get(o, internal(o).dataType))
-              i += 1
-            }
-            new GenericInternalRow(vals)
-          }
-        val ev = new GenericInternalRow(Array[Any](
-          r.getLong(lsnOrd),
-          UTF8String.fromString(if (isDel) "d" else "u"),
-          after,
-          if (resetOrd < 0 || r.isNullAt(resetOrd)) null
-          else java.lang.Long.valueOf(r.getLong(resetOrd))))
-        holder.update(0, ev)
-        agg.update(buf, holder)
-        r = nextRaw()
-      }
-      bufs.entrySet().iterator().asScala.flatMap { e =>
-        val w = agg.eval(e.getValue).asInstanceOf[InternalRow]
-        if (w == null || (!w.isNullAt(1) && w.getUTF8String(1).toString == "d")) None
-        else {
-          // Rebuild a row in `internal` ordinal space so outProj applies.
-          val vals = new Array[Any](internal.length)
-          val after = w.getStruct(2, payloadOrds.length)
-          var i = 0
-          while (i < payloadOrds.length) {
-            vals(payloadOrds(i)) =
-              if (after == null || after.isNullAt(i)) null
-              else after.get(i, payload(i).dataType)
-            i += 1
-          }
-          if (keyOrd >= 0) vals(keyOrd) = UTF8String.fromString(e.getKey)
-          Some(toUnsafe(new GenericInternalRow(vals)).copy())
-        }
-      }
-    case other => throw new IllegalStateException(s"resolveBucket on mode $other")
+    }
   }
 
   override def next(): Boolean = {
@@ -547,7 +519,10 @@ final class IceLitePartitionReader(
     }
   }
 
-  override def get(): InternalRow = outProj(row).copy()
+  // The projection's buffer is reused across rows — the V2 row-reader
+  // contract (same as Spark's own file readers); consumers copy if they
+  // buffer. The winner maps hold owned copies already.
+  override def get(): InternalRow = outProj(row)
 
   override def close(): Unit = scanner.close()
 }
@@ -870,58 +845,42 @@ final case class IceLiteChangeReaderFactory(
   }
 }
 
-private[sources] object IceLiteChangeReader {
-  /** Resolved per-key winner: lsn, dead?, payload values (internal order). */
+/** The ONE per-bucket winner-resolution kernel, shared by the batch reader
+  * (MOR/patch resolution) and the change-feed reader (before/after sides of
+  * the diff) — a fix to the fold or the tie contract lands in both by
+  * construction. */
+private[sources] object BucketResolve {
+  /** Resolved per-key winner: lsn, dead?, payload values (payloadOrds order,
+    * values copied out of the materializer's reused buffer). */
   final case class W(lsn: Long, deleted: Boolean, payload: Array[Any])
-}
 
-/** Per-bucket change reader: resolve the bucket's winners at both snapshot
-  * versions locally (LWW max-lsn map, or the exact [[PatchFoldAgg]] fold on
-  * patch tables), diff, emit change rows. No shuffle; memory is O(changed
-  * keys) on MOR/patch (added delta files name them), O(bucket) on COW. */
-final class IceLiteChangeReader(
-    p: IceLiteChangePartition, mode: String, confKV: Array[(String, String)],
-    internal: StructType,
-    keyOrd: Int, payloadOrds: Array[Int], lsnOrd: Int, delOrd: Int, resetOrd: Int,
-    includeBefore: Boolean)
-  extends PartitionReader[InternalRow] {
-
-  import IceLiteChangeReader.W
-
-  private val conf = IceLiteSourceConf.restore(confKV, internal)
-
-  private def copyPayload(r: InternalRow): Array[Any] = {
-    val vals = new Array[Any](payloadOrds.length)
-    var i = 0
-    while (i < payloadOrds.length) {
-      val o = payloadOrds(i)
-      vals(i) = if (r.isNullAt(o)) null
-      else InternalRow.copyValue(r.get(o, internal(o).dataType))
-      i += 1
+  /** Resolve per-key winners over `files`: mode "cow"/"mor" keeps the
+    * max-`__lsn` row per key (equal LSNs keep the first-read row — the same
+    * tie contract as the merge's LastWriteWinsAgg); "patch" drives the exact
+    * [[PatchFoldAgg]] kernel, so the connector and the SQL agg share one
+    * fold. Dead winners (tombstoned keys) stay in the map with
+    * `deleted = true` — callers filter or diff as needed. `keep` restricts
+    * the resolution to a key subset (the change feed's added-file keys). */
+  def winners(files: Array[String], conf: Configuration, mode: String,
+              internal: StructType, keyOrd: Int, payloadOrds: Array[Int],
+              lsnOrd: Int, delOrd: Int, resetOrd: Int,
+              keep: String => Boolean): java.util.LinkedHashMap[String, W] = {
+    def deleted(r: InternalRow): Boolean = !r.isNullAt(delOrd) && r.getBoolean(delOrd)
+    def copyPayload(r: InternalRow): Array[Any] = {
+      val vals = new Array[Any](payloadOrds.length)
+      var i = 0
+      while (i < payloadOrds.length) {
+        val o = payloadOrds(i)
+        vals(i) = if (r.isNullAt(o)) null
+        else InternalRow.copyValue(r.get(o, internal(o).dataType))
+        i += 1
+      }
+      vals
     }
-    vals
-  }
-
-  private def deleted(r: InternalRow): Boolean = !r.isNullAt(delOrd) && r.getBoolean(delOrd)
-
-  /** Keys named by the range's added files (MOR/patch restriction). */
-  private def changedKeys(): java.util.HashSet[String] = {
-    val ks = new java.util.HashSet[String]()
-    val sc = new RawFileScanner(p.addedFiles, conf)
-    try {
-      var r = sc.next()
-      while (r != null) { ks.add(r.getUTF8String(keyOrd).toString): Unit; r = sc.next() }
-    } finally sc.close()
-    ks
-  }
-
-  private def winners(files: Array[String], keep: String => Boolean)
-      : java.util.LinkedHashMap[String, W] = {
     val m = new java.util.LinkedHashMap[String, W]()
     val sc = new RawFileScanner(files, conf)
     try {
       if (mode == "patch") {
-        // Exact PatchFoldAgg kernel per key — same fold as the SQL agg.
         val payload = StructType(payloadOrds.map(i => internal(i)))
         val evType = StructType(Seq(
           StructField("lsn", LongType, nullable = false),
@@ -971,8 +930,6 @@ final class IceLiteChangeReader(
           }
         }
       } else {
-        // COW / MOR lww: max __lsn per key, equal LSNs keep the first-read
-        // row (the same tie contract as the merge's LastWriteWinsAgg).
         var r = sc.next()
         while (r != null) {
           val k = r.getUTF8String(keyOrd).toString
@@ -988,6 +945,41 @@ final class IceLiteChangeReader(
     } finally sc.close()
     m
   }
+}
+
+/** Per-bucket change reader: resolve the bucket's winners at both snapshot
+  * versions locally (LWW max-lsn map, or the exact [[PatchFoldAgg]] fold on
+  * patch tables), diff, emit change rows. No shuffle; memory is O(changed
+  * keys) on MOR/patch (added delta files name them), O(bucket) on COW. */
+final class IceLiteChangeReader(
+    p: IceLiteChangePartition, mode: String, confKV: Array[(String, String)],
+    internal: StructType,
+    keyOrd: Int, payloadOrds: Array[Int], lsnOrd: Int, delOrd: Int, resetOrd: Int,
+    includeBefore: Boolean)
+  extends PartitionReader[InternalRow] {
+
+  import BucketResolve.W
+
+  private val conf = IceLiteSourceConf.restore(confKV, internal)
+
+  /** Keys named by the range's added files (MOR/patch restriction) — read
+    * under a KEY-ONLY requested schema, so the payload columns of the delta
+    * files are never materialized for this pass. */
+  private def changedKeys(): java.util.HashSet[String] = {
+    val ks = new java.util.HashSet[String]()
+    val keyConf = IceLiteSourceConf.restore(confKV, StructType(Array(internal(keyOrd))))
+    val sc = new RawFileScanner(p.addedFiles, keyConf)
+    try {
+      var r = sc.next()
+      while (r != null) { ks.add(r.getUTF8String(0).toString): Unit; r = sc.next() }
+    } finally sc.close()
+    ks
+  }
+
+  private def winners(files: Array[String], keep: String => Boolean)
+      : java.util.LinkedHashMap[String, W] =
+    BucketResolve.winners(files, conf, mode, internal,
+      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, keep)
 
   /** Diff the two winner maps into change rows ([[IceLiteTable
     * .changesBetween]] semantics: same-lsn carried rows drop, dead-on-both

@@ -68,7 +68,32 @@ final case class DataFileMeta(
     /** Zone maps for the table's `write.stats.columns` (keyed by the
       * column's immutable PHYSICAL name). A column absent from the map has
       * no usable stats in this file — the file matches every range. */
-    colStats: Map[String, ColRange] = Map.empty)
+    colStats: Map[String, ColRange] = Map.empty) {
+
+  /** Does this file's key range possibly contain `k`? Manifest min/max are
+    * selected by UNSIGNED UTF-8 BYTE order (footerStats), so the test must
+    * compare the same way — Java String `<` is UTF-16 code-unit order,
+    * which disagrees for supplementary-plane characters and would wrongly
+    * prune a file that contains the key. */
+  def keyInRange(k: String): Boolean =
+    fullRange ||
+      (DataFileMeta.utf8Cmp(k, minKey) >= 0 && DataFileMeta.utf8Cmp(k, maxKey) <= 0)
+
+  /** Does [lo, hi] (either side open) overlap this file's key range? Same
+    * byte-order contract as [[keyInRange]]. */
+  def keyRangeOverlaps(lo: Option[String], hi: Option[String]): Boolean =
+    fullRange ||
+      (lo.forall(DataFileMeta.utf8Cmp(_, maxKey) <= 0) &&
+        hi.forall(DataFileMeta.utf8Cmp(_, minKey) >= 0))
+}
+
+object DataFileMeta {
+  /** The key order of the manifest's min/max stats: unsigned UTF-8 bytes
+    * (what parquet binary stats and Spark's UTF8String comparisons use). */
+  def utf8Cmp(a: String, b: String): Int = java.util.Arrays.compareUnsigned(
+    a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+}
 
 final case class CommitStats(
     epochKey: String,
@@ -643,8 +668,7 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     val byBucket = keys.groupBy(k =>
       graft.hashing.KafkaMurmur2.bucketLabelOf(k, s.numBuckets))
     s.files.filter { f =>
-      byBucket.get(f.bucket).exists(ks =>
-        f.fullRange || ks.exists(k => k >= f.minKey && k <= f.maxKey))
+      byBucket.get(f.bucket).exists(ks => ks.exists(f.keyInRange))
     }
   }
 

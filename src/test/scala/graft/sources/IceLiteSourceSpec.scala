@@ -213,14 +213,24 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(j.count() == 3)
   }
 
-  test("count(*) on a COW table is answered from the manifest") {
+  test("count(*) on a tombstone-free COW table is answered from the manifest") {
     val t = mkTable("cow")
     t.merge(changes(120, 0), "e1")
-    t.merge(deletes(Seq("doc2", "doc9"), 5000), "e2")
     val df = spark.read.format("icelite").load(t.root).groupBy().count()
-    assert(df.head.getLong(0) == 118)
+    assert(df.head.getLong(0) == 120)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("IceLiteCountScan"), s"count must push to the manifest:\n$plan")
+    // tombstoned files decline the pushdown (the manifest's `tombstones` is
+    // a 0/1 presence flag, NOT a row count — two deletes in one bucket
+    // would make a flag-based count wrong): exact via readers. Both deletes
+    // target keys in the SAME bucket to pin exactly that case.
+    val sameBucket = (1 until 120).map(i => s"doc$i")
+      .groupBy(k => graft.hashing.KafkaMurmur2.bucketLabelOf(k, 8))
+      .values.find(_.size >= 2).get.take(2)
+    t.merge(deletes(sameBucket, 5000), "e2")
+    val dDel = spark.read.format("icelite").load(t.root).groupBy().count()
+    assert(!dDel.queryExecution.executedPlan.toString.contains("IceLiteCountScan"))
+    assert(dDel.head.getLong(0) == 118)
     // MOR declines (net winners unknowable from counts): exact via readers
     val tm = mkTable("mor")
     tm.merge(changes(50, 0), "e1")
@@ -234,6 +244,23 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(!dfF.queryExecution.executedPlan.toString.contains("IceLiteCountScan"))
     assert(dfF.head.getLong(0) ==
       t.read().filter($"n_tok" > 2).count())
+  }
+
+  test("supplementary-plane keys are not wrongly pruned (UTF-8 byte-order stats)") {
+    // Manifest minKey/maxKey are selected by unsigned UTF-8 byte order; a
+    // UTF-16 comparison sees the surrogate pair (0xD83D) BELOW U+E000 and
+    // would prune the file that contains the emoji key.
+    val t = mkTable("cow")
+    val emoji = "😀doc" // U+1F600, UTF-8 leading byte 0xF0
+    val high = "doc"        // U+E000,  UTF-8 leading byte 0xEE
+    val ch = Seq((emoji, 1L), (high, 2L)).toDF("doc_id", "lsn").select(
+      col("doc_id"), lit("u").as("op"), col("lsn"),
+      struct(col("doc_id"), lit(Array(1)).as("tokens"), lit(1).as("n_tok"),
+        lit("s").as("source")).as("after"))
+    t.merge(ch, "e1")
+    val got = spark.read.format("icelite").load(t.root).filter($"doc_id" === emoji)
+    assert(got.count() == 1, "byte-order stats must not prune the emoji key's file")
+    assert(t.lookup(Seq(emoji)).count() == 1, "native lookup shares the comparator")
   }
 
   test("tag option reads the tagged snapshot") {

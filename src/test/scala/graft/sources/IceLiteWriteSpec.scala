@@ -119,6 +119,27 @@ class IceLiteWriteSpec extends AnyFunSuite {
     val vAfter = IceLite.load(spark, repRoot).snapshot.version
     relay() // nothing new: no version bump on the replica
     assert(IceLite.load(spark, repRoot).snapshot.version == vAfter)
+
+    // A FRESH checkpoint restarts batchIds at 0 — the epoch prefix derives
+    // from the checkpoint location, so the new run's batches must still
+    // apply instead of no-oping against the old run's committed epochs.
+    rows(5, "c").write.format("icelite").option("lsn", "200000")
+      .mode("append").save(srcRoot)
+    val ckpt2 = SparkTestBase.tempDir("w-sink-ck2")
+    val q2 = spark.readStream.format("icelite")
+      .option("changeFeed", "true").option("path", srcRoot).load()
+      .select(col("doc_id"),
+        when(col("change_op") === "delete", "d").otherwise("u").as("op"),
+        coalesce(col("lsn"), lit(Long.MaxValue)).as("lsn"),
+        when(col("change_op") =!= "delete",
+          struct(col("doc_id"), col("tokens"), col("n_tok"), col("source"))).as("after"))
+      .writeStream.format("icelite").option("path", repRoot)
+      .option("checkpointLocation", ckpt2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination()
+    assert(IceLite.load(spark, repRoot).read()
+      .filter($"source" === "c").count() == 5,
+      "a fresh-checkpoint relay must apply, not no-op on recycled batchIds")
   }
 
   test("overwrite mode and missing key column give clear errors") {
