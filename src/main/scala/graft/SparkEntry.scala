@@ -34,6 +34,16 @@ object SparkEntry {
     embDimMemo.computeIfAbsent(dir,
       _ => T(s, dir, "embeddings").select(size(col("embedding"))).head().getInt(0)).intValue
 
+  /** Exclusive lsn upper bound of every derived change stream (all of them
+    * use `lsn = event_id`), probed once per data dir and memoized — this
+    * was ten separate one-row `agg(max).head()` jobs per suite run. Streams
+    * that drop rows (DLQ-cleaned) still slice correctly under the global
+    * bound: [[Pipeline.replayBatch]] only uses it for epoch ranges. */
+  private val lsnMaxMemo = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def lsnMaxOf(s: SparkSession, dir: String): Long =
+    lsnMaxMemo.computeIfAbsent(dir,
+      _ => T(s, dir, "events").agg(max("event_id")).head().getLong(0) + 1).longValue
+
   // JOSE fixtures pinned from the reference's public test suite
   // (`smt/JoseTest.java:22-56`): base64(JWK oct) keys + flattened JWEs whose
   // plaintexts are {"foo":"bar"} / {"bar":"baz"}.
@@ -118,7 +128,7 @@ object SparkEntry {
     val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8,
       properties = Map("write.mode" -> mode, "write.merge.fold" -> "patch"))
     val changes = derivedPatchChanges(s, dir)
-    val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+    val lsnMax = lsnMaxOf(s, dir)
     Pipeline.replayBatch(s, changes, table, s"patch-$mode", epochs = 4, lsnMax = lsnMax)
     table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
       col("n_tok"), col("source"))
@@ -132,7 +142,7 @@ object SparkEntry {
     val root = java.nio.file.Files.createTempDirectory("graft-entry").toString
     val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
     val changes = derivedChanges(s, dir)
-    val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+    val lsnMax = lsnMaxOf(s, dir)
     Pipeline.replayBatch(s, changes, table, "verify", epochs = 4, lsnMax = lsnMax)
     // tokens compared as a joined string: the driver's pandas-based compare
     // cannot sort/hash raw array columns; token content stays fully checked.
@@ -181,7 +191,7 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-bootstrap").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
       val changes = derivedChanges(s, dir)
-      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       val w = lsnMax / 2
       val byLsn = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("lsn").desc)
@@ -217,7 +227,7 @@ object SparkEntry {
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
       val dlqRoot = java.nio.file.Files.createTempDirectory("graft-dlq2").toString
       val (clean, _) = graft.stream.Dlq.split(dlqCorrupted(s, dir), "doc_id", dlqRoot, "all/0")
-      val lsnMax = clean.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       Pipeline.replayBatch(s, clean, table, "clean", epochs = 4, lsnMax = lsnMax)
       table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
         col("n_tok"), col("source"))
@@ -255,7 +265,7 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-rename").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
       val changes = derivedChanges(s, dir)
-      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       val mid = lsnMax / 2
       Pipeline.replayBatch(s, changes.filter(col("lsn") < mid), table, "pre",
         epochs = 2, lsnMax = mid)
@@ -280,7 +290,7 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-widen").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
       val changes = derivedChanges(s, dir)
-      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       val mid = lsnMax / 2
       Pipeline.replayBatch(s, changes.filter(col("lsn") < mid), table, "pre",
         epochs = 2, lsnMax = mid)
@@ -309,7 +319,7 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-tag").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
       val changes = derivedChanges(s, dir)
-      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       val mid = lsnMax / 2
       Pipeline.replayBatch(s, changes.filter(col("lsn") < mid), table, "pre",
         epochs = 2, lsnMax = mid)
@@ -330,7 +340,7 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-drop").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
       val changes = derivedChanges(s, dir)
-      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       val mid = lsnMax / 2
       Pipeline.replayBatch(s, changes.filter(col("lsn") < mid), table, "pre",
         epochs = 2, lsnMax = mid)
@@ -357,7 +367,7 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-sqlscan").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
       val changes = derivedChanges(s, dir)
-      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       Pipeline.replayBatch(s, changes, table, "sq", epochs = 3, lsnMax = lsnMax)
       GraftExtensions.register(s)
       val v = table.snapshot.version
@@ -382,7 +392,7 @@ object SparkEntry {
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8,
         properties = Map("write.mode" -> "mor"))
       val changes = derivedChanges(s, dir)
-      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       Pipeline.replayBatch(s, changes, table, "v2", epochs = 3, lsnMax = lsnMax)
       s.read.format("icelite").load(root)
         .filter(col("doc_id") >= "100" && col("source") =!= "purchase")
@@ -410,7 +420,7 @@ object SparkEntry {
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8,
         properties = Map("write.mode" -> "mor"))
       val changes = derivedChanges(s, dir)
-      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       s.conf.set(Pipeline.CompactSmallEveryConf, "2")
       try Pipeline.replayBatch(s, changes, table, "cmp", epochs = 6, lsnMax = lsnMax)
       finally s.conf.unset(Pipeline.CompactSmallEveryConf)
@@ -425,7 +435,7 @@ object SparkEntry {
       // interleaving, the final state must equal the full LWW fold.
       val root = java.nio.file.Files.createTempDirectory("graft-conc").toString
       IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
-      val lsnMax = derivedChanges(s, dir).agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
       val ws = (0 until 2).map { parity =>
         new Thread(() => {
@@ -1039,7 +1049,7 @@ object SparkEntry {
       // tagged. Oracle = the per-table LWW fold of the same routing.
       val ch = derivedChanges(s, dir)
         .withColumn("topic", concat(lit("t"), col("doc_id").cast(IntegerType) % 2))
-      val lsnMax = ch.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       def mk() = IceLite.create(s,
         java.nio.file.Files.createTempDirectory("graft-mt").toString,
         derivedPayloadType, "doc_id", numBuckets = 8)
@@ -1056,12 +1066,16 @@ object SparkEntry {
           col("n_tok"), col("source"))
     }),
     "q_hot_keys" -> ((s, dir) =>
-      // Heavy-hitter detection over the derived stream: md5-keyed 25%
-      // sample, keys with >= 2% sampled share — the skew-salting trigger
-      // (graft.merge.autoSaltShare). Deterministic, so the oracle
-      // recomputes the identical sample.
-      graft.merge.HotKeys.detect(derivedChanges(s, dir), "doc_id", col("lsn"),
-        minShare = 0.02, sampleFraction = 0.25)),
+      // Heavy-hitter detection over a SKEW-SYNTHESIZED derivative of the
+      // stream (every 5th event collapses onto one key — ~20% share, far
+      // over the 2% trigger), so the driver gate asserts the detector's
+      // FIRING path against the oracle, not just empty agreement; md5-keyed
+      // 25% sample, deterministic, so the oracle recomputes the identical
+      // sample. This is the skew-salting trigger (graft.merge.autoSaltShare).
+      graft.merge.HotKeys.detect(
+        derivedChanges(s, dir).withColumn("doc_id",
+          when(col("lsn") % 5 === 0, lit("hot-0")).otherwise(col("doc_id"))),
+        "doc_id", col("lsn"), minShare = 0.02, sampleFraction = 0.25)),
     "q_stream_join" -> ((s, dir) => {
       // Interval join (stream-stream shape, batch-verifiable): purchases
       // within 30 minutes AFTER a signup of the same user. The bounded
@@ -1092,7 +1106,7 @@ object SparkEntry {
       // their buckets — sound under stale deltas (see IceLiteTable.scanRange
       // and ZoneScanSpec). Oracle = the LWW fold under the same predicate.
       val ch = zoneChanges(s, dir)
-      val lsnMax = ch.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft-zone").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8,
         properties = Map("write.mode" -> "mor", "write.stats.columns" -> "n_tok"))
@@ -1110,7 +1124,7 @@ object SparkEntry {
       // transparent to results — the oracle is the same LWW fold with the
       // same predicate, blind to the curve.
       val ch = zoneChanges(s, dir)
-      val lsnMax = ch.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       val root = java.nio.file.Files.createTempDirectory("graft-zorder").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
       Pipeline.replayBatch(s, ch, table, "zorder", epochs = 4, lsnMax = lsnMax)
@@ -1130,7 +1144,7 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-wap").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
       val changes = derivedChanges(s, dir)
-      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       val w = lsnMax * 3 / 4
       Pipeline.replayBatch(s, changes.filter(col("lsn") < w), table, "wap", epochs = 3, lsnMax = w)
       table.mergeStaged(changes.filter(col("lsn") >= w), "wap/3", "audit-final")
@@ -1154,7 +1168,7 @@ object SparkEntry {
       val root = java.nio.file.Files.createTempDirectory("graft-dml").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8)
       val changes = derivedChanges(s, dir)
-      val lsnMax = changes.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       Pipeline.replayBatch(s, changes, table, "dml", epochs = 2, lsnMax = lsnMax)
       val parser = new graft.sql.GraftSqlParser(s.sessionState.sqlParser)
       def runSql(stmt: String): Unit =
@@ -1175,7 +1189,7 @@ object SparkEntry {
   private def replayedTable(s: SparkSession, dir: String): (graft.table.IceLiteTable, Long) =
     replayMemo.computeIfAbsent(dir, _ => {
       val ch = derivedChanges(s, dir)
-      val lsnMax = ch.agg(max("lsn")).head().getLong(0) + 1
+      val lsnMax = lsnMaxOf(s, dir)
       val per = math.max(1L, (lsnMax + 3) / 4)
       val root = java.nio.file.Files.createTempDirectory("graft-changes").toString
       val table = IceLite.create(s, root, derivedPayloadType, "doc_id", numBuckets = 8,
@@ -2241,7 +2255,8 @@ object SparkEntry {
         |FROM last WHERE rn = 1 AND event_type <> 'error'""".stripMargin,
     "q_hot_keys" ->
       """WITH s AS (
-        |  SELECT CAST(user_id AS VARCHAR) AS doc_id FROM events
+        |  SELECT CASE WHEN event_id % 5 = 0 THEN 'hot-0'
+        |              ELSE CAST(user_id AS VARCHAR) END AS doc_id FROM events
         |  WHERE md5_number_lower(CAST(event_id AS VARCHAR) || ':hot0') % 1000000 < 250000),
         |c AS (SELECT doc_id, count(*) AS n FROM s GROUP BY doc_id),
         |t AS (SELECT sum(n) AS total FROM c)

@@ -178,7 +178,8 @@ object Dedup {
                         numHashes: Int = 64, bands: Int = 16, shingleWidth: Int = 3,
                         threshold: Double = 0.5, hashKernel: String = "xx",
                         nPartitions: Int = 64, appendSurvivors: Boolean = false,
-                        maxBucket: Int = 100000, segment: Option[String] = None): DataFrame = {
+                        maxBucket: Int = 100000, segment: Option[String] = None,
+                        checkpointDir: Option[String] = None): DataFrame = {
     val spark = newDocs.sparkSession
     // The batch side carries the same degenerate-bucket cap as the index
     // build: candidates per bucket are then <= maxBucket^2 even when the
@@ -218,8 +219,19 @@ object Dedup {
     if (appendSurvivors) {
       // materialize BEFORE mutating the index: the returned frame must not
       // lazily re-probe a directory that now contains this batch's own
-      // signatures (every survivor would suddenly "match" itself at 1.0)
-      val mat = dupes.localCheckpoint(true)
+      // signatures (every survivor would suddenly "match" itself at 1.0).
+      // `checkpointDir` selects RELIABLE checkpointing (same contract as
+      // [[components]]): on a real cluster an executor lost between this
+      // materialize and the survivor append would otherwise recompute the
+      // probe against the mutated index; local blocks are the cheap default
+      // for local mode and rerun-tolerant jobs.
+      val mat = checkpointDir match {
+        case Some(dir) =>
+          val sc = dupes.sparkSession.sparkContext
+          if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+          dupes.checkpoint(true)
+        case None => dupes.localCheckpoint(true)
+      }
       // Appended survivors inherit the batch-side cap above; each append
       // still adds up to maxBucket rows per bucket, so a long-lived bucket
       // can exceed the cap across MANY appends — rebuild the index

@@ -88,6 +88,30 @@ class OpsSpec extends AnyFunSuite {
     assert(d3.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((30L, 1L)), d3.mkString(","))
   }
 
+  test("dedupAgainstIndex with checkpointDir materializes through a reliable checkpoint") {
+    import graft.SparkTestBase
+    val base = SparkTestBase.tempDir("mh-ckpt")
+    val idx = base + "/idx"
+    Dedup.buildMinhashIndex(docs.filter(col("doc_id") <= 3), "doc_id", "text", idx,
+      numHashes = 32, bands = 16, shingleWidth = 3, nPartitions = 8)
+    val b1 = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog and runs far away home"),
+      (11L, "entirely novel sentence with no overlap to the corpus at all today")
+    ).toDF("doc_id", "text")
+    val d = Dedup.dedupAgainstIndex(b1, idx, "doc_id", "text",
+      numHashes = 32, bands = 16, shingleWidth = 3, threshold = 0.4,
+      nPartitions = 8, appendSurvivors = true, segment = Some("e1"),
+      checkpointDir = Some(base + "/ckpt")).collect()
+    // same dupes as the local-checkpoint path, and the reliable checkpoint
+    // actually landed on disk (survives executor loss on a real cluster)
+    assert(d.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((10L, 1L)), d.mkString(","))
+    val ckpt = new java.io.File(base + "/ckpt")
+    assert(ckpt.exists && ckpt.listFiles().nonEmpty, "no reliable checkpoint written")
+    // survivor append still happened exactly once
+    assert(spark.read.parquet(idx).filter(col("seg") === "e1")
+      .select("id").distinct().collect().map(_.getLong(0)).toSet == Set(11L))
+  }
+
   test("segment-keyed index append is idempotent under batch redelivery") {
     import graft.SparkTestBase
     val idx = SparkTestBase.tempDir("mh-redeliver") + "/idx"
