@@ -91,11 +91,20 @@ class IceLiteDataSource extends TableProvider with DataSourceRegister
     // at 0 under a FRESH checkpoint, and a constant prefix would make the
     // new query's batches silently no-op against the old run's committed
     // epochs. Same checkpoint -> same prefix -> resume stays exactly-once.
+    // With NEITHER option present (checkpoint set via conf / default dir,
+    // invisible here) there is no safe derivation — fail fast rather than
+    // risk silent data loss on the second query against this path.
     val prefix = lower.getOrElse("epochprefix",
       lower.get("checkpointlocation")
         .map(c => "sink-" + java.lang.Integer.toHexString(
           scala.util.hashing.MurmurHash3.stringHash(c)))
-        .getOrElse("sink"))
+        .getOrElse(throw new IllegalArgumentException(
+          "icelite sink: pass `checkpointLocation` (or `epochPrefix`) as a " +
+            "writeStream OPTION — a checkpoint configured only via " +
+            "spark.sql.streaming.checkpointLocation is not visible to the " +
+            "sink, and without it epoch keys cannot be made unique per " +
+            "query (a fresh checkpoint would silently no-op against a " +
+            "previous run's committed epochs)")))
     new org.apache.spark.sql.execution.streaming.Sink {
       override def addBatch(batchId: Long, data: org.apache.spark.sql.DataFrame): Unit =
         IceLiteWrites.append(
@@ -785,21 +794,30 @@ class IceLiteChangeStream(path: String, startSnap: Snapshot, hadoopConf: Configu
 
 private[sources] object IceLiteChangeFeed {
 
-  /** One input partition per bucket that gained a file in (fromV, toV]. */
+  /** One input partition per bucket that gained OR LOST a file in
+    * (fromV, toV]. Removed-only buckets matter: a compaction can leave a
+    * bucket with zero files (every key tombstoned and the tombstones
+    * dropped below the watermark) — keyed off added files alone, that
+    * bucket would plan no partition and its delete events would be missed
+    * ([[graft.table.IceLiteTable.changesBetweenSnapshots]] nominates the
+    * same way). Buckets untouched in the range still plan nothing. */
   def planPartitions(path: String, fromV: Long, toV: Long): Array[InputPartition] = {
     if (fromV >= toV) return Array.empty
     val t = new IceLiteTable(SparkSession.active, path)
     val from = t.snapshotAt(fromV)
     val to = t.snapshotAt(toV)
     val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
     val added = to.files.filterNot(f => fromPaths(f.path))
-    val buckets = added.map(_.bucket).toSet
+    val removed = from.files.filterNot(f => toPaths(f.path))
+    val buckets = (added.map(_.bucket) ++ removed.map(_.bucket)).toSet
     def abs(p: String): String = s"$path/$p"
     buckets.toSeq.sorted.map { b =>
       IceLiteChangePartition(b,
         from.files.filter(_.bucket == b).map(f => abs(f.path)).sorted.toArray,
         to.files.filter(_.bucket == b).map(f => abs(f.path)).sorted.toArray,
-        added.filter(_.bucket == b).map(f => abs(f.path)).sorted.toArray)
+        added.filter(_.bucket == b).map(f => abs(f.path)).sorted.toArray,
+        removed.filter(_.bucket == b).map(f => abs(f.path)).sorted.toArray)
     }.toArray
   }
 
@@ -827,7 +845,8 @@ private[sources] object IceLiteChangeFeed {
 }
 
 final case class IceLiteChangePartition(bucket: Int, fromFiles: Array[String],
-                                        toFiles: Array[String], addedFiles: Array[String])
+                                        toFiles: Array[String], addedFiles: Array[String],
+                                        removedFiles: Array[String])
   extends InputPartition
 
 final case class IceLiteChangeReaderFactory(
@@ -962,13 +981,18 @@ final class IceLiteChangeReader(
 
   private val conf = IceLiteSourceConf.restore(confKV, internal)
 
-  /** Keys named by the range's added files (MOR/patch restriction) — read
-    * under a KEY-ONLY requested schema, so the payload columns of the delta
-    * files are never materialized for this pass. */
+  /** Keys named by the range's added AND removed files (MOR/patch
+    * restriction) — read under a KEY-ONLY requested schema, so the payload
+    * columns of the delta files are never materialized for this pass.
+    * Removed files name keys whose files a compaction dropped (possibly
+    * without writing a replacement — fully-tombstoned keys): their delete
+    * events must still diff. Removed files are from-side files, which this
+    * reader reads in full anyway, so the extra pass stays a cheap
+    * key-column scan. */
   private def changedKeys(): java.util.HashSet[String] = {
     val ks = new java.util.HashSet[String]()
     val keyConf = IceLiteSourceConf.restore(confKV, StructType(Array(internal(keyOrd))))
-    val sc = new RawFileScanner(p.addedFiles, keyConf)
+    val sc = new RawFileScanner(p.addedFiles ++ p.removedFiles, keyConf)
     try {
       var r = sc.next()
       while (r != null) { ks.add(r.getUTF8String(0).toString): Unit; r = sc.next() }

@@ -62,6 +62,16 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?icelite\s*\.\s*`([^`]+)`\s*\((.+?)\)\s+KEY\s+([A-Za-z_][A-Za-z0-9_]*)(?:\s+BUCKETS\s+(\d+))?(?:\s+TBLPROPERTIES\s*\(([^)]*)\))?\s*;?\s*$""".r
   private val ifNotExistsPattern = """(?is)^\s*CREATE\s+TABLE\s+IF\s+NOT\s+EXISTS\b.*""".r
 
+  /** A statement that TARGETS an icelite table with one of this parser's
+    * scoped verbs but does not match its full grammar. Without this guard
+    * such a statement fell through to the delegate parser and died there
+    * with a confusing unrelated error (e.g. "table not found: icelite");
+    * known grammar restrictions that trigger it: a TBLPROPERTIES value
+    * containing `)`, a column comment containing `) KEY`, a MERGE source
+    * subquery containing the literal `) EPOCH '`. */
+  private val iceliteDdlPrefix =
+    """(?is)^\s*(?:CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?|ALTER\s+TABLE\s+|MERGE\s+INTO\s+|OPTIMIZE\s+|VACUUM\s+|(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?)icelite\s*\.\s*`.*""".r
+
   /** `DESCRIBE [TABLE] icelite.`/path`` — schema + layout + properties in
     * the familiar DESCRIBE shape. */
   private val describePattern =
@@ -146,6 +156,17 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       OptimizeIceLiteCommand(root, cols)
     case vacuumPattern(root, retain) =>
       VacuumIceLiteCommand(root, Option(retain).map(_.toInt).getOrElse(1))
+    case stmt if iceliteDdlPrefix.matches(stmt) =>
+      throw new IllegalArgumentException(
+        "statement targets an icelite table but does not match the scoped icelite " +
+          "grammar; supported forms: CREATE TABLE icelite.`p` (cols) KEY k [BUCKETS n] " +
+          "[TBLPROPERTIES ('k'='v',...)] | ALTER TABLE icelite.`p` RENAME COLUMN a TO b " +
+          "| DROP COLUMN c | SET/UNSET TBLPROPERTIES (...) | MERGE INTO icelite.`p` " +
+          "USING (<query>) EPOCH 'e' | OPTIMIZE icelite.`p` [ZORDER BY (cols)] | " +
+          "VACUUM icelite.`p` [RETAIN n SNAPSHOTS] | DESCRIBE icelite.`p`. " +
+          "Known restrictions: TBLPROPERTIES values must not contain ')', column " +
+          "comments must not contain ') KEY', and the MERGE source must not contain " +
+          "the literal \") EPOCH '\" — statement: " + stmt.trim.take(200))
     case _ => interceptDml(delegate.parsePlan(sqlText))
   }
 

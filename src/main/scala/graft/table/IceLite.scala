@@ -767,17 +767,42 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     s"sql-$kind-${hex.take(16)}-v$version"
   }
 
+  /** Correction ordering for ad-hoc DML: strictly above every lsn the
+    * table has EVER stored (tombstones included) plus a reserved stride
+    * (`write.dml.lsn.stride` property, default 1). Basing corrections on
+    * the table-wide max — not each victim's winner lsn + 1 — keeps them
+    * clear of the stream's LIVE positions: under a global binlog lsn a
+    * key's very next upstream event can land at exactly winner + 1 and tie
+    * with a per-row correction (the LWW tie contract is first-seen, i.e.
+    * nondeterministic for distinct payloads), whereas colliding with
+    * tableMax + stride requires the upstream counter to jump exactly
+    * `stride` past everything already applied; deployments that need a
+    * wider guard band raise the stride. Semantics: a correction supersedes
+    * every event applied up to its emission point; upstream events at
+    * higher lsn still win. Cost: one column-pruned max(__lsn) probe per
+    * statement — corrections are rare by contract. */
+  private def correctionLsn(s: Snapshot): Long = {
+    import org.apache.spark.sql.functions._
+    val raw = readFiles(s.copy(schemaJson =
+      graft.merge.MergeInto.dataSchemaOf(s.schema, s.fold == "patch").json), s.files)
+    val maxLsn = Option(raw.agg(max(col(graft.merge.MergeInto.LSN))).head().get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
+    val stride = s.properties.get("write.dml.lsn.stride").map(_.toLong).getOrElse(1L)
+    require(stride >= 1, s"write.dml.lsn.stride must be >= 1, got $stride")
+    maxLsn + stride
+  }
+
   /** Ad-hoc row-level DELETE — the GDPR / bad-batch correction path,
     * outside the CDC stream. Rows of the CURRENT resolved state matching
-    * `cond` become delete events at `lsn = row.__lsn + 1` and flow through
-    * the normal MERGE: only the victims' buckets rewrite (COW) or gain a
-    * tombstone delta (MOR/patch), the commit rebases across concurrent
-    * ingest, and a LATER upstream change for the same key (necessarily at a
-    * higher lsn) still wins — the correction sits inside the same total
-    * order as the stream it corrects, rather than above it. Cost: one scan
-    * reading only (key, __lsn, cond's columns) — parquet column pruning —
-    * plus the merge's touched-buckets write; the standard lakehouse DML
-    * shape at 10^10 rows. */
+    * `cond` become delete events at [[correctionLsn]] (above every applied
+    * lsn) and flow through the normal MERGE: only the victims' buckets
+    * rewrite (COW) or gain a tombstone delta (MOR/patch), the commit
+    * rebases across concurrent ingest, and an upstream change at a higher
+    * lsn still wins — the correction sits inside the same total order as
+    * the stream it corrects, rather than above it. Cost: one scan reading
+    * only (key, __lsn, cond's columns) — parquet column pruning — plus the
+    * merge's touched-buckets write; the standard lakehouse DML shape at
+    * 10^10 rows. */
   def deleteWhere(cond: Column, epochKey: String = null): CommitStats = {
     import org.apache.spark.sql.functions._
     val s = snapshot
@@ -785,7 +810,7 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
       col(s.keyColumn),
       lit("d").as("op"),
       lit(null).cast(s.schema).as("after"),
-      (col(graft.merge.MergeInto.LSN) + 1L).as("lsn"))
+      lit(correctionLsn(s)).as("lsn"))
     merge(victims, Option(epochKey).getOrElse(
       dmlEpochKey("delete", cond.toString, s.version)))
   }
@@ -793,9 +818,13 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   /** Ad-hoc row-level UPDATE: matching live rows re-emit as update events
     * (full `after` payload = the row with `set` assignments applied, so
     * expressions may reference the row's current values) at
-    * `lsn = row.__lsn + 1`, merged like any change batch — same causality,
+    * [[correctionLsn]], merged like any change batch — same causality,
     * concurrency, and exactly-once story as [[deleteWhere]]. The key
-    * column is immutable (that is what MERGE's key identity means). */
+    * column is immutable (that is what MERGE's key identity means).
+    * On patch-fold tables an assignment that evaluates to NULL raises at
+    * execution: the patch fold reads a null column as "unchanged", so a
+    * SET-to-null would otherwise be silently dropped instead of applied —
+    * model an explicit null as a delete + reinsert. */
   def updateWhere(set: Seq[(String, Column)], cond: Column,
                   epochKey: String = null): CommitStats = {
     import org.apache.spark.sql.functions._
@@ -805,13 +834,23 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     require(!set.exists(_._1 == s.keyColumn),
       s"UPDATE: cannot assign the key column ${s.keyColumn}")
     val m = set.toMap
+    def assigned(f: org.apache.spark.sql.types.StructField, c: Column): Column =
+      if (s.fold != "patch") c.cast(f.dataType)
+      else when(c.cast(f.dataType).isNull,
+        raise_error(concat(
+          lit(s"UPDATE on a patch-fold table: SET ${f.name} evaluated to NULL for key "),
+          col(s.keyColumn),
+          lit(" — the patch fold treats null as 'unchanged', so the assignment " +
+            "would be silently dropped; use delete + reinsert to null a column")))
+          .cast(f.dataType))
+        .otherwise(c.cast(f.dataType))
     val after = struct(s.schema.fields.toSeq.map(f =>
-      m.get(f.name).map(_.cast(f.dataType)).getOrElse(col(f.name)).as(f.name)): _*)
+      m.get(f.name).map(assigned(f, _)).getOrElse(col(f.name)).as(f.name)): _*)
     val changed = readLiveWithLsn(s).filter(cond).select(
       col(s.keyColumn),
       lit("u").as("op"),
       after.as("after"),
-      (col(graft.merge.MergeInto.LSN) + 1L).as("lsn"))
+      lit(correctionLsn(s)).as("lsn"))
     merge(changed, Option(epochKey).getOrElse(
       dmlEpochKey("update",
         set.map { case (k, v) => s"$k=$v" }.mkString(",") + "|" + cond.toString,
@@ -1118,16 +1157,31 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     import graft.merge.MergeInto.{DELETED, LSN}
     val key = to.keyColumn
     val fromPaths = from.files.map(_.path).toSet
+    val toPaths = to.files.map(_.path).toSet
     val added = to.files.filterNot(f => fromPaths(f.path))
-    val buckets = added.map(_.bucket).toSet
+    // Buckets that only LOST files in the range must also be diffed: a
+    // compaction can leave a bucket with zero files (every key tombstoned
+    // and the tombstones dropped below the watermark), and keyed off added
+    // files alone those keys' delete events would be silently missed.
+    val removed = from.files.filterNot(f => toPaths(f.path))
+    val buckets = (added.map(_.bucket) ++ removed.map(_.bucket)).toSet
     val dataJson = graft.merge.MergeInto.dataSchemaOf(to.schema, to.fold == "patch").json
     val payloadCols = to.schema.fieldNames.filterNot(_ == key).toSeq
 
-    // MOR deltas name the changed keys exactly; restrict both sides to them.
+    // MOR deltas name the changed keys exactly; restrict both sides to
+    // them. Removed files contribute their keys too (a dropped key may have
+    // no surviving row on the to-side to name it); they are from-side files
+    // the diff reads in full anyway, so this stays a key-column scan.
     val candKeys: Option[DataFrame] =
-      if (to.writeMode == "mor" && added.nonEmpty)
-        Some(readFiles(to.copy(schemaJson = dataJson), added).select(col(key)).distinct())
-      else None
+      if (to.writeMode == "mor" && (added.nonEmpty || removed.nonEmpty)) {
+        val sides =
+          (if (added.isEmpty) Nil
+           else Seq(readFiles(to.copy(schemaJson = dataJson), added).select(col(key)))) ++
+          (if (removed.isEmpty) Nil
+           else Seq(readFiles(from.copy(schemaJson = dataJson,
+             columnMapping = to.columnMapping), removed).select(col(key))))
+        Some(sides.reduce(_ union _).distinct())
+      } else None
 
     def side(s: Snapshot): DataFrame = {
       val bucketFiles = s.files.filter(f => buckets(f.bucket))

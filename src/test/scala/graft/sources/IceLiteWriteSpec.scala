@@ -27,6 +27,18 @@ class IceLiteWriteSpec extends AnyFunSuite {
       (col("id") % 5 + 1).cast("int").as("n_tok"),
       lit(src).as("source"))
 
+  test("streaming sink without a visible checkpoint fails fast instead of recycling epochs") {
+    // checkpoint set only via conf (or defaulted) is invisible to the V1
+    // sink provider; a constant fallback prefix would make a later query's
+    // restarted batchIds silently no-op against this run's committed epochs
+    val e = intercept[IllegalArgumentException] {
+      new IceLiteDataSource().createSink(
+        spark.sqlContext, Map("path" -> SparkTestBase.tempDir("sink-nockpt")), Nil,
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    }
+    assert(e.getMessage.contains("checkpointLocation"), e.getMessage)
+  }
+
   test("create-on-first-append, then append upserts by LWW") {
     val root = SparkTestBase.tempDir("w-create")
     rows(40, "a").write.format("icelite")

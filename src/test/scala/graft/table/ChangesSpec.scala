@@ -105,6 +105,36 @@ class ChangesSpec extends AnyFunSuite {
     assert(collectChanges(df) == Set(("k0", "update", Some(100L))))
   }
 
+  test("removed-only buckets still emit deletes (tombstones compacted to zero files)") {
+    for (mode <- Seq("cow", "mor")) {
+      val root = SparkTestBase.tempDir(s"chg-removed-$mode")
+      val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 4,
+        properties = Map("write.mode" -> mode))
+      val keys = (0 until 24).map(i => s"k$i")
+      t.merge(changes(keys.zipWithIndex.map { case (k, i) => (k, "c", i.toLong) }), "e1")
+      val v1 = t.snapshot.version
+      // delete EVERY key of one bucket, then drop the tombstones below the
+      // watermark: the bucket ends the range with only REMOVED files, and a
+      // plan keyed off added files alone would silently miss the deletes
+      val byBucket = keys.groupBy(k => graft.hashing.KafkaMurmur2.bucketLabelOf(k, 4))
+      val (victimBucket, victims) = byBucket.maxBy(_._2.size)
+      t.merge(changes(victims.zipWithIndex.map { case (k, i) => (k, "d", 100L + i) }), "e2")
+      t.compactTombstones(lsnWatermark = 1000L)
+      val to = t.snapshot
+      assert(!to.files.exists(_.bucket == victimBucket),
+        s"[$mode] expected bucket $victimBucket to end with zero files: ${to.files.map(_.path)}")
+      // native path: deletes with null lsn (the tombstone itself is gone)
+      val out = collectChanges(t.changesBetween(v1, to.version))
+      assert(out == victims.map(k => (k, "delete", None: Option[Long])).toSet,
+        s"[$mode] $out")
+      // connector CDF path agrees
+      val feed = spark.read.format("icelite")
+        .option("changeFeed", "true").option("startingVersion", v1.toString)
+        .load(root)
+      assert(collectChanges(feed) == out, s"[$mode] connector disagreed")
+    }
+  }
+
   test("pre/post images + Maintain.sumCount == from-scratch aggregate") {
     val root = SparkTestBase.tempDir("chg-incr")
     val t = IceLite.create(spark, root, payload, "doc_id", numBuckets = 4)

@@ -76,6 +76,64 @@ class DmlSpec extends AnyFunSuite {
     assert(state(t).find(_._1 == "a").get == (("a", 42, "new")))
   }
 
+  test("corrections order above the table-wide max lsn, not per-row winner+1") {
+    val t = mkTable()
+    t.merge(batch(seed, lsnBase = 10), "s/0") // lsns 10..13; a's winner = 10
+    t.updateWhere(Seq("source" -> lit("fixed")), col("doc_id") === "a") // lsn 14
+    // an upstream event below the table max at correction time (lsn 12)
+    // would have OUTRANKED a per-row winner+1 correction (11) — and lsn 11
+    // would have TIED nondeterministically; the table-wide ordering makes
+    // the correction supersede the whole applied window deterministically
+    t.merge(batch(Seq(("a", 99, "concurrent")), lsnBase = 12), "s/1")
+    assert(state(t).find(_._1 == "a").get == (("a", 5, "fixed")))
+    // events above the correction's lsn still win
+    t.merge(batch(Seq(("a", 42, "new")), lsnBase = 15), "s/2")
+    assert(state(t).find(_._1 == "a").get == (("a", 42, "new")))
+    // write.dml.lsn.stride reserves a wider guard band
+    val t2 = IceLite.create(spark, SparkTestBase.tempDir("dml-stride"), payloadType,
+      "doc_id", numBuckets = 8, properties = Map("write.dml.lsn.stride" -> "1000"))
+    t2.merge(batch(seed, 10), "s/0")
+    t2.deleteWhere(col("doc_id") === "a") // correction lsn = 13 + 1000
+    t2.merge(batch(Seq(("a", 1, "mid")), lsnBase = 500), "s/1") // inside band: loses
+    assert(!state(t2).exists(_._1 == "a"))
+    t2.merge(batch(Seq(("a", 1, "post")), lsnBase = 2000), "s/2") // beyond: wins
+    assert(state(t2).find(_._1 == "a").get == (("a", 1, "post")))
+  }
+
+  test("patch-fold UPDATE rejects assignments that evaluate to NULL") {
+    val t = IceLite.create(spark, SparkTestBase.tempDir("dml-patch"), payloadType,
+      "doc_id", numBuckets = 8,
+      properties = Map("write.mode" -> "mor", "write.merge.fold" -> "patch"))
+    t.merge(batch(seed, 10), "s/0")
+    // a non-null assignment applies normally through the fold
+    t.updateWhere(Seq("source" -> lit("fixed")), col("doc_id") === "a")
+    assert(state(t).find(_._1 == "a").get == (("a", 5, "fixed")))
+    // literal null and a null-evaluating expression both raise instead of
+    // silently no-opping (the patch fold reads null as "unchanged")
+    intercept[Exception] {
+      t.updateWhere(Seq("source" -> lit(null)), col("doc_id") === "a")
+    }
+    intercept[Exception] {
+      t.updateWhere(Seq("n_tok" -> when(col("n_tok") < 0, 1)), col("doc_id") === "a")
+    }
+    assert(state(t).find(_._1 == "a").get == (("a", 5, "fixed")))
+  }
+
+  test("malformed icelite DDL fails with a targeted grammar error, not a delegate error") {
+    val p = SparkTestBase.tempDir("ddl-bad") + "/t"
+    // a ')' inside a TBLPROPERTIES value is outside the scoped grammar on
+    // both CREATE and ALTER — it must fail with the grammar message, not
+    // fall through to the delegate's unrelated "table not found"
+    val e = intercept[IllegalArgumentException] {
+      sql(s"CREATE TABLE icelite.`$p` (doc_id STRING) KEY doc_id TBLPROPERTIES ('a'='x)y')")
+    }
+    assert(e.getMessage.contains("scoped icelite grammar"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      sql(s"ALTER TABLE icelite.`$p` SET TBLPROPERTIES ('a'='v(1)x)y')")
+    }
+    assert(e2.getMessage.contains("scoped icelite grammar"), e2.getMessage)
+  }
+
   test("statement retry at the same version is an exactly-once ledger no-op") {
     val t = mkTable()
     t.merge(batch(seed, 10), "s/0")
