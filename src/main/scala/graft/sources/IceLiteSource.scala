@@ -46,8 +46,11 @@ import graft.table.{CdcOut, DataFileMeta, IceLite, IceLiteTable, Snapshot}
  * shuffle, because the layout guarantees a key's rows never leave its
  * bucket: COW partitions stream file-at-a-time (tombstones filtered);
  * MOR (lww) partitions read their bucket's base+delta files and keep the
- * max-`__lsn` row per key in a hash map (O(live keys) memory, the same
- * bound the bucket was sized for at write time); MOR+patch partitions
+ * max-`__lsn` row per key in a hash map UP TO a memory watermark
+ * (`graft.icelite.maxResolveKeysInMemory`), beyond which the partition
+ * re-resolves through Spark's external row sorter — disk-spilling, so an
+ * over-grown bucket degrades to sort instead of OOMing the executor
+ * (see [[BucketResolve]]); MOR+patch partitions
  * drive the exact [[PatchFoldAgg]] kernel per key — one code path for
  * the agg and the connector, so the two can never diverge. Rows
  * materialize through Spark's own parquet `RecordMaterializer`
@@ -450,7 +453,8 @@ class IceLiteScan(path: String, snap: Snapshot, hadoopConf: Configuration,
     val resetOrd = if (patch) withKey.length + 2 else -1
     val confKV = IceLiteSourceConf.captureKV(hadoopConf)
     IceLiteReaderFactory(mode, confKV, internalPhys.json, required.json,
-      outOrds, keyOrd, lsnOrd, delOrd, resetOrd)
+      outOrds, keyOrd, lsnOrd, delOrd, resetOrd,
+      IceLiteSourceConf.maxResolveKeysInMemory(SparkSession.active))
   }
 }
 
@@ -459,7 +463,8 @@ final case class IceLitePartition(files: Array[String]) extends InputPartition
 final case class IceLiteReaderFactory(
     mode: String, confKV: Array[(String, String)],
     internalSchemaJson: String, outputSchemaJson: String,
-    outOrds: Array[Int], keyOrd: Int, lsnOrd: Int, delOrd: Int, resetOrd: Int)
+    outOrds: Array[Int], keyOrd: Int, lsnOrd: Int, delOrd: Int, resetOrd: Int,
+    maxResolveKeys: Long = Long.MaxValue)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -467,16 +472,19 @@ final case class IceLiteReaderFactory(
     val internal = DataType.fromJson(internalSchemaJson).asInstanceOf[StructType]
     val output = DataType.fromJson(outputSchemaJson).asInstanceOf[StructType]
     new IceLitePartitionReader(p.files, mode, confKV, internal, output,
-      outOrds, keyOrd, lsnOrd, delOrd, resetOrd)
+      outOrds, keyOrd, lsnOrd, delOrd, resetOrd, maxResolveKeys)
   }
 }
 
 /** Per-partition reader. COW streams; MOR/patch resolve their bucket's
-  * rows in memory first (winner map / patch fold), then stream winners. */
+  * rows through [[BucketResolve.winnersIter]] — in-heap winner map up to
+  * `maxResolveKeys` live keys, external-sort resolve (disk-spilling)
+  * beyond it — then stream winners. */
 final class IceLitePartitionReader(
     files: Array[String], mode: String, confKV: Array[(String, String)],
     internal: StructType, output: StructType,
-    outOrds: Array[Int], keyOrd: Int, lsnOrd: Int, delOrd: Int, resetOrd: Int)
+    outOrds: Array[Int], keyOrd: Int, lsnOrd: Int, delOrd: Int, resetOrd: Int,
+    maxResolveKeys: Long = Long.MaxValue)
   extends PartitionReader[InternalRow] {
 
   private val conf = IceLiteSourceConf.restore(confKV, internal)
@@ -494,26 +502,25 @@ final class IceLitePartitionReader(
   /** Stream the partition's files record-at-a-time (COW path). */
   private def nextRaw(): InternalRow = scanner.next()
 
-  /** Buffer + resolve the bucket (MOR paths) through the shared
-    * [[BucketResolve]] kernel, then rebuild live winners in `internal`
-    * ordinal space so `outProj` applies. */
+  /** Resolve the bucket (MOR paths) through the shared bounded
+    * [[BucketResolve.winnersIter]] kernel, then rebuild live winners in
+    * `internal` ordinal space so `outProj` applies. */
   private def resolveBucket(): Iterator[InternalRow] = {
     val payloadOrds = (0 until lsnOrd).filter(_ != keyOrd).toArray
-    val ws = BucketResolve.winners(files, conf, mode, internal,
-      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, _ => true)
-    ws.entrySet().iterator().asScala.flatMap { e =>
-      val w = e.getValue
-      if (w.deleted) None
-      else {
-        val vals = new Array[Any](internal.length)
-        var i = 0
-        while (i < payloadOrds.length) { vals(payloadOrds(i)) = w.payload(i); i += 1 }
-        vals(keyOrd) = UTF8String.fromString(e.getKey)
-        vals(lsnOrd) = java.lang.Long.valueOf(w.lsn)
-        vals(delOrd) = java.lang.Boolean.FALSE
-        Some(new GenericInternalRow(vals): InternalRow)
+    BucketResolve.winnersIter(files, conf, mode, internal,
+      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, _ => true, maxResolveKeys)
+      .flatMap { case (k, w) =>
+        if (w.deleted) None
+        else {
+          val vals = new Array[Any](internal.length)
+          var i = 0
+          while (i < payloadOrds.length) { vals(payloadOrds(i)) = w.payload(i); i += 1 }
+          vals(keyOrd) = UTF8String.fromString(k)
+          vals(lsnOrd) = java.lang.Long.valueOf(w.lsn)
+          vals(delOrd) = java.lang.Boolean.FALSE
+          Some(new GenericInternalRow(vals): InternalRow)
+        }
       }
-    }
   }
 
   override def next(): Boolean = {
@@ -538,6 +545,37 @@ final class IceLitePartitionReader(
 
 /** Hadoop-conf capture/restore shared by the batch and change-feed readers. */
 private[sources] object IceLiteSourceConf {
+  /** Watermark for the per-bucket in-heap winner map
+    * (`graft.icelite.maxResolveKeysInMemory`, or derived from the executor
+    * memory/cores conf the same way the merge sizes its agg fallback
+    * threshold: ~15% of per-core heap at ~400 bytes per resolved entry,
+    * clamped to [64k, 8M]). Past it the reader re-resolves through the
+    * external sorter instead of growing the heap. */
+  def maxResolveKeysInMemory(spark: SparkSession): Long =
+    spark.conf.getOption("graft.icelite.maxResolveKeysInMemory").map(_.toLong)
+      .getOrElse {
+        def parseMemMb(s: String): Option[Long] = {
+          val t = s.trim.toLowerCase(java.util.Locale.ROOT)
+          try Some(
+            if (t.endsWith("g")) t.dropRight(1).toDouble.toLong * 1024
+            else if (t.endsWith("m")) t.dropRight(1).toDouble.toLong
+            else if (t.endsWith("k")) (t.dropRight(1).toDouble / 1024).toLong
+            else t.toDouble.toLong) // Spark's unitless executor memory is MiB
+          catch { case _: NumberFormatException => None }
+        }
+        val execMemBytes = spark.conf.getOption("spark.executor.memory")
+          .flatMap(parseMemMb).map(_ * 1024L * 1024L)
+        val execCores = spark.conf.getOption("spark.executor.cores")
+          .flatMap(s => scala.util.Try(s.trim.toInt).toOption).filter(_ > 0)
+        val (memBytes, cores) = (execMemBytes, execCores) match {
+          case (Some(m), Some(c)) => (m, c)
+          case (Some(m), None)    => (m, 1)
+          case _ => (Runtime.getRuntime.maxMemory,
+                     math.max(1, spark.sparkContext.defaultParallelism))
+        }
+        val perTask = (memBytes * 0.15 / 400 / cores).toLong
+        math.max(65536L, math.min(8000000L, perTask))
+      }
   /** Driver-side: the session Hadoop conf plus the SQLConf keys Spark's
     * ParquetReadSupport / ParquetToSparkSchemaConverter read straight off
     * the Hadoop conf with `.toBoolean` (no default). */
@@ -867,11 +905,90 @@ final case class IceLiteChangeReaderFactory(
 /** The ONE per-bucket winner-resolution kernel, shared by the batch reader
   * (MOR/patch resolution) and the change-feed reader (before/after sides of
   * the diff) — a fix to the fold or the tie contract lands in both by
-  * construction. */
+  * construction.
+  *
+  * MEMORY BOUND: the hash-map resolve is O(live keys in the bucket), which
+  * is the bucket's design bound at write time — but nothing used to enforce
+  * it, so a 100x-grown bucket could OOM an executor through the
+  * standard-API read path while the native plan (ObjectHashAggregate)
+  * degraded gracefully to sort. [[winnersIter]] closes that: past
+  * `maxInHeapKeys` entries it abandons the map and re-resolves the
+  * partition through Spark's own external row sorter
+  * (task-memory-managed, spills to disk) streaming first-winner-per-key —
+  * the same sort-based fallback shape the agg path has. */
 private[sources] object BucketResolve {
   /** Resolved per-key winner: lsn, dead?, payload values (payloadOrds order,
     * values copied out of the materializer's reused buffer). */
   final case class W(lsn: Long, deleted: Boolean, payload: Array[Any])
+
+  /** Control-flow marker: the in-heap winner map passed its watermark. */
+  private final class SpillToSort extends Exception {
+    override def fillInStackTrace(): Throwable = this
+  }
+
+  /** The patch-fold machinery shared by the map path and the sort path —
+    * both drive the exact [[PatchFoldAgg]] kernel, so the connector and
+    * the SQL agg can never diverge. */
+  private final class PatchKernel(internal: StructType, payloadOrds: Array[Int],
+                                  lsnOrd: Int, delOrd: Int, resetOrd: Int) {
+    val payload: StructType = StructType(payloadOrds.map(i => internal(i)))
+    private val evType = StructType(Seq(
+      StructField("lsn", LongType, nullable = false),
+      StructField("op", StringType),
+      StructField("after", payload),
+      StructField("reset", LongType)))
+    val agg: PatchFoldAgg = PatchFoldAgg(BoundReference(0, evType, nullable = true))
+    private val holder = new GenericInternalRow(1)
+
+    def update(buf: PatchFoldAgg.Buf, r: InternalRow, isDel: Boolean,
+               afterVals: Array[Any]): Unit = {
+      val ev = new GenericInternalRow(Array[Any](
+        r.getLong(lsnOrd),
+        UTF8String.fromString(if (isDel) "d" else "u"),
+        if (isDel) null else new GenericInternalRow(afterVals),
+        if (resetOrd < 0 || r.isNullAt(resetOrd)) null
+        else java.lang.Long.valueOf(r.getLong(resetOrd))))
+      holder.update(0, ev)
+      agg.update(buf, holder): Unit
+    }
+
+    /** Fold result -> winner, or null when the fold produced nothing. */
+    def eval(buf: PatchFoldAgg.Buf): W = {
+      val w = agg.eval(buf).asInstanceOf[InternalRow]
+      if (w == null) return null
+      val dead = !w.isNullAt(1) && w.getUTF8String(1).toString == "d"
+      val vals =
+        if (dead) new Array[Any](payloadOrds.length)
+        else {
+          val after = w.getStruct(2, payloadOrds.length)
+          val a = new Array[Any](payloadOrds.length)
+          var i = 0
+          while (i < payloadOrds.length) {
+            a(i) = if (after == null || after.isNullAt(i)) null
+            else after.get(i, payload(i).dataType)
+            i += 1
+          }
+          a
+        }
+      W(w.getLong(0), dead, vals)
+    }
+  }
+
+  private def isDeleted(r: InternalRow, delOrd: Int): Boolean =
+    !r.isNullAt(delOrd) && r.getBoolean(delOrd)
+
+  private def copyPayload(r: InternalRow, internal: StructType,
+                          payloadOrds: Array[Int]): Array[Any] = {
+    val vals = new Array[Any](payloadOrds.length)
+    var i = 0
+    while (i < payloadOrds.length) {
+      val o = payloadOrds(i)
+      vals(i) = if (r.isNullAt(o)) null
+      else InternalRow.copyValue(r.get(o, internal(o).dataType))
+      i += 1
+    }
+    vals
+  }
 
   /** Resolve per-key winners over `files`: mode "cow"/"mor" keeps the
     * max-`__lsn` row per key (equal LSNs keep the first-read row — the same
@@ -879,74 +996,38 @@ private[sources] object BucketResolve {
     * [[PatchFoldAgg]] kernel, so the connector and the SQL agg share one
     * fold. Dead winners (tombstoned keys) stay in the map with
     * `deleted = true` — callers filter or diff as needed. `keep` restricts
-    * the resolution to a key subset (the change feed's added-file keys). */
+    * the resolution to a key subset (the change feed's added-file keys,
+    * which also bound THIS map to O(changed keys) for that caller).
+    * Throws [[SpillToSort]] past `maxInHeapKeys` entries. */
   def winners(files: Array[String], conf: Configuration, mode: String,
               internal: StructType, keyOrd: Int, payloadOrds: Array[Int],
               lsnOrd: Int, delOrd: Int, resetOrd: Int,
-              keep: String => Boolean): java.util.LinkedHashMap[String, W] = {
-    def deleted(r: InternalRow): Boolean = !r.isNullAt(delOrd) && r.getBoolean(delOrd)
-    def copyPayload(r: InternalRow): Array[Any] = {
-      val vals = new Array[Any](payloadOrds.length)
-      var i = 0
-      while (i < payloadOrds.length) {
-        val o = payloadOrds(i)
-        vals(i) = if (r.isNullAt(o)) null
-        else InternalRow.copyValue(r.get(o, internal(o).dataType))
-        i += 1
-      }
-      vals
-    }
+              keep: String => Boolean,
+              maxInHeapKeys: Long = Long.MaxValue): java.util.LinkedHashMap[String, W] = {
     val m = new java.util.LinkedHashMap[String, W]()
     val sc = new RawFileScanner(files, conf)
     try {
       if (mode == "patch") {
-        val payload = StructType(payloadOrds.map(i => internal(i)))
-        val evType = StructType(Seq(
-          StructField("lsn", LongType, nullable = false),
-          StructField("op", StringType),
-          StructField("after", payload),
-          StructField("reset", LongType)))
-        val agg = PatchFoldAgg(BoundReference(0, evType, nullable = true))
+        val kernel = new PatchKernel(internal, payloadOrds, lsnOrd, delOrd, resetOrd)
         val bufs = new java.util.LinkedHashMap[String, PatchFoldAgg.Buf]()
-        val holder = new GenericInternalRow(1)
         var r = sc.next()
         while (r != null) {
           val k = r.getUTF8String(keyOrd).toString
           if (keep(k)) {
             var buf = bufs.get(k)
-            if (buf == null) { buf = agg.createAggregationBuffer(); bufs.put(k, buf) }
-            val isDel = deleted(r)
-            val after = if (isDel) null else new GenericInternalRow(copyPayload(r))
-            val ev = new GenericInternalRow(Array[Any](
-              r.getLong(lsnOrd),
-              UTF8String.fromString(if (isDel) "d" else "u"),
-              after,
-              if (resetOrd < 0 || r.isNullAt(resetOrd)) null
-              else java.lang.Long.valueOf(r.getLong(resetOrd))))
-            holder.update(0, ev)
-            agg.update(buf, holder)
+            if (buf == null) {
+              if (bufs.size() >= maxInHeapKeys) throw new SpillToSort
+              buf = kernel.agg.createAggregationBuffer(); bufs.put(k, buf)
+            }
+            val isDel = isDeleted(r, delOrd)
+            kernel.update(buf, r, isDel,
+              if (isDel) null else copyPayload(r, internal, payloadOrds))
           }
           r = sc.next()
         }
         bufs.entrySet().iterator().asScala.foreach { e =>
-          val w = agg.eval(e.getValue).asInstanceOf[InternalRow]
-          if (w != null) {
-            val dead = !w.isNullAt(1) && w.getUTF8String(1).toString == "d"
-            val vals =
-              if (dead) new Array[Any](payloadOrds.length)
-              else {
-                val after = w.getStruct(2, payloadOrds.length)
-                val a = new Array[Any](payloadOrds.length)
-                var i = 0
-                while (i < payloadOrds.length) {
-                  a(i) = if (after == null || after.isNullAt(i)) null
-                  else after.get(i, payload(i).dataType)
-                  i += 1
-                }
-                a
-              }
-            m.put(e.getKey, W(w.getLong(0), dead, vals)): Unit
-          }
+          val w = kernel.eval(e.getValue)
+          if (w != null) m.put(e.getKey, w): Unit
         }
       } else {
         var r = sc.next()
@@ -955,14 +1036,148 @@ private[sources] object BucketResolve {
           if (keep(k)) {
             val lsn = r.getLong(lsnOrd)
             val cur = m.get(k)
+            if (cur == null && m.size() >= maxInHeapKeys) throw new SpillToSort
             if (cur == null || cur.lsn < lsn)
-              m.put(k, W(lsn, deleted(r), copyPayload(r))): Unit
+              m.put(k, W(lsn, isDeleted(r, delOrd),
+                copyPayload(r, internal, payloadOrds))): Unit
           }
           r = sc.next()
         }
       }
     } finally sc.close()
     m
+  }
+
+  /** Bounded resolve: the hash-map fast path while the bucket's live-key
+    * count stays under `maxInHeapKeys`, else ONE wasted partial pass and a
+    * re-resolve through [[sortedWinners]] (external sort, spills under the
+    * task memory manager — never an executor OOM). Iterator order:
+    * insertion order on the fast path, key-sorted on the spill path; both
+    * produce the identical winner SET, and the batch reader's output
+    * contract has no row order. */
+  def winnersIter(files: Array[String], conf: Configuration, mode: String,
+                  internal: StructType, keyOrd: Int, payloadOrds: Array[Int],
+                  lsnOrd: Int, delOrd: Int, resetOrd: Int,
+                  keep: String => Boolean,
+                  maxInHeapKeys: Long): Iterator[(String, W)] =
+    try {
+      val m = winners(files, conf, mode, internal, keyOrd, payloadOrds,
+        lsnOrd, delOrd, resetOrd, keep, maxInHeapKeys)
+      m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+    } catch {
+      case _: SpillToSort =>
+        sortedWinners(files, conf, mode, internal, keyOrd, payloadOrds,
+          lsnOrd, delOrd, resetOrd, keep)
+    }
+
+  /** External-sort streaming resolve: feed every row (plus a sequence
+    * number) through Spark's [[UnsafeExternalRowSorter]] ordered by
+    * (key asc, lsn desc, seq asc), then emit the first row per key group
+    * (mor — seq asc preserves the first-read tie contract of the map path)
+    * or fold each group through the exact [[PatchFoldAgg]] kernel (patch —
+    * the fold is order-independent, so feeding it sorted is just one legal
+    * order). Memory is O(one row group) + the sorter's managed pages; the
+    * sorter spills to disk under pressure, so a bucket of ANY live-key
+    * cardinality resolves without heap growth. Must run inside a task
+    * (the sorter acquires from the task memory manager) — true for every
+    * DSv2 partition reader. */
+  private def sortedWinners(files: Array[String], conf: Configuration, mode: String,
+                            internal: StructType, keyOrd: Int, payloadOrds: Array[Int],
+                            lsnOrd: Int, delOrd: Int, resetOrd: Int,
+                            keep: String => Boolean): Iterator[(String, W)] = {
+    import org.apache.spark.sql.execution.UnsafeExternalRowSorter
+    import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
+    val seqOrd = internal.length
+    val sortSchema = StructType(internal.fields :+
+      StructField("__seq", LongType, nullable = false))
+    val ordering: Ordering[InternalRow] = new Ordering[InternalRow] {
+      override def compare(a: InternalRow, b: InternalRow): Int = {
+        val c = a.getUTF8String(keyOrd).compareTo(b.getUTF8String(keyOrd))
+        if (c != 0) return c
+        val la = a.getLong(lsnOrd); val lb = b.getLong(lsnOrd)
+        if (la != lb) return if (la > lb) -1 else 1 // lsn DESC: winner first
+        java.lang.Long.compare(a.getLong(seqOrd), b.getLong(seqOrd)) // read order
+      }
+    }
+    val prefixComputer = new UnsafeExternalRowSorter.PrefixComputer {
+      private val result = new UnsafeExternalRowSorter.PrefixComputer.Prefix
+      override def computePrefix(row: InternalRow)
+          : UnsafeExternalRowSorter.PrefixComputer.Prefix = {
+        val k = row.getUTF8String(keyOrd)
+        result.isNull = k == null
+        result.value =
+          if (k == null) 0L else PrefixComparators.StringPrefixComparator.computePrefix(k)
+        result
+      }
+    }
+    val pageSize = org.apache.spark.SparkEnv.get.memoryManager.pageSizeBytes
+    val sorter = UnsafeExternalRowSorter.create(
+      sortSchema, ordering, PrefixComparators.STRING, prefixComputer, pageSize, false)
+    val toUnsafe = UnsafeProjection.create(sortSchema)
+    val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
+    val seqRow = new GenericInternalRow(1)
+    val sc = new RawFileScanner(files, conf)
+    try {
+      var seq = 0L
+      var r = sc.next()
+      while (r != null) {
+        if (keep(r.getUTF8String(keyOrd).toString)) {
+          seqRow.update(0, seq)
+          sorter.insertRow(toUnsafe(joined(r, seqRow)))
+        }
+        seq += 1
+        r = sc.next()
+      }
+    } finally sc.close()
+    val sorted = sorter.sort()
+    val kernel =
+      if (mode == "patch") new PatchKernel(internal, payloadOrds, lsnOrd, delOrd, resetOrd)
+      else null
+
+    new Iterator[(String, W)] {
+      /** First row of the NEXT unconsumed key group (copied key). */
+      private var pending: InternalRow = if (sorted.hasNext) sorted.next() else null
+      private var out: (String, W) = _
+      advance()
+
+      private def advance(): Unit = {
+        out = null
+        while (out == null && pending != null) {
+          val keyU = pending.getUTF8String(keyOrd).copy()
+          if (kernel == null) {
+            // mor/cow: the group's first row IS the winner (lsn desc, seq asc)
+            val w = W(pending.getLong(lsnOrd), isDeleted(pending, delOrd),
+              copyPayload(pending, internal, payloadOrds))
+            pending = null
+            while (pending == null && sorted.hasNext) {
+              val r = sorted.next()
+              if (!r.getUTF8String(keyOrd).equals(keyU)) pending = r
+            }
+            out = (keyU.toString, w)
+          } else {
+            val buf = kernel.agg.createAggregationBuffer()
+            var r = pending
+            pending = null
+            while (r != null) {
+              val isDel = isDeleted(r, delOrd)
+              kernel.update(buf, r, isDel,
+                if (isDel) null else copyPayload(r, internal, payloadOrds))
+              r = if (sorted.hasNext) sorted.next() else null
+              if (r != null && !r.getUTF8String(keyOrd).equals(keyU)) {
+                pending = r; r = null
+              }
+            }
+            val w = kernel.eval(buf)
+            if (w != null) out = (keyU.toString, w) // null fold: skip group
+          }
+        }
+      }
+
+      override def hasNext: Boolean = out != null
+      override def next(): (String, W) = {
+        val o = out; advance(); o
+      }
+    }
   }
 }
 

@@ -87,6 +87,36 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(r.getInt(0) == 99 && r.getString(1) == "s1")
   }
 
+  test("winner resolve spills to external sort past the in-heap key watermark") {
+    // Cap the in-heap winner map far below the buckets' live-key counts:
+    // every MOR/patch partition MUST take the external-sort path, and the
+    // result must be byte-identical to the unbounded map resolve and the
+    // native read — including LWW ties, deletes, and the patch fold.
+    val t = mkTable("mor")
+    t.merge(changes(400, 0), "e1")
+    t.merge(changes(400, 1000), "e2") // every key rewritten: winner = e2
+    t.merge(deletes(Seq("doc5", "doc111", "doc399"), 9000), "e3")
+    val tp = mkTable("mor", Map("write.merge.fold" -> "patch"))
+    tp.merge(changes(300, 0), "p1")
+    tp.merge(changes(120, 1000), "p2")
+    tp.merge(deletes(Seq("doc7"), 9000), "p3")
+    val unbounded = Seq(t, tp).map(x =>
+      sortedRows(spark.read.format("icelite").load(x.root)))
+    spark.conf.set("graft.icelite.maxResolveKeysInMemory", "8")
+    try {
+      // ~50 live keys per bucket >> 8: the map path throws its watermark
+      // marker and the sort path produces the rows (equality proves it)
+      assert(sortedRows(spark.read.format("icelite").load(t.root)) == unbounded(0))
+      assert(sortedRows(spark.read.format("icelite").load(t.root)) == sortedRows(t.read()))
+      assert(sortedRows(spark.read.format("icelite").load(tp.root)) == unbounded(1))
+      assert(sortedRows(spark.read.format("icelite").load(tp.root)) == sortedRows(tp.read()))
+      // pushed key filters compose with the spill path
+      val one = spark.read.format("icelite").load(t.root)
+        .filter(col("doc_id") === "doc42")
+      assert(one.count() == 1)
+    } finally spark.conf.unset("graft.icelite.maxResolveKeysInMemory")
+  }
+
   test("column pruning reaches the reader schema") {
     val t = mkTable("cow")
     t.merge(changes(50, 0), "e1")
