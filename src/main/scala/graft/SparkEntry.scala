@@ -1178,6 +1178,29 @@ object SparkEntry {
         "WHERE CAST(doc_id AS INT) % 10 = 4")
       table.read().select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
         col("n_tok"), col("source"))
+    }),
+
+    "q_catalog_sql" -> ((s, dir) => {
+      // STANDARD Spark SQL through the V2 TableCatalog (IceLiteCatalog):
+      // CREATE TABLE graft.ns.t, engine replay into it, then INSERT INTO
+      // (positional VALUES through the upsert write), DELETE FROM (merge-
+      // path correction via SupportsDelete), and the final SELECT — all
+      // parsed and analyzed by Spark's own grammar, no scoped regex parser
+      // involved. Oracle = the LWW fold + the same relational corrections.
+      val wh = java.nio.file.Files.createTempDirectory("graft-cat").toString
+      s.conf.set("spark.sql.catalog.graft", classOf[graft.sources.IceLiteCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.ds")
+      s.sql("""CREATE TABLE graft.ds.docs (
+              |  doc_id STRING, tokens ARRAY<INT>, n_tok INT, source STRING)
+              |TBLPROPERTIES ('key'='doc_id', 'buckets'='8', 'write.mode'='mor')""".stripMargin)
+      val table = IceLite.load(s, s"$wh/ds/docs")
+      Pipeline.replayBatch(s, derivedChanges(s, dir), table, "cat",
+        epochs = 2, lsnMax = lsnMaxOf(s, dir))
+      s.sql("INSERT INTO graft.ds.docs VALUES ('cat-1', array(1,2,3), 3, 'manual')")
+      s.sql("DELETE FROM graft.ds.docs WHERE doc_id LIKE '%7'")
+      s.sql("SELECT doc_id, array_join(tokens, ',') AS tokens_s, n_tok, source " +
+        "FROM graft.ds.docs")
     })
   )
 
@@ -2340,7 +2363,24 @@ object SparkEntry {
         |       CASE WHEN CAST(doc_id AS INT) % 10 = 4 THEN n_tok + 100 ELSE n_tok END AS n_tok,
         |       CASE WHEN CAST(doc_id AS INT) % 10 = 4 THEN upper(source) ELSE source END AS source
         |FROM final
-        |WHERE CAST(doc_id AS INT) % 10 <> 3""".stripMargin
+        |WHERE CAST(doc_id AS INT) % 10 <> 3""".stripMargin,
+    // Catalog path: LWW fold + the manual INSERT, minus the LIKE-deleted
+    // slice — layout/API is invisible to the result by construction.
+    "q_catalog_sql" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events),
+        |state AS (
+        |  SELECT doc_id,
+        |         CAST(doc_id AS INT) || ',' || CAST(event_id % 97 AS INT) AS tokens_s,
+        |         2 AS n_tok,
+        |         event_type AS source
+        |  FROM last WHERE rn = 1 AND event_type <> 'error'
+        |  UNION ALL
+        |  SELECT 'cat-1', '1,2,3', 3, 'manual')
+        |SELECT doc_id, tokens_s, n_tok, source FROM state
+        |WHERE doc_id NOT LIKE '%7'""".stripMargin
   )
 
   /** Column-level patch fold recomputed from the raw stream: per key, drop

@@ -888,7 +888,7 @@ object MergeInto {
     * is minted (Iceberg's new-field-id semantics): the re-added name is a NEW
     * column, and the old column's data — still sitting under the retired
     * physical name in pre-rename/pre-drop files — can never leak into it. */
-  private[merge] def evolveMapping(snap: Snapshot, newSchema: StructType): Map[String, String] = {
+  private[graft] def evolveMapping(snap: Snapshot, newSchema: StructType): Map[String, String] = {
     if (snap.columnMapping.isEmpty && snap.retiredPhysical.isEmpty)
       return snap.columnMapping // no renames or drops ever: identity
     val oldNames = snap.schema.fieldNames.toSet

@@ -183,10 +183,29 @@ class IceLiteSparkTable(path: String, snapOpt: Option[Snapshot], hadoopConf: Con
                         changeFeed: Boolean = false, includeBefore: Boolean = false,
                         startingVersion: Long = 0L, maxVersionsPerBatch: Long = Long.MaxValue)
   extends Table with SupportsRead
-  with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  with org.apache.spark.sql.connector.catalog.SupportsWrite
+  with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def snap: Snapshot = snapOpt.getOrElse(
     throw new IllegalStateException(s"icelite: no table at $path yet (write-side create pending)"))
+
+  /** `DELETE FROM <catalog>.ns.t WHERE ...` — Spark's analyzer hands the
+    * condition as V1 filters (the SupportsDelete mixin adapts V2
+    * predicates); translated to a Column, the delete rides the engine's
+    * merge-path correction ([[graft.table.IceLiteTable.deleteWhere]]):
+    * victims' buckets only, rebasing commit, statement-digest
+    * exactly-once. An untranslatable condition declines here and Spark
+    * reports it can't delete, rather than silently over-deleting. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => IceLiteFilters.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val cond = filters.toSeq.map(f => IceLiteFilters.toColumn(f).getOrElse(
+      throw new UnsupportedOperationException(s"icelite: cannot delete by $f")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    IceLite.load(SparkSession.active, path).deleteWhere(cond): Unit
+  }
 
   override def name(): String =
     if (changeFeed) s"icelite.`$path` changes" else s"icelite.`$path`"
@@ -543,6 +562,36 @@ final class IceLitePartitionReader(
   override def close(): Unit = scanner.close()
 }
 
+/** V1 `Filter` -> `Column` translation for the SupportsDelete surface.
+  * Total for the filter shapes Spark's DML analyzer produces; `None` for
+  * anything else, which makes the table DECLINE the delete (fail-safe:
+  * never a broader delete than the user wrote). */
+private[sources] object IceLiteFilters {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit, not}
+
+  def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case In(a, vs) if vs != null => Some(col(a).isin(vs.toIndexedSeq.map(lit(_)): _*))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc && rc
+    case Or(l, r) => for (lc <- toColumn(l); rc <- toColumn(r)) yield lc || rc
+    case Not(c) => toColumn(c).map(not)
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
+  }
+}
+
 /** Hadoop-conf capture/restore shared by the batch and change-feed readers. */
 private[sources] object IceLiteSourceConf {
   /** Watermark for the per-bucket in-heap winner map
@@ -700,12 +749,24 @@ private[sources] object IceLiteWrites {
       if (isChange) data
       else {
         val key = snap.keyColumn
-        require(data.schema.fieldNames.contains(key),
+        // ACCEPT_ANY_SCHEMA means the table resolves columns itself:
+        // `INSERT INTO t VALUES ...` arrives with positional names
+        // (col1..colN) — map them to the table schema BY POSITION (with a
+        // cast), the standard INSERT contract. Batches that carry the key
+        // column resolve by name (order-free, additive evolution allowed).
+        val batch =
+          if (!data.schema.fieldNames.contains(key) &&
+              data.schema.length == snap.schema.length) {
+            val renamed = data.toDF(snap.schema.fieldNames.toIndexedSeq: _*)
+            renamed.select(snap.schema.fields.toIndexedSeq.map(f =>
+              col(f.name).cast(f.dataType).as(f.name)): _*)
+          } else data
+        require(batch.schema.fieldNames.contains(key),
           s"icelite append: batch must carry the key column `$key` " +
             s"(got ${data.schema.fieldNames.mkString(", ")})")
         val lsn = opt("lsn").map(_.toLong).getOrElse(snap.version + 1)
-        data.select(col(key), lit("u").as("op"), lit(lsn).as("lsn"),
-          struct(data.columns.toIndexedSeq.map(col): _*).as("after"))
+        batch.select(col(key), lit("u").as("op"), lit(lsn).as("lsn"),
+          struct(batch.columns.toIndexedSeq.map(col): _*).as("after"))
       }
     table.merge(changes, epoch): Unit
   }

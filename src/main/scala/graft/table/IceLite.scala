@@ -1402,6 +1402,32 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   def readTag(name: String): DataFrame = readVersion(tags.getOrElse(name,
     throw new IllegalArgumentException(s"readTag: no tag '$name'")))
 
+  /** METADATA-ONLY additive column (`ALTER TABLE ... ADD COLUMN`): existing
+    * files read null for it; subsequent merges populate it like any
+    * additive evolution. Re-adding a previously-dropped logical name mints
+    * a fresh physical storage name (the merge's own
+    * [[graft.merge.MergeInto.evolveMapping]] rule), so bytes of the retired
+    * column can never leak into the new one. Nullable by contract (old rows
+    * have no value). Returns the committed version. */
+  def addColumn(name: String, dataType: org.apache.spark.sql.types.DataType): Long = {
+    val snap = snapshot
+    require(!snap.schema.fieldNames.contains(name),
+      s"addColumn: column $name already exists")
+    val newSchema = StructType(snap.schema.fields :+
+      org.apache.spark.sql.types.StructField(name, dataType, nullable = true))
+    val cand = snap.copy(
+      version = snap.version + 1,
+      schemaJson = newSchema.json,
+      columnMapping = graft.merge.MergeInto.evolveMapping(snap, newSchema),
+      parentVersion = snap.version,
+      stats = None)
+    commitRebasing(snap, cand) match {
+      case CommitOutcome.Committed => snapshot.version
+      case out => throw new IllegalStateException(
+        s"addColumn($name) lost to a concurrent schema change: $out")
+    }
+  }
+
   /** METADATA-ONLY column drop (Iceberg-style): no data file is touched —
     * the column leaves the snapshot schema, its bytes stay in existing
     * files (invisible: every read projects the current schema) until
