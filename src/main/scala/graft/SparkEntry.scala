@@ -1098,6 +1098,19 @@ object SparkEntry {
         .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
           col("n_tok"), col("source"))
     }),
+    "q_dsv2_point" -> ((s, dir) => {
+      // Point read through the STANDARD connector API: the pushed key
+      // IN-set prunes manifest-side to the keys' buckets AND rides into
+      // the parquet readers as a row-group predicate (stats + dictionary +
+      // bloom skipping inside candidate files) — the 10^10-row point-read
+      // shape with zero library-specific calls. Oracle = the LWW fold
+      // restricted to the probed keys (same as q_point_lookup).
+      val (table, _) = replayedTable(s, dir)
+      s.read.format("icelite").load(table.root)
+        .filter(col("doc_id").isin("3", "7", "11", "no-such-key"))
+        .select(col("doc_id"), array_join(col("tokens"), ",").as("tokens_s"),
+          col("n_tok"), col("source"))
+    }),
     "q_zone_scan" -> ((s, dir) => {
       // Zone-map range scan: a stream whose n_tok varies per event replays
       // into a MOR table that collects per-file min/max for n_tok
@@ -2293,6 +2306,20 @@ object SparkEntry {
         |WHERE l.event_type = 'signup' AND r.event_type = 'purchase'
         |  AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 30 MINUTE""".stripMargin,
     "q_point_lookup" ->
+      """WITH last AS (
+        |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+        |  FROM events)
+        |SELECT doc_id,
+        |       CAST(CAST(doc_id AS INT) AS VARCHAR) || ',' || CAST(CAST(event_id % 97 AS INT) AS VARCHAR) AS tokens_s,
+        |       2 AS n_tok,
+        |       event_type AS source
+        |FROM last
+        |WHERE rn = 1 AND event_type <> 'error'
+        |  AND doc_id IN ('3', '7', '11', 'no-such-key')""".stripMargin,
+    // Connector point read = the same restricted fold as q_point_lookup;
+    // the row-group predicate must be invisible to the result.
+    "q_dsv2_point" ->
       """WITH last AS (
         |  SELECT CAST(user_id AS VARCHAR) AS doc_id, event_type, event_id,
         |         row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn

@@ -471,9 +471,18 @@ class IceLiteScan(path: String, snap: Snapshot, hadoopConf: Configuration,
     val delOrd = withKey.length + 1
     val resetOrd = if (patch) withKey.length + 2 else -1
     val confKV = IceLiteSourceConf.captureKV(hadoopConf)
+    // Pushed key values ride to the readers so parquet can skip ROW GROUPS
+    // (stats + dictionary + bloom when written), not just whole files —
+    // the same deep prune the native lookup() path gets. Sound in every
+    // mode: a key's winner depends only on that key's rows, and Spark
+    // re-applies the exact predicate above the scan. Very large IN-sets
+    // stay manifest-pruned only (a 1000-way OR predicate costs more to
+    // evaluate per row group than it saves).
+    val pushedKeyValues = keys.filter(_.size <= 1000).map(_.toArray.sorted).orNull
     IceLiteReaderFactory(mode, confKV, internalPhys.json, required.json,
       outOrds, keyOrd, lsnOrd, delOrd, resetOrd,
-      IceLiteSourceConf.maxResolveKeysInMemory(SparkSession.active))
+      IceLiteSourceConf.maxResolveKeysInMemory(SparkSession.active),
+      pushedKeyValues, snap.physicalName(snap.keyColumn))
   }
 }
 
@@ -483,7 +492,8 @@ final case class IceLiteReaderFactory(
     mode: String, confKV: Array[(String, String)],
     internalSchemaJson: String, outputSchemaJson: String,
     outOrds: Array[Int], keyOrd: Int, lsnOrd: Int, delOrd: Int, resetOrd: Int,
-    maxResolveKeys: Long = Long.MaxValue)
+    maxResolveKeys: Long = Long.MaxValue,
+    pushedKeyValues: Array[String] = null, physKeyName: String = null)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -491,19 +501,22 @@ final case class IceLiteReaderFactory(
     val internal = DataType.fromJson(internalSchemaJson).asInstanceOf[StructType]
     val output = DataType.fromJson(outputSchemaJson).asInstanceOf[StructType]
     new IceLitePartitionReader(p.files, mode, confKV, internal, output,
-      outOrds, keyOrd, lsnOrd, delOrd, resetOrd, maxResolveKeys)
+      outOrds, keyOrd, lsnOrd, delOrd, resetOrd, maxResolveKeys,
+      IceLiteFilters.keyPredicate(pushedKeyValues, physKeyName))
   }
 }
 
 /** Per-partition reader. COW streams; MOR/patch resolve their bucket's
   * rows through [[BucketResolve.winnersIter]] — in-heap winner map up to
   * `maxResolveKeys` live keys, external-sort resolve (disk-spilling)
-  * beyond it — then stream winners. */
+  * beyond it — then stream winners. A pushed key predicate reaches the
+  * parquet readers so point reads skip row groups, not just files. */
 final class IceLitePartitionReader(
     files: Array[String], mode: String, confKV: Array[(String, String)],
     internal: StructType, output: StructType,
     outOrds: Array[Int], keyOrd: Int, lsnOrd: Int, delOrd: Int, resetOrd: Int,
-    maxResolveKeys: Long = Long.MaxValue)
+    maxResolveKeys: Long = Long.MaxValue,
+    keyFilter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
   extends PartitionReader[InternalRow] {
 
   private val conf = IceLiteSourceConf.restore(confKV, internal)
@@ -512,7 +525,7 @@ final class IceLitePartitionReader(
     outOrds.toIndexedSeq.map(i => BoundReference(i, internal(i).dataType, nullable = true)
       : org.apache.spark.sql.catalyst.expressions.Expression))
 
-  private val scanner = new RawFileScanner(files, conf)
+  private val scanner = new RawFileScanner(files, conf, keyFilter)
   private var row: InternalRow = _
   private var resolved: Iterator[InternalRow] = _
 
@@ -527,7 +540,8 @@ final class IceLitePartitionReader(
   private def resolveBucket(): Iterator[InternalRow] = {
     val payloadOrds = (0 until lsnOrd).filter(_ != keyOrd).toArray
     BucketResolve.winnersIter(files, conf, mode, internal,
-      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, _ => true, maxResolveKeys)
+      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, _ => true, maxResolveKeys,
+      keyFilter)
       .flatMap { case (k, w) =>
         if (w.deleted) None
         else {
@@ -590,6 +604,18 @@ private[sources] object IceLiteFilters {
     case _: AlwaysFalse => Some(lit(false))
     case _ => None
   }
+
+  /** Parquet predicate `physKey IN (values)` for row-group / dictionary /
+    * bloom skipping inside the readers (None when no keys were pushed). */
+  def keyPredicate(values: Array[String], physKey: String)
+      : Option[org.apache.parquet.filter2.predicate.FilterPredicate] = {
+    import org.apache.parquet.filter2.predicate.{FilterApi, FilterPredicate}
+    import org.apache.parquet.io.api.Binary
+    if (values == null || values.isEmpty || physKey == null) None
+    else Some(values.map(v =>
+      FilterApi.eq(FilterApi.binaryColumn(physKey), Binary.fromString(v)): FilterPredicate)
+      .reduce(FilterApi.or))
+  }
 }
 
 /** Hadoop-conf capture/restore shared by the batch and change-feed readers. */
@@ -650,16 +676,24 @@ private[sources] object IceLiteSourceConf {
 }
 
 /** File-at-a-time record cursor over a partition's parquet files, through
-  * Spark's own `RecordMaterializer` (null-fills evolved columns). */
-private[sources] final class RawFileScanner(files: Array[String], conf: Configuration) {
+  * Spark's own `RecordMaterializer` (null-fills evolved columns). An
+  * optional parquet predicate skips row groups via column stats,
+  * dictionaries, and bloom filters (when written), and drops non-matching
+  * records — callers only pass predicates whose result set is exact for
+  * their resolution (key-subset filters). */
+private[sources] final class RawFileScanner(
+    files: Array[String], conf: Configuration,
+    filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None) {
   private var fileIdx = 0
   private var current: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
 
-  private def openFile(f: String) =
-    org.apache.parquet.hadoop.ParquetReader
+  private def openFile(f: String) = {
+    val b = org.apache.parquet.hadoop.ParquetReader
       .builder[InternalRow](new ParquetReadSupport(), new Path(f))
       .withConf(conf)
-      .build()
+    filter.fold(b)(p =>
+      b.withFilter(org.apache.parquet.filter2.compat.FilterCompat.get(p))).build()
+  }
 
   /** Next record, or null when the partition is exhausted. The returned row
     * buffer is REUSED by the materializer — copy anything you keep. */
@@ -1064,9 +1098,11 @@ private[sources] object BucketResolve {
               internal: StructType, keyOrd: Int, payloadOrds: Array[Int],
               lsnOrd: Int, delOrd: Int, resetOrd: Int,
               keep: String => Boolean,
-              maxInHeapKeys: Long = Long.MaxValue): java.util.LinkedHashMap[String, W] = {
+              maxInHeapKeys: Long = Long.MaxValue,
+              filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+      : java.util.LinkedHashMap[String, W] = {
     val m = new java.util.LinkedHashMap[String, W]()
-    val sc = new RawFileScanner(files, conf)
+    val sc = new RawFileScanner(files, conf, filter)
     try {
       if (mode == "patch") {
         val kernel = new PatchKernel(internal, payloadOrds, lsnOrd, delOrd, resetOrd)
@@ -1120,15 +1156,17 @@ private[sources] object BucketResolve {
                   internal: StructType, keyOrd: Int, payloadOrds: Array[Int],
                   lsnOrd: Int, delOrd: Int, resetOrd: Int,
                   keep: String => Boolean,
-                  maxInHeapKeys: Long): Iterator[(String, W)] =
+                  maxInHeapKeys: Long,
+                  filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+      : Iterator[(String, W)] =
     try {
       val m = winners(files, conf, mode, internal, keyOrd, payloadOrds,
-        lsnOrd, delOrd, resetOrd, keep, maxInHeapKeys)
+        lsnOrd, delOrd, resetOrd, keep, maxInHeapKeys, filter)
       m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
     } catch {
       case _: SpillToSort =>
         sortedWinners(files, conf, mode, internal, keyOrd, payloadOrds,
-          lsnOrd, delOrd, resetOrd, keep)
+          lsnOrd, delOrd, resetOrd, keep, filter)
     }
 
   /** External-sort streaming resolve: feed every row (plus a sequence
@@ -1145,7 +1183,9 @@ private[sources] object BucketResolve {
   private def sortedWinners(files: Array[String], conf: Configuration, mode: String,
                             internal: StructType, keyOrd: Int, payloadOrds: Array[Int],
                             lsnOrd: Int, delOrd: Int, resetOrd: Int,
-                            keep: String => Boolean): Iterator[(String, W)] = {
+                            keep: String => Boolean,
+                            filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+      : Iterator[(String, W)] = {
     import org.apache.spark.sql.execution.UnsafeExternalRowSorter
     import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
     val seqOrd = internal.length
@@ -1177,7 +1217,7 @@ private[sources] object BucketResolve {
     val toUnsafe = UnsafeProjection.create(sortSchema)
     val joined = new org.apache.spark.sql.catalyst.expressions.JoinedRow
     val seqRow = new GenericInternalRow(1)
-    val sc = new RawFileScanner(files, conf)
+    val sc = new RawFileScanner(files, conf, filter)
     try {
       var seq = 0L
       var r = sc.next()

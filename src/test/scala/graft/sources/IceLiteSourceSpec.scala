@@ -153,6 +153,36 @@ class IceLiteSourceSpec extends AnyFunSuite {
     assert(got.getInt(0) == 17 % 5 + 1) // winner from e2 has same derived n_tok
   }
 
+  test("pushed key values reach the parquet readers as a row-group predicate") {
+    val t = mkTable("mor")
+    t.merge(changes(300, 0), "e1")
+    t.merge(changes(300, 1000), "e2")
+    val s = t.snapshot
+    val b = new IceLiteScanBuilder(t.root, s, spark.sessionState.newHadoopConf())
+    b.pushFilters(Array(org.apache.spark.sql.sources.In("doc_id",
+      Array[Any]("doc17", "doc42"))))
+    val factory = b.build().asInstanceOf[IceLiteScan].toBatch
+      .createReaderFactory().asInstanceOf[IceLiteReaderFactory]
+    // the factory carries the pushed keys + the key's PHYSICAL name, and
+    // builds a parquet FilterPredicate from them — row-group stats,
+    // dictionary, and bloom skipping all hang off this predicate
+    assert(factory.pushedKeyValues != null &&
+      factory.pushedKeyValues.toSeq == Seq("doc17", "doc42"))
+    assert(factory.physKeyName == s.physicalName(s.keyColumn))
+    assert(IceLiteFilters.keyPredicate(factory.pushedKeyValues, factory.physKeyName)
+      .exists(_.toString.contains("doc17")))
+    // end-to-end: the record-level filter must keep ALL rows of the probed
+    // keys (the winner resolve is exact) and the result equals native lookup
+    val v2 = spark.read.format("icelite").load(t.root)
+      .filter($"doc_id".isin("doc17", "doc42", "absent"))
+    assert(sortedRows(v2) == sortedRows(t.lookup(Seq("doc17", "doc42", "absent"))))
+    // an unfiltered scan pushes no key predicate into the readers
+    val all = new IceLiteScanBuilder(t.root, s, spark.sessionState.newHadoopConf())
+    val f2 = all.build().asInstanceOf[IceLiteScan].toBatch
+      .createReaderFactory().asInstanceOf[IceLiteReaderFactory]
+    assert(f2.pushedKeyValues == null)
+  }
+
   test("zone-map range pushdown prunes files on a stats column") {
     val t = mkTable("cow", Map("write.stats.columns" -> "n_tok"))
     t.merge(changes(300, 0), "e1")
