@@ -138,7 +138,7 @@ object Bench {
     "q_stream_join", "q_multi_table", "q_zone_scan",
     "q_dlq_route", "q_dlq_parse", "q_widen_evolve", "q_drop_evolve", "q_sql_scan",
     "q_zorder_scan", "q_wap_publish", "q_sql_dml", "q_dsv2_scan", "q_dsv2_changes",
-    "q_dsv2_write")
+    "q_dsv2_write", "q_dsv2_point", "q_catalog_sql")
 
   /** One N-vs-4N scaling pair: the two legs' throughput, the raw efficiency,
     * and each leg's measured task-CPU-seconds per event (executorCpuTime
@@ -806,6 +806,47 @@ object Bench {
     sections += "queries" -> results.map { case (k, v, _) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     sections += "failed_queries" -> results.collect { case (k, _, false) => "\"" + k + "\"" }.mkString("[", ",", "]")
     flush()
+
+    // Standard-API write overhead, MEASURED not assumed: the same generated
+    // change batch upserted (a) through the native table.merge and (b)
+    // through `df.write.format("icelite")` (the V1-fallback V2 write). Both
+    // create a fresh table and commit one epoch; the delta is the
+    // connector's shape-detection + plumbing cost, expected near zero
+    // because the V1 write delegates to the identical merge kernel.
+    try {
+      val abEvents = sys.env.getOrElse("SPARK_GRAFT_DSV2_AB_EVENTS", "2000000").toLong
+      val abBase = Some(java.nio.file.Paths.get("/dev/shm"))
+        .filter(java.nio.file.Files.isDirectory(_))
+        .getOrElse(java.nio.file.Paths.get(System.getProperty("java.io.tmpdir")))
+      val abCfg = GenConfig(numDocs = math.max(1000L, abEvents / 10),
+        numEvents = abEvents, seed = 42, skew = 2.0, withMetadata = false,
+        numPartitions = cpus)
+      val abChanges = ChangeGen.events(spark, abCfg)
+      def abRun(api: String): Double = {
+        val root = java.nio.file.Files.createTempDirectory(abBase, "graft-bench-ab").toString
+        val t = IceLite.create(spark, root, ChangeGen.payloadSchema, "doc_id",
+          numBuckets = math.max(64, cpus), properties = Map("write.mode" -> "cow"))
+        val t1 = System.nanoTime()
+        if (api == "native") t.merge(abChanges, "ab/0"): Unit
+        else abChanges.write.format("icelite").option("epoch", "ab/0")
+          .mode("append").save(root)
+        val eps = abEvents / ((System.nanoTime() - t1) / 1e9)
+        try org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        catch { case _: Throwable => () }
+        eps
+      }
+      abRun("native"): Unit; abRun("dsv2"): Unit // warm both paths
+      val abNative = abRun("native"); val abV2 = abRun("dsv2")
+      sections += "dsv2_write_ab" ->
+        (f"""{"events":$abEvents,"native_events_per_sec":$abNative%.1f,""" +
+          f""""dsv2_events_per_sec":$abV2%.1f,""" +
+          f""""overhead_pct":${100.0 * (abNative - abV2) / abNative}%.1f}""")
+      flush()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] dsv2 A/B failed: ${e.getMessage}")
+      sections += "dsv2_write_ab" -> "\"failed\""
+      flush()
+    }
     spark.stop()
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
