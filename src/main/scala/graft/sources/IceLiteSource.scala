@@ -973,7 +973,8 @@ private[sources] object IceLiteChangeFeed {
     val resetOrd = if (patch) fields.length + 2 else -1
     IceLiteChangeReaderFactory(mode, IceLiteSourceConf.captureKV(hadoopConf),
       internalPhys.json, CdcOut.changeSchema(snap, includeBefore).json,
-      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, includeBefore)
+      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, includeBefore,
+      IceLiteSourceConf.maxResolveKeysInMemory(SparkSession.active))
   }
 }
 
@@ -986,14 +987,14 @@ final case class IceLiteChangeReaderFactory(
     mode: String, confKV: Array[(String, String)],
     internalSchemaJson: String, outputSchemaJson: String,
     keyOrd: Int, payloadOrds: Array[Int], lsnOrd: Int, delOrd: Int, resetOrd: Int,
-    includeBefore: Boolean)
+    includeBefore: Boolean, maxResolveKeys: Long = Long.MaxValue)
   extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[IceLiteChangePartition]
     val internal = DataType.fromJson(internalSchemaJson).asInstanceOf[StructType]
     new IceLiteChangeReader(p, mode, confKV, internal,
-      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, includeBefore)
+      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, includeBefore, maxResolveKeys)
   }
 }
 
@@ -1159,15 +1160,27 @@ private[sources] object BucketResolve {
                   maxInHeapKeys: Long,
                   filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
       : Iterator[(String, W)] =
-    try {
-      val m = winners(files, conf, mode, internal, keyOrd, payloadOrds,
-        lsnOrd, delOrd, resetOrd, keep, maxInHeapKeys, filter)
-      m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
-    } catch {
-      case _: SpillToSort =>
+    winnersMapOrSpill(files, conf, mode, internal, keyOrd, payloadOrds,
+      lsnOrd, delOrd, resetOrd, keep, maxInHeapKeys, filter) match {
+      case Some(m) => m.entrySet().iterator().asScala.map(e => (e.getKey, e.getValue))
+      case None =>
         sortedWinners(files, conf, mode, internal, keyOrd, payloadOrds,
           lsnOrd, delOrd, resetOrd, keep, filter)
     }
+
+  /** The map fast path alone: Some(map) under the watermark, None when the
+    * live-key count would exceed it (callers switch to [[sortedWinners]] —
+    * the change reader needs to know BEFORE diffing, because a merge-diff
+    * requires both sides sorted). */
+  def winnersMapOrSpill(files: Array[String], conf: Configuration, mode: String,
+                        internal: StructType, keyOrd: Int, payloadOrds: Array[Int],
+                        lsnOrd: Int, delOrd: Int, resetOrd: Int,
+                        keep: String => Boolean, maxInHeapKeys: Long,
+                        filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+      : Option[java.util.LinkedHashMap[String, W]] =
+    try Some(winners(files, conf, mode, internal, keyOrd, payloadOrds,
+      lsnOrd, delOrd, resetOrd, keep, maxInHeapKeys, filter))
+    catch { case _: SpillToSort => None }
 
   /** External-sort streaming resolve: feed every row (plus a sequence
     * number) through Spark's [[UnsafeExternalRowSorter]] ordered by
@@ -1180,11 +1193,13 @@ private[sources] object BucketResolve {
     * cardinality resolves without heap growth. Must run inside a task
     * (the sorter acquires from the task memory manager) — true for every
     * DSv2 partition reader. */
-  private def sortedWinners(files: Array[String], conf: Configuration, mode: String,
-                            internal: StructType, keyOrd: Int, payloadOrds: Array[Int],
-                            lsnOrd: Int, delOrd: Int, resetOrd: Int,
-                            keep: String => Boolean,
-                            filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
+  /** Key-ASCENDING-sorted winner stream (the spill path). Public enough for
+    * the change reader's merge-diff, which relies on the sort order. */
+  def sortedWinners(files: Array[String], conf: Configuration, mode: String,
+                    internal: StructType, keyOrd: Int, payloadOrds: Array[Int],
+                    lsnOrd: Int, delOrd: Int, resetOrd: Int,
+                    keep: String => Boolean,
+                    filter: Option[org.apache.parquet.filter2.predicate.FilterPredicate] = None)
       : Iterator[(String, W)] = {
     import org.apache.spark.sql.execution.UnsafeExternalRowSorter
     import org.apache.spark.util.collection.unsafe.sort.PrefixComparators
@@ -1285,12 +1300,18 @@ private[sources] object BucketResolve {
 /** Per-bucket change reader: resolve the bucket's winners at both snapshot
   * versions locally (LWW max-lsn map, or the exact [[PatchFoldAgg]] fold on
   * patch tables), diff, emit change rows. No shuffle; memory is O(changed
-  * keys) on MOR/patch (added delta files name them), O(bucket) on COW. */
+  * keys) on MOR/patch (added delta files name them), O(bucket) on COW —
+  * BOUNDED: past `maxResolveKeys` in-heap entries on either side, both
+  * sides re-resolve as key-SORTED external-sort streams
+  * ([[BucketResolve.sortedWinners]]) and the diff becomes a streaming
+  * merge-join — O(1) heap, same change set, so an over-grown bucket
+  * degrades to sort instead of OOMing the executor (the same guarantee
+  * the batch reader has). */
 final class IceLiteChangeReader(
     p: IceLiteChangePartition, mode: String, confKV: Array[(String, String)],
     internal: StructType,
     keyOrd: Int, payloadOrds: Array[Int], lsnOrd: Int, delOrd: Int, resetOrd: Int,
-    includeBefore: Boolean)
+    includeBefore: Boolean, maxResolveKeys: Long = Long.MaxValue)
   extends PartitionReader[InternalRow] {
 
   import BucketResolve.W
@@ -1316,12 +1337,7 @@ final class IceLiteChangeReader(
     ks
   }
 
-  private def winners(files: Array[String], keep: String => Boolean)
-      : java.util.LinkedHashMap[String, W] =
-    BucketResolve.winners(files, conf, mode, internal,
-      keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, keep)
-
-  /** Diff the two winner maps into change rows ([[IceLiteTable
+  /** Diff the two winner sides into change rows ([[IceLiteTable
     * .changesBetween]] semantics: same-lsn carried rows drop, dead-on-both
     * keys emit nothing, deletes carry the tombstone's lsn — null when the
     * tombstone itself was compacted away by the range's end). */
@@ -1329,8 +1345,6 @@ final class IceLiteChangeReader(
     val keep: String => Boolean =
       if (mode == "cow") _ => true
       else { val ks = changedKeys(); ks.contains(_) }
-    val before = winners(p.fromFiles, keep)
-    val after = winners(p.toFiles, keep)
     val nOut = 3 + payloadOrds.length + (if (includeBefore) payloadOrds.length else 0)
 
     def emit(key: String, op: String, lsn: Any, a: W, b: W): InternalRow = {
@@ -1354,12 +1368,9 @@ final class IceLiteChangeReader(
       new GenericInternalRow(vals)
     }
 
-    val keys = new java.util.LinkedHashSet[String]()
-    keys.addAll(after.keySet()): Unit
-    keys.addAll(before.keySet()): Unit
-    keys.iterator().asScala.flatMap { k =>
-      val b = before.get(k)
-      val a = after.get(k)
+    /** The four-way classification shared by both diff shapes. `a`/`b` null
+      * = the key has no winner on that side at all. */
+    def classify(k: String, a: W, b: W): Option[InternalRow] = {
       val liveB = b != null && !b.deleted
       val liveA = a != null && !a.deleted
       if (!liveB && liveA) Some(emit(k, "insert", a.lsn, a, null))
@@ -1367,6 +1378,58 @@ final class IceLiteChangeReader(
       else if (liveB && !liveA)
         Some(emit(k, "delete", if (a != null) a.lsn else null, null, b))
       else None
+    }
+
+    def mapSide(files: Array[String]) =
+      BucketResolve.winnersMapOrSpill(files, conf, mode, internal,
+        keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, keep, maxResolveKeys)
+
+    val beforeOpt = mapSide(p.fromFiles)
+    val afterOpt = if (beforeOpt.isDefined) mapSide(p.toFiles) else None
+    (beforeOpt, afterOpt) match {
+      case (Some(before), Some(after)) =>
+        val keys = new java.util.LinkedHashSet[String]()
+        keys.addAll(after.keySet()): Unit
+        keys.addAll(before.keySet()): Unit
+        keys.iterator().asScala.flatMap(k => classify(k, after.get(k), before.get(k)))
+
+      case _ =>
+        // Watermark tripped: streaming merge-diff of two key-sorted winner
+        // streams. Both sides come from the SAME external sorter ordering
+        // (UTF8String binary order), so one cursor per side suffices —
+        // O(1) heap regardless of bucket cardinality.
+        def sortedSide(files: Array[String]) =
+          BucketResolve.sortedWinners(files, conf, mode, internal,
+            keyOrd, payloadOrds, lsnOrd, delOrd, resetOrd, keep)
+        val bs = sortedSide(p.fromFiles)
+        val as = sortedSide(p.toFiles)
+        def utf8Cmp(x: String, y: String): Int =
+          UTF8String.fromString(x).compareTo(UTF8String.fromString(y))
+        new Iterator[(String, W, W)] {
+          private var bCur: (String, W) = if (bs.hasNext) bs.next() else null
+          private var aCur: (String, W) = if (as.hasNext) as.next() else null
+          override def hasNext: Boolean = bCur != null || aCur != null
+          override def next(): (String, W, W) = {
+            val cmp =
+              if (aCur == null) -1
+              else if (bCur == null) 1
+              else utf8Cmp(bCur._1, aCur._1)
+            if (cmp < 0) { // key only on the before side
+              val o = (bCur._1, null: W, bCur._2)
+              bCur = if (bs.hasNext) bs.next() else null
+              o
+            } else if (cmp > 0) { // key only on the after side
+              val o = (aCur._1, aCur._2, null: W)
+              aCur = if (as.hasNext) as.next() else null
+              o
+            } else {
+              val o = (aCur._1, aCur._2, bCur._2)
+              bCur = if (bs.hasNext) bs.next() else null
+              aCur = if (as.hasNext) as.next() else null
+              o
+            }
+          }
+        }.flatMap { case (k, a, b) => classify(k, a, b) }
     }
   }
 

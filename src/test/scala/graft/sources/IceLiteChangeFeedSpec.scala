@@ -49,6 +49,29 @@ class IceLiteChangeFeedSpec extends AnyFunSuite {
     r.load(root)
   }
 
+  test("change diff spills to a sorted merge-diff past the in-heap watermark") {
+    // Cap the in-heap side maps far below the bucket cardinality: every
+    // partition must take the sorted merge-diff path, and the change set
+    // must be identical to the unbounded map diff on every mode and with
+    // pre-images. Insert + update + delete + carried all present.
+    for (mode <- Seq("cow", "mor")) {
+      val t = mkTable(mode)
+      t.merge(changes(200, 0), "e1")
+      val v1 = t.snapshot.version
+      t.merge(changes(80, 1000), "e2") // docs 0..79 updated; 80..199 carried
+      t.merge(deletes(Seq("doc150", "doc199"), 5000), "e3")
+      val unbounded = sortedRows(cdf(t.root,
+        Map("startingVersion" -> v1.toString, "includeBefore" -> "true")))
+      spark.conf.set("graft.icelite.maxResolveKeysInMemory", "4")
+      try {
+        val spilled = sortedRows(cdf(t.root,
+          Map("startingVersion" -> v1.toString, "includeBefore" -> "true")))
+        assert(spilled == unbounded, s"[$mode] spilled diff diverged")
+        assert(spilled.nonEmpty && spilled.exists(_.contains("delete")))
+      } finally spark.conf.unset("graft.icelite.maxResolveKeysInMemory")
+    }
+  }
+
   test("batch CDF from v0 is the current state as inserts") {
     val t = mkTable("mor")
     t.merge(changes(100, 0), "e1")
