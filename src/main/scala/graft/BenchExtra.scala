@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/**
+ * Optimization-round measurement harness (guide §1): the SAME query timing
+ * methodology as [[Bench]] (one warm pass, then timed `collect()` on the
+ * same session/confs), extended with
+ *  - SPARK_GRAFT_ONLY=a,b,c       — time only the named queries;
+ *  - SPARK_GRAFT_REPEATS=N        — N timed passes per query (min + all
+ *                                   samples reported; default 3);
+ *  - SPARK_GRAFT_EXPLAIN_DIR=dir  — dump `explain("formatted")` per query;
+ *  - SPARK_GRAFT_NOOP=true        — time a noop-sink write instead of
+ *                                   collect() (guide §1.4: isolates the
+ *                                   computation from driver result transfer).
+ * Bench.scala itself is frozen for measurement; every number cited from this
+ * harness in OPTIMIZATION_r06.md says so explicitly.
+ */
+object BenchExtra {
+  def main(args: Array[String]): Unit = {
+    java.util.Locale.setDefault(java.util.Locale.ROOT)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val repeats = sys.env.getOrElse("SPARK_GRAFT_REPEATS", "3").toInt
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val explainDir = sys.env.get("SPARK_GRAFT_EXPLAIN_DIR")
+    val noop = sys.env.get("SPARK_GRAFT_NOOP").contains("true")
+    val spark = Bench.mkSession(cpus)
+    spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+
+    val names = Bench.headlineQueries.filter(n => only.forall(_.contains(n)))
+    // Suite-level warmup (SPARK_GRAFT_SUITE_WARM=true): one pass over every
+    // selected query before any timing, so JIT/codegen state at timing time
+    // matches the frozen Bench (whose headline replay deep-warms the merge
+    // path before the query loop).
+    if (sys.env.get("SPARK_GRAFT_SUITE_WARM").forall(_ == "true"))
+      names.foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).collect(): Unit
+        catch { case _: Throwable => () }
+      }
+    def runOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      val df = fn(spark, sfDir)
+      if (noop) df.write.format("noop").mode("overwrite").save()
+      else df.collect(): Unit
+      (System.nanoTime() - t0) / 1e9
+    }
+    val results = names.map { name =>
+      val fn = SparkEntry.queries(name)
+      spark.sparkContext.setJobDescription(s"bench-extra: $name")
+      try { fn(spark, sfDir).collect(): Unit } catch { case _: Throwable => () } // warm
+      explainDir.foreach { d =>
+        try {
+          java.nio.file.Files.createDirectories(java.nio.file.Paths.get(d))
+          val txt = fn(spark, sfDir).queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+          java.nio.file.Files.writeString(java.nio.file.Paths.get(d, s"$name.txt"), txt)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench-extra] explain $name failed: ${e.getMessage}")
+        }
+      }
+      val samples =
+        try (1 to repeats).map(_ => runOnce(fn))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench-extra] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
+          Seq(-1.0)
+        }
+      System.err.println(f"[bench-extra] $name%-22s min=${samples.min}%.3f  ${samples.map(x => f"$x%.3f").mkString(" ")}")
+      name -> samples
+    }
+    val json = results.map { case (n, ss) =>
+      "\"" + n + "\":" + f"${ss.min}%.3f"
+    }.mkString("{", ",", "}")
+    val total = results.map(_._2.min).filter(_ >= 0).sum
+    println(f"""{"queries_min":$json,"total_min_sec":$total%.2f,"repeats":$repeats,"noop":$noop,"sf":"$sfDir"}""")
+    spark.stop()
+  }
+}
