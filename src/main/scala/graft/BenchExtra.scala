@@ -28,6 +28,46 @@ object BenchExtra {
     val noop = sys.env.get("SPARK_GRAFT_NOOP").contains("true")
     val spark = Bench.mkSession(cpus)
     spark.conf.set("spark.sql.shuffle.partitions", cpus.toString)
+    // Experiment knob: SPARK_GRAFT_EXTRA_CONFS="k=v;k=v" applied to the
+    // session before anything runs (A/B a conf without touching Bench).
+    sys.env.get("SPARK_GRAFT_EXTRA_CONFS").foreach(_.split(";").foreach { kv =>
+      val Array(k, v) = kv.split("=", 2)
+      spark.conf.set(k.trim, v.trim)
+    })
+    // Job/task tallies per timed pass: collect() wall minus job wall ≈
+    // driver-side planning + codegen + commit work; job wall minus task sum
+    // ≈ scheduling/stage gaps.
+    val tally = new org.apache.spark.scheduler.SparkListener {
+      val jobNs = new java.util.concurrent.atomic.LongAdder
+      val taskNs = new java.util.concurrent.atomic.LongAdder
+      val jobs = new java.util.concurrent.atomic.LongAdder
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        starts.put(e.jobId, System.nanoTime()): Unit
+      override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
+        Option(starts.remove(e.jobId)).foreach(t0 => jobNs.add(System.nanoTime() - t0))
+        jobs.increment()
+      }
+      override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+        if (e.taskInfo != null) taskNs.add(e.taskInfo.duration * 1000000L)
+    }
+    spark.sparkContext.addSparkListener(tally)
+    // Catalyst phase tally (analysis/optimization/planning ns) across every
+    // query execution, via the public QueryExecutionListener surface.
+    val phaseNs = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.LongAdder]()
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      private def add(qe: org.apache.spark.sql.execution.QueryExecution): Unit =
+        qe.tracker.phases.foreach { case (ph, t) =>
+          phaseNs.computeIfAbsent(ph, _ => new java.util.concurrent.atomic.LongAdder)
+            .add((t.endTimeMs - t.startTimeMs) * 1000000L)
+        }
+      override def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit = add(qe)
+      override def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = add(qe)
+    })
+    def phaseSnapshot(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      phaseNs.asScala.map { case (k, v) => k -> v.sum }.toMap
+    }
 
     val names = Bench.headlineQueries.filter(n => only.forall(_.contains(n)))
     // Suite-level warmup (SPARK_GRAFT_SUITE_WARM=true): one pass over every
@@ -60,13 +100,26 @@ object BenchExtra {
           System.err.println(s"[bench-extra] explain $name failed: ${e.getMessage}")
         }
       }
+      val statsPer = scala.collection.mutable.ArrayBuffer.empty[String]
       val samples =
-        try (1 to repeats).map(_ => runOnce(fn))
+        try (1 to repeats).map { _ =>
+          org.apache.spark.graftbridge.Listeners.drain(spark.sparkContext)
+          val (j0, t0n, n0) = (tally.jobNs.sum, tally.taskNs.sum, tally.jobs.sum)
+          val c0 = org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount
+          val p0 = phaseSnapshot()
+          val w = runOnce(fn)
+          org.apache.spark.graftbridge.Listeners.drain(spark.sparkContext)
+          val pd = phaseSnapshot().map { case (k, v) => k -> (v - p0.getOrElse(k, 0L)) }
+            .filter(_._2 > 0).toSeq.sortBy(-_._2)
+            .map { case (k, v) => f"$k=${v / 1e9}%.2f" }.mkString(",")
+          statsPer += f"[jobs=${tally.jobs.sum - n0} jobWall=${(tally.jobNs.sum - j0) / 1e9}%.2f taskSum=${(tally.taskNs.sum - t0n) / 1e9}%.2f gen=${org.apache.spark.metrics.source.CodegenMetrics.METRIC_COMPILATION_TIME.getCount - c0} $pd]"
+          w
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench-extra] $name FAILED: ${e.getClass.getName}: ${e.getMessage}")
           Seq(-1.0)
         }
-      System.err.println(f"[bench-extra] $name%-22s min=${samples.min}%.3f  ${samples.map(x => f"$x%.3f").mkString(" ")}")
+      System.err.println(f"[bench-extra] $name%-22s min=${samples.min}%.3f  ${samples.map(x => f"$x%.3f").mkString(" ")}  ${statsPer.mkString(" ")}")
       name -> samples
     }
     val json = results.map { case (n, ss) =>

@@ -496,19 +496,28 @@ object MergeInto {
         col("__w.after").as("after"), col("__w.reset").as("reset"))
       else struct(col("__w.lsn").as("lsn"), col("__w.op").as("op"),
         col("__w.after").as("after"))
+    // Partition count for the bucket-clustered exchange: never more than the
+    // number of distinct bucket labels — a hash partition with no label is
+    // provably empty, and scheduling empty tasks is pure per-epoch constant
+    // (24 empty tasks/stage at 8 buckets x 32-partition sessions, measured
+    // on the driver's serial path). Tables with buckets >= the session's
+    // shuffle partitions (the 100 TB layout) keep the session's setting.
+    val sessParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val bucketParts = math.max(1, math.min(nBuckets, sessParts))
     val deduped =
       if (salt > 1) {
         base
           .withColumn("__salt", pmod(xxhash64(col("lsn")), lit(salt.toLong)))
-          .repartition(col(BUCKET), col("__salt"))
+          .repartition(math.max(1, math.min(nBuckets.toLong * salt, sessParts.toLong)).toInt,
+            col(BUCKET), col("__salt"))
           .groupBy(col(BUCKET), col(key), col("__salt"))
           .agg(foldAgg(rawStruct).as("__w"))
-          .repartition(col(BUCKET))
+          .repartition(bucketParts, col(BUCKET))
           .groupBy(col(BUCKET), col(key))
           .agg(foldAgg(refoldStruct).as("__w"))
       } else {
         base
-          .repartition(col(BUCKET))
+          .repartition(bucketParts, col(BUCKET))
           .groupBy(col(BUCKET), col(key))
           .agg(foldAgg(rawStruct).as("__w"))
       }
@@ -653,7 +662,12 @@ object MergeInto {
     // values is preserved either way.
     val sortCols: Seq[Column] = sortOverride.getOrElse(
       snap.sortColumns.map(snap.logicalName).filter(withBucket.columns.contains).map(col))
-    val clustered = (if (bucketClustered) withBucket else withBucket.repartition(col(BUCKET)))
+    // Same label-count cap as dedupeBatch: partitions beyond the bucket
+    // count are empty by construction.
+    val writeParts = math.max(1, math.min(snap.numBuckets,
+      spark.conf.get("spark.sql.shuffle.partitions").toInt))
+    val clustered = (if (bucketClustered) withBucket
+                     else withBucket.repartition(writeParts, col(BUCKET)))
       .sortWithinPartitions((col(BUCKET) +: sortCols) :+ col(key): _*)
     // Renamed table: files ALWAYS store the immutable physical names
     // (IceLiteTable.renameColumn is metadata-only; readers alias back).
@@ -687,17 +701,22 @@ object MergeInto {
   private def footerStats(spark: SparkSession, tableRoot: String, outDir: String,
                           key: String, statCols: Seq[String] = Nil): List[DataFileMeta] = {
     // Hadoop FileSystem walk (portable: local FS here, HDFS/S3A on cluster).
+    // fsFor gives the fork-free raw FS on file-scheme paths, and the walk is
+    // a plain listStatus recursion: `fs.listFiles` yields LocatedFileStatus,
+    // whose constructor loads permissions — on a non-native local FS that is
+    // one `ls -ld` SUBPROCESS per written file per epoch (profiled on the
+    // driver's serial path between epochs).
     val conf = spark.sparkContext.hadoopConfiguration
     val dirP = new org.apache.hadoop.fs.Path(outDir)
-    val fs = dirP.getFileSystem(conf)
+    val fs = graft.table.IceLite.fsFor(dirP, conf)
     val rootUri = fs.makeQualified(new org.apache.hadoop.fs.Path(tableRoot)).toUri
     val files = {
       val buf = List.newBuilder[org.apache.hadoop.fs.Path]
-      val it = fs.listFiles(dirP, true)
-      while (it.hasNext) {
-        val st = it.next()
-        if (st.isFile && st.getPath.getName.endsWith(".parquet")) buf += st.getPath
+      def walk(p: org.apache.hadoop.fs.Path): Unit = fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) buf += st.getPath
       }
+      walk(dirP)
       buf.result()
     }
     // footer reads are independent metadata fetches; do them concurrently
@@ -723,7 +742,15 @@ object MergeInto {
       val bucket = raw"$BUCKET=(\d+)".r.findFirstMatchIn(p.toString)
         .map(_.group(1).toInt)
         .getOrElse(throw new IllegalStateException(s"no bucket dir in path $p"))
-      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      // Footer metadata only: local paths open via parquet's LocalInputFile
+      // (no Hadoop FS, no .crc verification of the whole file); remote
+      // schemes keep the Hadoop path.
+      val scheme = p.toUri.getScheme
+      val inputFile: org.apache.parquet.io.InputFile =
+        if (scheme == null || scheme == "file")
+          new org.apache.parquet.io.LocalInputFile(java.nio.file.Paths.get(p.toUri.getPath))
+        else HadoopInputFile.fromPath(p, conf)
+      val reader = ParquetFileReader.open(inputFile)
       try {
         val blocks = reader.getFooter.getBlocks.asScala
         var rows = 0L

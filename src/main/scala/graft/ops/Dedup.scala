@@ -144,12 +144,20 @@ object Dedup {
     // candidates to every future batch doc that touches it, forever. Capped
     // buckets are dropped whole (their members are mutual near-dups of one
     // boilerplate cluster — exact dedup handles those at O(n)).
-    capBuckets(
-      shingleBands(df, idCol, textCol, numHashes, bands, shingleWidth, hashKernel),
-      maxBucket, dropObs)
-      .withColumn("seg", lit("base"))
-      .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType))
-      .write.mode("overwrite").partitionBy("seg", "p").parquet(path)
+    {
+      val rows = capBuckets(
+        shingleBands(df, idCol, textCol, numHashes, bands, shingleWidth, hashKernel),
+        maxBucket, dropObs)
+        .withColumn("seg", lit("base"))
+        .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType))
+      // Cluster by the partition column before the dynamic-partition write:
+      // an unclustered input makes EVERY task open a file in every p= dir it
+      // touches (up to tasks x nPartitions tiny files; a single-task input
+      // writes all nPartitions directories serially). One file per p keeps
+      // the index at O(nPartitions) files and the write parallel.
+      clusterForPartitionedWrite(rows, "p", nPartitions)
+        .write.mode("overwrite").partitionBy("seg", "p").parquet(path)
+    }
 
   /**
    * Dedup a new batch against a persisted MinHash index: returns
@@ -237,8 +245,9 @@ object Dedup {
       // can exceed the cap across MANY appends — rebuild the index
       // periodically (buildMinhashIndex over accepted docs) the way any
       // LSM-shaped structure compacts.
-      val survivors = batch.join(mat.select(col("id")).distinct(), Seq("id"), "left_anti")
-        .withColumn("seg", lit(segment.getOrElse("append")))
+      val survivors = clusterForPartitionedWrite(
+        batch.join(mat.select(col("id")).distinct(), Seq("id"), "left_anti")
+          .withColumn("seg", lit(segment.getOrElse("append"))), "p", nPartitions)
       segment match {
         case Some(_) =>
           // Idempotent: dynamic partition overwrite rewrites ONLY this
@@ -267,9 +276,11 @@ object Dedup {
     val cur = try spark.read.parquet(path).drop("seg", "p")
       catch { case _: org.apache.spark.sql.AnalysisException => return }
     val tmp = path.stripSuffix("/") + ".compacting"
-    capBuckets(cur, maxBucket, dropObs = None)
-      .withColumn("seg", lit("base"))
-      .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType))
+    clusterForPartitionedWrite(
+      capBuckets(cur, maxBucket, dropObs = None)
+        .withColumn("seg", lit("base"))
+        .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType)),
+      "p", nPartitions)
       .write.mode("overwrite").partitionBy("seg", "p").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
@@ -431,6 +442,15 @@ object Dedup {
       .join(broadcast(benchShingles), Seq("__h"))
       .select(idCol).distinct()
     corpus.join(contaminated, Seq(idCol), "left_anti")
+  }
+
+  /** Cluster rows by a partition column before a dynamic-partition write,
+    * capped at the session's shuffle width (labels beyond it just share
+    * tasks; partitions beyond the label count would be empty). */
+  private def clusterForPartitionedWrite(df: DataFrame, partCol: String,
+                                         nLabels: Int): DataFrame = {
+    val sess = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    df.repartition(math.max(1, math.min(nLabels, sess)), col(partCol))
   }
 
   /** Drop (band, bucket) groups larger than `maxBucket` from a banded

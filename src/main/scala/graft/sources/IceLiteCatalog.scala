@@ -52,7 +52,7 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
   private def hconf = spark.sessionState.newHadoopConf()
-  private def fs = new Path(warehouse).getFileSystem(hconf)
+  private def fs = graft.table.IceLite.fsFor(new Path(warehouse), hconf)
 
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name

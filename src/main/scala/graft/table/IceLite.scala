@@ -289,8 +289,30 @@ object IceLite {
     SparkSession.getActiveSession.map(_.sparkContext.hadoopConfiguration)
       .getOrElse(new Configuration())
 
-  private[graft] def fsFor(root: Path, conf: Configuration): FileSystem =
-    root.getFileSystem(conf)
+  /** Fork-free local filesystem for table metadata: Hadoop's default
+    * `file:` FileSystem is a ChecksumFileSystem over RawLocalFileSystem,
+    * and without the native hadoop library both FORK A SUBPROCESS per
+    * permission operation — `chmod` on every create/mkdirs and `ls -ld`
+    * behind every LocatedFileStatus. Profiled here at ~25% of the driver's
+    * inter-job wall at bench scale (per-epoch snapshot/manifest writes),
+    * and it grows with commit rate, so it is exactly the kind of per-epoch
+    * serial constant the scaling legs pay hardest. Table metadata needs
+    * neither permissions nor .crc shadow files: a no-op setPermission
+    * leaves files under the process umask, same as any JVM-written file.
+    * Non-file schemes (hdfs/s3a on a real cluster) keep the normal path. */
+  private final class NoPermLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
+    override def setPermission(p: Path, permission: org.apache.hadoop.fs.permission.FsPermission): Unit = ()
+  }
+  private lazy val rawLocalFs: FileSystem = {
+    val fs = new NoPermLocalFs
+    fs.initialize(java.net.URI.create("file:///"), new Configuration())
+    fs
+  }
+
+  private[graft] def fsFor(root: Path, conf: Configuration): FileSystem = {
+    val scheme = root.toUri.getScheme
+    if (scheme == null || scheme == "file") rawLocalFs else root.getFileSystem(conf)
+  }
 
   def create(spark: SparkSession, root: String, schema: StructType, keyColumn: String,
              numBuckets: Int = 16, properties: Map[String, String] = Map.empty): IceLiteTable = {
@@ -1537,15 +1559,19 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
     var removed = 0
     val rootPath = fs.makeQualified(rootP).toUri.getPath
     val cutoff = System.currentTimeMillis() - graceMs
-    val it = fs.listFiles(dataDir, true)
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
-      if (!referenced.contains(rel) && rel.endsWith(".parquet") &&
-          st.getModificationTime <= cutoff) {
-        fs.delete(st.getPath, false); removed += 1
+    // plain listStatus walk: fs.listFiles' LocatedFileStatus loads
+    // permissions, which forks a subprocess per file on a non-native local FS
+    def walk(p: Path): Unit = fs.listStatus(p).foreach { st =>
+      if (st.isDirectory) walk(st.getPath)
+      else {
+        val rel = st.getPath.toUri.getPath.stripPrefix(rootPath).stripPrefix("/")
+        if (!referenced.contains(rel) && rel.endsWith(".parquet") &&
+            st.getModificationTime <= cutoff) {
+          fs.delete(st.getPath, false); removed += 1
+        }
       }
     }
+    walk(dataDir)
     removed + gcManifests(cutoff)
   }
 
