@@ -37,15 +37,24 @@ object BenchExtra {
     // Job/task tallies per timed pass: collect() wall minus job wall ≈
     // driver-side planning + codegen + commit work; job wall minus task sum
     // ≈ scheduling/stage gaps.
+    val jobDetail = sys.env.get("SPARK_GRAFT_JOB_DETAIL").contains("true")
     val tally = new org.apache.spark.scheduler.SparkListener {
       val jobNs = new java.util.concurrent.atomic.LongAdder
       val taskNs = new java.util.concurrent.atomic.LongAdder
       val jobs = new java.util.concurrent.atomic.LongAdder
-      val starts = new java.util.concurrent.ConcurrentHashMap[Int, Long]()
-      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
-        starts.put(e.jobId, System.nanoTime()): Unit
+      val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String, Int)]()
+      override def onJobStart(e: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        val desc = Option(e.properties).map(_.getProperty("spark.job.description", "")).getOrElse("")
+        val nTasks = e.stageInfos.map(_.numTasks).sum
+        starts.put(e.jobId, (System.nanoTime(), desc, nTasks)): Unit
+      }
       override def onJobEnd(e: org.apache.spark.scheduler.SparkListenerJobEnd): Unit = {
-        Option(starts.remove(e.jobId)).foreach(t0 => jobNs.add(System.nanoTime() - t0))
+        Option(starts.remove(e.jobId)).foreach { case (t0, desc, nTasks) =>
+          val d = System.nanoTime() - t0
+          jobNs.add(d)
+          if (jobDetail)
+            System.err.println(f"    [job ${e.jobId}%4d ${d / 1e9}%6.2fs tasks=$nTasks%4d] ${desc.take(90)}")
+        }
         jobs.increment()
       }
       override def onTaskEnd(e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
@@ -69,6 +78,21 @@ object BenchExtra {
       phaseNs.asScala.map { case (k, v) => k -> v.sum }.toMap
     }
 
+    // Headline mode: SPARK_GRAFT_HEADLINE_EVENTS=N runs the same
+    // cdcReplay the frozen Bench headlines (warm + N attempts per mode),
+    // prints events/sec, and exits — for iterating on the merge path
+    // without the full Bench phases.
+    sys.env.get("SPARK_GRAFT_HEADLINE_EVENTS").foreach { evS =>
+      val ev = evS.toLong
+      val att = sys.env.getOrElse("SPARK_GRAFT_HEADLINE_ATTEMPTS", "3").toInt
+      Bench.cdcReplay(spark, math.max(ev / 10, 100000L), cpus): Unit // warm
+      Seq("cow", "mor").foreach { m =>
+        val runs = (1 to att).map(_ => Bench.cdcReplay(spark, ev, cpus, mode = m)._1)
+        System.err.println(f"[bench-extra] headline $m best=${runs.max}%.0f ev/s  ${runs.map(r => f"$r%.0f").mkString(" ")}")
+      }
+      spark.stop()
+      return
+    }
     val names = Bench.headlineQueries.filter(n => only.forall(_.contains(n)))
     // Suite-level warmup (SPARK_GRAFT_SUITE_WARM=true): one pass over every
     // selected query before any timing, so JIT/codegen state at timing time

@@ -205,8 +205,25 @@ object Dedup {
     // duplicates", not a crash.
     val idxSchema = org.apache.spark.sql.types.StructType(
       batch.schema.fields :+ org.apache.spark.sql.types.StructField("seg", StringType))
-    val idx0 = spark.read.schema(idxSchema).parquet(path)
-      .filter(col("p").isin(probedPs.map(Integer.valueOf).toSeq: _*))
+    // Enumerate the probed seg=/p= directories DRIVER-side instead of
+    // pointing the reader at the whole root: a root read lists every
+    // partition directory (above 32 paths Spark launches a distributed
+    // listing job per probe), while the probe only ever touches
+    // O(segments x probed buckets) of them. One listStatus per segment dir,
+    // names intersected with the probed set — no per-path existence probes.
+    val rootP = new org.apache.hadoop.fs.Path(path)
+    val fs = graft.table.IceLite.fsFor(rootP, spark.sparkContext.hadoopConfiguration)
+    val probedSet = probedPs.map(p => s"p=$p").toSet
+    val probedDirs: Seq[String] =
+      if (!fs.exists(rootP)) Nil
+      else fs.listStatus(rootP).toSeq.filter(s => s.isDirectory && s.getPath.getName.startsWith("seg="))
+        .flatMap(seg => fs.listStatus(seg.getPath).toSeq
+          .filter(p => p.isDirectory && probedSet.contains(p.getPath.getName))
+          .map(_.getPath.toString))
+    val idx0 =
+      if (probedDirs.isEmpty)
+        spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
+      else spark.read.schema(idxSchema).option("basePath", path).parquet(probedDirs: _*)
     // A redelivered batch must not dedup against its own first-attempt
     // segment — partition-pruned out, then rewritten below.
     val idx = segment.fold(idx0)(s => idx0.filter(col("seg") =!= s))
@@ -454,19 +471,27 @@ object Dedup {
   }
 
   /** Drop (band, bucket) groups larger than `maxBucket` from a banded
-    * (… , band, bucket) frame before its self-join. One extra aggregation on
-    * the (tiny) (band, bucket) key space; when `dropObs` is given, the count
-    * of dropped buckets rides the same job via observe(). */
+    * (… , band, bucket) frame before its self-join. A window count over ONE
+    * (band, bucket) exchange — the previous groupBy-sizes + join shape
+    * planned the banded subtree TWICE (the shingle/band hashing is the
+    * expensive part of every caller) plus a broadcast; the window's
+    * exchange is also exactly the partitioning the candidate self-join
+    * needs, so Spark's exchange reuse computes the banded side once for
+    * both join inputs. When `dropObs` is given, the dropped-bucket/row
+    * counts ride the same job via observe(). */
   private def capBuckets(banded: DataFrame, maxBucket: Int,
                          dropObs: Option[org.apache.spark.sql.Observation]): DataFrame = {
-    val sizes0 = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__bn"))
-    val sizes = dropObs match {
-      case Some(obs) => sizes0.observe(obs,
-        count(when(col("__bn") > maxBucket, 1)).as("dropped_buckets"),
-        sum(when(col("__bn") > maxBucket, col("__bn"))).as("dropped_rows"))
-      case None => sizes0
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("band", "bucket")
+    val withN = banded.withColumn("__bn", count(lit(1)).over(w))
+    val annotated = dropObs match {
+      case Some(obs) => withN
+        .withColumn("__rn", row_number().over(w.orderBy("id")))
+        .observe(obs,
+          count(when(col("__bn") > maxBucket && col("__rn") === 1, 1)).as("dropped_buckets"),
+          sum(when(col("__bn") > maxBucket, lit(1L))).as("dropped_rows"))
+        .drop("__rn")
+      case None => withN
     }
-    banded.join(sizes.filter(col("__bn") <= maxBucket), Seq("band", "bucket"))
-      .drop("__bn")
+    annotated.filter(col("__bn") <= maxBucket).drop("__bn")
   }
 }

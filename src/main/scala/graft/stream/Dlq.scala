@@ -101,10 +101,20 @@ object Dlq {
     val finalP = new Path(dlqRoot, s"epoch_$seg")
     if (fs.exists(new Path(finalP, Marker)))
       return 0L // re-delivered epoch: already routed, never doubled
-    val n = bad.count()
-    if (n == 0L) return 0L // nothing to publish, nothing to make idempotent
+    // The routed count rides the write job via observe() — the previous
+    // count-then-write scanned (and re-evaluated the violation checks on)
+    // the batch twice. A clean epoch now writes an empty staging dir and
+    // deletes it: same one pass, same "zero violations publish nothing"
+    // contract (no marker, no epoch dir).
+    val obs = org.apache.spark.sql.Observation()
     val staging = new Path(dlqRoot, s".stage_epoch_$seg")
-    bad.write.mode("overwrite").parquet(staging.toString)
+    bad.observe(obs, count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(staging.toString)
+    val n = obs.get("n").asInstanceOf[Long]
+    if (n == 0L) {
+      fs.delete(staging, true): Unit
+      return 0L
+    }
     val out = fs.create(new Path(staging, Marker), true)
     try out.write(Array.emptyByteArray) finally out.close()
     if (fs.exists(finalP)) fs.delete(finalP, true): Unit

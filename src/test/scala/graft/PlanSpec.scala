@@ -72,12 +72,27 @@ class PlanSpec extends AnyFunSuite {
     val idx = SparkTestBase.tempDir("plan-mh-index") + "/idx"
     Dedup.buildMinhashIndex(docs, "doc_id", "text", idx,
       numHashes = 32, bands = 8, nPartitions = 16)
-    val df = Dedup.dedupAgainstIndex(docs.filter(col("doc_id") < 3), idx,
+    val batch = docs.filter(col("doc_id") < 3)
+    val df = Dedup.dedupAgainstIndex(batch, idx,
       "doc_id", "text", numHashes = 32, bands = 8, nPartitions = 16, threshold = 0.4)
-    val p = plan(df)
-    // the index scan carries a partition filter on p — a batch probe reads
-    // O(|its own buckets|) directories, never the 100 TB corpus index
-    assert(raw"PartitionFilters: \[[^\]]*\bp#".r.findFirstIn(p).isDefined, p)
+    // The probe enumerates its p= directories driver-side and points the
+    // scan at exactly those paths (no whole-root listing, no listing job):
+    // every index file the plan reads must sit under a probed p= dir, and
+    // the probe must NOT plan the full index (16 partitions at 8 bands of
+    // 3 doc_ids would be a full-corpus read).
+    val idxFiles: Seq[String] = df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.location.inputFiles.toSeq
+          case _ => Seq.empty[String]
+        }
+    }.flatten.filter(_.contains("seg="))
+    assert(idxFiles.nonEmpty, "probe must read the index")
+    val probedDirs = idxFiles.map(_.replaceAll("/[^/]*$", "")).distinct
+    assert(probedDirs.forall(_.matches(".*seg=[^/]+/p=\\d+$")), probedDirs.mkString("\n"))
+    val allPs = probedDirs.map(_.replaceAll(".*p=", "").toInt).distinct
+    assert(allPs.size < 16, s"probe must prune partitions, read ${allPs.sorted}")
   }
 
   test("ANN top-k broadcasts the query side and never shuffles candidates") {
