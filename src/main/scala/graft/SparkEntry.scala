@@ -23,8 +23,17 @@ import org.apache.spark.sql.types._
  */
 object SparkEntry {
 
+  /** Input-table DataFrames memoized per (session, dir, table): every
+    * `read.parquet` call re-lists the path and re-reads the footer for
+    * schema inference (driver-side, ~10-20 ms each) — metadata work, not
+    * results; the returned frame recomputes from parquet on every action.
+    * Same convention as [[embDimMemo]]/[[lsnMaxMemo]]. Keyed by session
+    * identity too: cloned sessions (q_concurrent_merge) must not execute
+    * plans bound to another session. */
+  private val tableMemo = new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
   private def T(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    tableMemo.computeIfAbsent(s"${System.identityHashCode(s)}|$dir|$name",
+      _ => s.read.parquet(s"$dir/$name.parquet"))
 
   /** Embedding dimensionality per data dir, probed once (one tiny job) and
     * memoized — the per-query `.head()` probes were five extra jobs per

@@ -678,6 +678,9 @@ object MergeInto {
         col(s"`$c`").as(snap.physicalName(c))): _*)
     toPhysical
       .write
+      // Fork-free local FS for the whole write job (committer + tasks):
+      // see IceLite.localFsOptions — per-operation conf, not session-global.
+      .options(graft.table.IceLite.localFsOptions(table.root))
       .options(bloomOpts)
       .option("maxRecordsPerFile", maxRecordsPerFile(spark))
       // High-cardinality token arrays defeat dictionary encoding; the

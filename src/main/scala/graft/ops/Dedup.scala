@@ -156,7 +156,8 @@ object Dedup {
       // writes all nPartitions directories serially). One file per p keeps
       // the index at O(nPartitions) files and the write parallel.
       clusterForPartitionedWrite(rows, "p", nPartitions)
-        .write.mode("overwrite").partitionBy("seg", "p").parquet(path)
+        .write.options(graft.table.IceLite.localFsOptions(path))
+        .mode("overwrite").partitionBy("seg", "p").parquet(path)
     }
 
   /**
@@ -223,7 +224,8 @@ object Dedup {
     val idx0 =
       if (probedDirs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
-      else spark.read.schema(idxSchema).option("basePath", path).parquet(probedDirs: _*)
+      else spark.read.options(graft.table.IceLite.localFsOptions(path))
+        .schema(idxSchema).option("basePath", path).parquet(probedDirs: _*)
     // A redelivered batch must not dedup against its own first-attempt
     // segment — partition-pruned out, then rewritten below.
     val idx = segment.fold(idx0)(s => idx0.filter(col("seg") =!= s))
@@ -269,11 +271,13 @@ object Dedup {
         case Some(_) =>
           // Idempotent: dynamic partition overwrite rewrites ONLY this
           // batch's seg=<key> partitions — redelivery converges.
-          survivors.write.mode("overwrite")
+          survivors.write.options(graft.table.IceLite.localFsOptions(path))
+            .mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy("seg", "p").parquet(path)
         case None =>
-          survivors.write.mode("append").partitionBy("seg", "p").parquet(path)
+          survivors.write.options(graft.table.IceLite.localFsOptions(path))
+            .mode("append").partitionBy("seg", "p").parquet(path)
       }
       mat
     } else dupes
@@ -298,7 +302,8 @@ object Dedup {
         .withColumn("seg", lit("base"))
         .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType)),
       "p", nPartitions)
-      .write.mode("overwrite").partitionBy("seg", "p").parquet(tmp)
+      .write.options(graft.table.IceLite.localFsOptions(tmp))
+      .mode("overwrite").partitionBy("seg", "p").parquet(tmp)
     val conf = spark.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(path)
     val fs = dst.getFileSystem(conf)

@@ -124,7 +124,8 @@ object Similarity {
                     cId: String = "vec_id", cVec: String = "embedding"): Unit =
     candidates.select(col(cId).as("cid"), col(cVec).as("cv"),
         lshBucket(col(cVec), bits, dim).cast(IntegerType).as("bucket"))
-      .write.mode("overwrite").partitionBy("bucket").parquet(path)
+      .write.options(graft.table.IceLite.localFsOptions(path))
+      .mode("overwrite").partitionBy("bucket").parquet(path)
 
   /** Incremental append to a persisted LSH index: new vectors are signed
     * with the SAME deterministic hyperplanes and appended into their bucket
@@ -137,7 +138,8 @@ object Similarity {
                        cId: String = "vec_id", cVec: String = "embedding"): Unit =
     newCandidates.select(col(cId).as("cid"), col(cVec).as("cv"),
         lshBucket(col(cVec), bits, dim).cast(IntegerType).as("bucket"))
-      .write.mode("append").partitionBy("bucket").parquet(path)
+      .write.options(graft.table.IceLite.localFsOptions(path))
+      .mode("append").partitionBy("bucket").parquet(path)
 
   /** Top-k against a persisted LSH index. The query side is small by
     * contract, so its buckets are computed driver-side and pushed as a
@@ -149,7 +151,7 @@ object Similarity {
     val q = queries.select(col(qId).as("qid"), col(qVec).as("qv"),
       lshBucket(col(qVec), bits, dim).cast(IntegerType).as("bucket"))
     val probed = q.select("bucket").distinct().collect().map(_.getInt(0)).sorted
-    val idx = spark.read.parquet(indexPath)
+    val idx = spark.read.options(graft.table.IceLite.localFsOptions(indexPath)).parquet(indexPath)
       .filter(col("bucket").isin(probed.map(Integer.valueOf).toSeq: _*))
     val scored = idx.join(broadcast(q), Seq("bucket"))
       .filter(col("cid") =!= col("qid"))

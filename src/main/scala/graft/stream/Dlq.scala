@@ -109,7 +109,8 @@ object Dlq {
     val obs = org.apache.spark.sql.Observation()
     val staging = new Path(dlqRoot, s".stage_epoch_$seg")
     bad.observe(obs, count(lit(1)).as("n"))
-      .write.mode("overwrite").parquet(staging.toString)
+      .write.options(IceLite.localFsOptions(dlqRoot))
+      .mode("overwrite").parquet(staging.toString)
     val n = obs.get("n").asInstanceOf[Long]
     if (n == 0L) {
       fs.delete(staging, true): Unit
@@ -131,7 +132,7 @@ object Dlq {
            includeConsumed: Boolean = false): DataFrame = {
     val dirs = epochDirs(spark, dlqRoot, includeConsumed).map(_.toString)
     if (dirs.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(dirs: _*)
+    else spark.read.options(IceLite.localFsOptions(dlqRoot)).schema(schema).parquet(dirs: _*)
   }
 
   private def epochDirs(spark: SparkSession, dlqRoot: String,
@@ -170,7 +171,8 @@ object Dlq {
     val digest = java.security.MessageDigest.getInstance("MD5")
       .digest(dirs.map(_.getName).mkString("\n").getBytes("UTF-8"))
       .take(6).map(b => f"$b%02x").mkString
-    val records = spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+    val records = spark.read.options(IceLite.localFsOptions(dlqRoot))
+      .schema(schema).parquet(dirs.map(_.toString): _*)
     // Exact-duplicate rows collapse: a crash mid-marking can leave the same
     // logical record both in its original epoch and in a residual one — one
     // drain must not double it (identical (key, op, lsn, payload) IS the

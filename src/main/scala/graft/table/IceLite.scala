@@ -300,11 +300,8 @@ object IceLite {
     * neither permissions nor .crc shadow files: a no-op setPermission
     * leaves files under the process umask, same as any JVM-written file.
     * Non-file schemes (hdfs/s3a on a real cluster) keep the normal path. */
-  private final class NoPermLocalFs extends org.apache.hadoop.fs.RawLocalFileSystem {
-    override def setPermission(p: Path, permission: org.apache.hadoop.fs.permission.FsPermission): Unit = ()
-  }
   private lazy val rawLocalFs: FileSystem = {
-    val fs = new NoPermLocalFs
+    val fs = new NoPermLocalFileSystem
     fs.initialize(java.net.URI.create("file:///"), new Configuration())
     fs
   }
@@ -312,6 +309,23 @@ object IceLite {
   private[graft] def fsFor(root: Path, conf: Configuration): FileSystem = {
     val scheme = root.toUri.getScheme
     if (scheme == null || scheme == "file") rawLocalFs else root.getFileSystem(conf)
+  }
+
+  /** Per-operation Hadoop options for Spark parquet reads/writes of
+    * file-scheme table data: route the job's `file:` filesystem to
+    * [[NoPermLocalFileSystem]] (Spark merges DataFrame reader/writer
+    * options into the job's Hadoop conf via `newHadoopConfWithOptions`),
+    * so scan listings and the write committer stop forking a subprocess
+    * per file (see [[NoPermLocalFileSystem]]) — WITHOUT mutating the
+    * session-global Hadoop configuration. `disable.cache` keeps the
+    * override out of the process-wide FileSystem cache (instances are
+    * cheap: no IO in the constructor). Empty for non-file schemes. */
+  private[graft] def localFsOptions(path: String): Map[String, String] = {
+    val scheme = new Path(path).toUri.getScheme
+    if (scheme == null || scheme == "file")
+      Map("fs.file.impl" -> classOf[NoPermLocalFileSystem].getName,
+          "fs.file.impl.disable.cache" -> "true")
+    else Map.empty
   }
 
   def create(spark: SparkSession, root: String, schema: StructType, keyColumn: String,
@@ -646,7 +660,8 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
   private[graft] def readFiles(snap: Snapshot, files: Seq[DataFileMeta]): DataFrame = {
     if (files.isEmpty) spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], snap.schema)
     else if (snap.columnMapping.isEmpty)
-      spark.read.schema(snap.schema).parquet(files.map(f => s"$root/${f.path}"): _*)
+      spark.read.options(IceLite.localFsOptions(root))
+        .schema(snap.schema).parquet(files.map(f => s"$root/${f.path}"): _*)
     else {
       // Renamed table: scan under the immutable PHYSICAL names (all file
       // vintages agree on them), then alias to the current logical names.
@@ -654,7 +669,8 @@ final class IceLiteTable(val spark: SparkSession, val root: String) {
       // and column pruning still reach the parquet scan.
       import org.apache.spark.sql.functions.col
       val phys = snap.physicalSchemaOf(snap.schema)
-      spark.read.schema(phys).parquet(files.map(f => s"$root/${f.path}"): _*)
+      spark.read.options(IceLite.localFsOptions(root))
+        .schema(phys).parquet(files.map(f => s"$root/${f.path}"): _*)
         .select(snap.schema.fieldNames.toSeq.map(n =>
           col(s"`${snap.physicalName(n)}`").as(n)): _*)
     }
