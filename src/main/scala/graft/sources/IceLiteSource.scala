@@ -666,10 +666,16 @@ private[sources] object IceLiteSourceConf {
     (hadoopConf.iterator().asScala.map(e => (e.getKey, e.getValue)) ++ sqlKV).toArray
   }
 
-  /** Executor-side: rebuild the conf and request the internal read schema. */
+  /** Executor-side: rebuild the conf and request the internal read schema.
+    * File-scheme reads route through the fork-free local FS (the scanner's
+    * per-file opens otherwise go through the checksummed default — a .crc
+    * existence stat per open; see graft.table.NoPermLocalFileSystem). The
+    * rebuilt conf is private to the scanner, so the override never touches
+    * the session FS cache (disable.cache). */
   def restore(confKV: Array[(String, String)], internal: StructType): Configuration = {
     val c = new Configuration()
     confKV.foreach { case (k, v) => c.set(k, v) }
+    graft.table.IceLite.localFsOptions("/").foreach { case (k, v) => c.set(k, v) }
     c.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, internal.json)
     c
   }

@@ -61,7 +61,8 @@ object CdcOut {
     val finalP = new Path(outRoot, dirName)
     val staging = new Path(outRoot, s".stage_$dirName")
     table.changesBetween(last, cur, includeBefore)
-      .write.mode("overwrite").parquet(staging.toString)
+      .write.options(IceLite.localFsOptions(outRoot))
+      .mode("overwrite").parquet(staging.toString)
     val out = fs.create(new Path(staging, Marker), true)
     try out.write(Array.emptyByteArray) finally out.close()
     // a markerless final dir is residue of a crashed pre-staging layout or a
@@ -123,7 +124,7 @@ object CdcOut {
           fs.exists(new Path(st.getPath, Marker)) => st.getPath.toString
       }
     require(dirs.nonEmpty, s"no committed CDC exports under $outRoot")
-    table.spark.read.parquet(dirs: _*)
+    table.spark.read.options(IceLite.localFsOptions(outRoot)).parquet(dirs: _*)
       .withColumn("__export_to",
         regexp_extract(input_file_name(), "range_\\d+_(\\d+)/", 1).cast("long"))
   }
