@@ -193,10 +193,19 @@ object Dedup {
     // The batch side carries the same degenerate-bucket cap as the index
     // build: candidates per bucket are then <= maxBucket^2 even when the
     // "batch" is itself corpus-sized (backfill runs), never unbounded.
+    // The banded batch is read three times (probed-partition collect, the
+    // candidate join, and the survivor anti-join) and its dominant cost is
+    // the per-doc shingle hashing — cache it so the hashes compute ONCE per
+    // probe instead of once per consumer. Size is O(batch x bands), the
+    // stream-batch design point; MEMORY_AND_DISK spills backfill-sized
+    // batches. The appendSurvivors path unpersists after its last use; the
+    // probe-only return stays lazily dependent on the cache, which Spark's
+    // ContextCleaner drops once the returned frame is unreachable.
     val batch = capBuckets(
       shingleBands(newDocs, idCol, textCol, numHashes, bands, shingleWidth, hashKernel),
       maxBucket, dropObs = None)
       .withColumn("p", pmod(col("bucket"), lit(nPartitions.toLong)).cast(IntegerType))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // probe only the partitions the batch's own buckets hash into — for a
     // stream-sized batch that is a strict subset of the index directories
     val probedPs = batch.select("p").distinct().collect().map(_.getInt(0)).sorted
@@ -224,8 +233,24 @@ object Dedup {
     val idx0 =
       if (probedDirs.isEmpty)
         spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], idxSchema)
-      else spark.read.options(graft.table.IceLite.localFsOptions(path))
-        .schema(idxSchema).option("basePath", path).parquet(probedDirs: _*)
+      else {
+        // Above spark.sql.sources.parallelPartitionDiscovery.threshold
+        // (default 32) paths, building the read's file index launches a
+        // DISTRIBUTED listing job — one task per directory, a full job
+        // submission on every probe (measured 0.15-0.2 s per probe at 64
+        // partitions). The probed dirs were just enumerated driver-side;
+        // listing their files is O(probed dirs) metadata calls the driver's
+        // own listing pool does in milliseconds, so raise the threshold for
+        // the duration of the (eager) file-index build and restore it.
+        // Backfill-scale probes over >1024 dirs keep the distributed job.
+        val thresholdKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+        val prior = spark.conf.get(thresholdKey)
+        val bump = probedDirs.size <= 1024 && probedDirs.size > prior.toInt
+        if (bump) spark.conf.set(thresholdKey, (probedDirs.size + 1).toString)
+        try spark.read.options(graft.table.IceLite.localFsOptions(path))
+          .schema(idxSchema).option("basePath", path).parquet(probedDirs: _*)
+        finally if (bump) spark.conf.set(thresholdKey, prior)
+      }
     // A redelivered batch must not dedup against its own first-attempt
     // segment — partition-pruned out, then rewritten below.
     val idx = segment.fold(idx0)(s => idx0.filter(col("seg") =!= s))
@@ -279,6 +304,7 @@ object Dedup {
           survivors.write.options(graft.table.IceLite.localFsOptions(path))
             .mode("append").partitionBy("seg", "p").parquet(path)
       }
+      batch.unpersist(blocking = false): Unit // survivor write was the last read
       mat
     } else dupes
   }

@@ -374,28 +374,36 @@ object Similarity {
     * Returns the k x dim centroid matrix (driver-held; k*dim doubles). */
   def kmeansCentroids(candidates: DataFrame, k: Int, iters: Int,
                       cId: String = "vec_id", cVec: String = "embedding"): Seq[Seq[Double]] = {
+    // The seed pass + every Lloyd iteration scans the candidate set; an
+    // uncached frame re-reads (and re-decodes) the source each time — the
+    // standard k-means caching move (MLlib does the same). Lifecycle is
+    // fully internal: every use below is an eager collect(), so the cache
+    // is dropped before returning.
     val c = candidates.select(col(cId).cast(LongType).as("cid"),
       transform(col(cVec), x => x.cast(DoubleType)).as("cv"))
-    var cents: Seq[Seq[Double]] = c.orderBy("cid").limit(k).collect()
-      .map(r => r.getSeq[Double](1): Seq[Double]).toSeq
-    var it = 0
-    while (it < iters) {
-      // per-(cell, dim) mean: posexplode keeps the whole update inside one
-      // partial-aggregating hash agg; only k x dim x partitions rows shuffle
-      // 6-dp quantization as PURE double arithmetic (floor(x*1e6+0.5)/1e6):
-      // bit-identical in any IEEE engine given the same avg, unlike round()
-      // whose BigDecimal-vs-C++ implementations differ in the last ulp
-      val upd = withNearestCell(c, "cv", cents, "cell")
-        .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
-        .groupBy("cell", "pos")
-        .agg((floor(avg(col("x")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("m"))
-        .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
-      cents = cents.zipWithIndex.map { case (old, cell) =>
-        old.indices.map(d => upd.getOrElse((cell, d), old(d)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      var cents: Seq[Seq[Double]] = c.orderBy("cid").limit(k).collect()
+        .map(r => r.getSeq[Double](1): Seq[Double]).toSeq
+      var it = 0
+      while (it < iters) {
+        // per-(cell, dim) mean: posexplode keeps the whole update inside one
+        // partial-aggregating hash agg; only k x dim x partitions rows shuffle
+        // 6-dp quantization as PURE double arithmetic (floor(x*1e6+0.5)/1e6):
+        // bit-identical in any IEEE engine given the same avg, unlike round()
+        // whose BigDecimal-vs-C++ implementations differ in the last ulp
+        val upd = withNearestCell(c, "cv", cents, "cell")
+          .select(col("cell"), posexplode(col("cv")).as(Seq("pos", "x")))
+          .groupBy("cell", "pos")
+          .agg((floor(avg(col("x")) * lit(1e6) + lit(0.5)) / lit(1e6)).as("m"))
+          .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+        cents = cents.zipWithIndex.map { case (old, cell) =>
+          old.indices.map(d => upd.getOrElse((cell, d), old(d)))
+        }
+        it += 1
       }
-      it += 1
-    }
-    cents
+      cents
+    } finally c.unpersist(blocking = false): Unit
   }
 
   /** IVF-flat top-k over a TRAINED quantizer: like [[ivfTopK]] but cells
