@@ -320,7 +320,8 @@ object Dedup {
    */
   def compactMinhashIndex(spark: org.apache.spark.sql.SparkSession, path: String,
                           nPartitions: Int = 64, maxBucket: Int = 100000): Unit = {
-    val cur = try spark.read.parquet(path).drop("seg", "p")
+    val cur = try spark.read.options(graft.table.IceLite.localFsOptions(path))
+      .parquet(path).drop("seg", "p")
       catch { case _: org.apache.spark.sql.AnalysisException => return }
     val tmp = path.stripSuffix("/") + ".compacting"
     clusterForPartitionedWrite(

@@ -1307,12 +1307,13 @@ private[sources] object BucketResolve {
   * versions locally (LWW max-lsn map, or the exact [[PatchFoldAgg]] fold on
   * patch tables), diff, emit change rows. No shuffle; memory is O(changed
   * keys) on MOR/patch (added delta files name them), O(bucket) on COW —
-  * BOUNDED: past `maxResolveKeys` in-heap entries on either side, both
+  * BOUNDED: past `maxResolveKeys` in-heap entries the key-restriction set
+  * itself is abandoned (full-bucket diff, see [[changedKeys]]) and both
   * sides re-resolve as key-SORTED external-sort streams
-  * ([[BucketResolve.sortedWinners]]) and the diff becomes a streaming
-  * merge-join — O(1) heap, same change set, so an over-grown bucket
-  * degrades to sort instead of OOMing the executor (the same guarantee
-  * the batch reader has). */
+  * ([[BucketResolve.sortedWinners]]) so the diff becomes a streaming
+  * merge-join — O(1) heap at ANY changed-key or bucket cardinality, same
+  * change set, so an over-grown range degrades to sort instead of OOMing
+  * the executor (the same guarantee the batch reader has). */
 final class IceLiteChangeReader(
     p: IceLiteChangePartition, mode: String, confKV: Array[(String, String)],
     internal: StructType,
@@ -1331,14 +1332,28 @@ final class IceLiteChangeReader(
     * without writing a replacement — fully-tombstoned keys): their delete
     * events must still diff. Removed files are from-side files, which this
     * reader reads in full anyway, so the extra pass stays a cheap
-    * key-column scan. */
+    * key-column scan.
+    *
+    * Returns null once the set would exceed `maxResolveKeys` (the same
+    * watermark that bounds the winner maps): the restriction is purely a
+    * work-saving device for small incremental ranges, and past the
+    * watermark the set itself would be the unbounded in-heap structure.
+    * The caller then drops the restriction and diffs the WHOLE bucket —
+    * same change set (a key untouched by the range resolves to the same
+    * winner on both sides and classifies to no change), with heap still
+    * O(1): the unrestricted winner maps trip their own watermark and
+    * degrade to the key-sorted external-sort merge-diff. */
   private def changedKeys(): java.util.HashSet[String] = {
     val ks = new java.util.HashSet[String]()
     val keyConf = IceLiteSourceConf.restore(confKV, StructType(Array(internal(keyOrd))))
     val sc = new RawFileScanner(p.addedFiles ++ p.removedFiles, keyConf)
     try {
       var r = sc.next()
-      while (r != null) { ks.add(r.getUTF8String(0).toString): Unit; r = sc.next() }
+      while (r != null) {
+        ks.add(r.getUTF8String(0).toString): Unit
+        if (ks.size.toLong > maxResolveKeys) return null // full-bucket diff
+        r = sc.next()
+      }
     } finally sc.close()
     ks
   }
@@ -1350,7 +1365,10 @@ final class IceLiteChangeReader(
   private lazy val changes: Iterator[InternalRow] = {
     val keep: String => Boolean =
       if (mode == "cow") _ => true
-      else { val ks = changedKeys(); ks.contains(_) }
+      else changedKeys() match {
+        case null => _ => true // over-watermark range: unrestricted diff
+        case ks => ks.contains(_)
+      }
     val nOut = 3 + payloadOrds.length + (if (includeBefore) payloadOrds.length else 0)
 
     def emit(key: String, op: String, lsn: Any, a: W, b: W): InternalRow = {

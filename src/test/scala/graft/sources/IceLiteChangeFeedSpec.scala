@@ -72,6 +72,29 @@ class IceLiteChangeFeedSpec extends AnyFunSuite {
     }
   }
 
+  test("full-history diff past the changed-key watermark equals the unbounded diff") {
+    // The MOR key-restriction set is itself watermarked: a range naming more
+    // keys than maxResolveKeysInMemory abandons the restriction (full-bucket
+    // diff) and the winner resolve degrades to the key-sorted merge — the
+    // change set must be identical, including deletes whose files a
+    // compaction removed (removed-only keys).
+    val t = mkTable("mor")
+    t.merge(changes(150, 0), "e1")
+    val v1 = t.snapshot.version
+    t.merge(changes(120, 1000), "e2")
+    t.merge(deletes((0 until 30).map(i => s"doc$i"), 5000), "e3")
+    t.compactBuckets((0 until 8).toSet) // drops replaced delta files from the manifest
+    val unbounded = sortedRows(cdf(t.root,
+      Map("startingVersion" -> v1.toString, "includeBefore" -> "true")))
+    spark.conf.set("graft.icelite.maxResolveKeysInMemory", "4")
+    try {
+      val bounded = sortedRows(cdf(t.root,
+        Map("startingVersion" -> v1.toString, "includeBefore" -> "true")))
+      assert(bounded == unbounded, "watermarked full-history diff diverged")
+      assert(bounded.exists(_.contains("delete")) && bounded.exists(_.contains("update")))
+    } finally spark.conf.unset("graft.icelite.maxResolveKeysInMemory")
+  }
+
   test("batch CDF from v0 is the current state as inserts") {
     val t = mkTable("mor")
     t.merge(changes(100, 0), "e1")
