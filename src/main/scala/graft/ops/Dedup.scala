@@ -255,14 +255,22 @@ object Dedup {
     // segment — partition-pruned out, then rewritten below.
     val idx = segment.fold(idx0)(s => idx0.filter(col("seg") =!= s))
       .select(col("id").as("dup_of"), col("sh").as("sh_i"), col("band"), col("bucket"))
+    // Jaccard computes AT the collision site, before any exchange: a pair
+    // colliding in several bands pays the (cheap, map-side) set arithmetic
+    // once per band, but the pair-dedup exchange then carries only
+    // (id, dup_of, jaccard) scalars instead of both shingle-hash arrays —
+    // and the dedup becomes a map-side-combining HashAggregate instead of
+    // the SortAggregate an array-typed first() buffer forces (guide §2.3:
+    // shuffle metadata, not payloads). jaccard is a pure function of the
+    // pair, so first() over identical values is exact.
     val cand = batch.join(idx, Seq("band", "bucket"))
       .filter(col("id") =!= col("dup_of")) // a doc is never its own dup
-      .select(col("id"), col("dup_of"), col("sh"), col("sh_i"))
-      .dropDuplicates("id", "dup_of")
       .withColumn("jaccard", round(
         size(array_intersect(col("sh"), col("sh_i"))).cast(DoubleType) /
           size(array_union(col("sh"), col("sh_i"))).cast(DoubleType), 4))
       .filter(col("jaccard") >= threshold)
+      .groupBy(col("id"), col("dup_of"))
+      .agg(first(col("jaccard")).as("jaccard"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("jaccard").desc, col("dup_of").asc)
     val dupes = cand
