@@ -284,7 +284,11 @@ object Dedup {
       // [[components]]): on a real cluster an executor lost between this
       // materialize and the survivor append would otherwise recompute the
       // probe against the mutated index; local blocks are the cheap default
-      // for local mode and rerun-tolerant jobs.
+      // for local mode and rerun-tolerant jobs. KNOWN SIDE EFFECT: Spark
+      // keeps ONE checkpoint dir per SparkContext, so passing a dir here
+      // repoints the shared context's checkpoint location for the host
+      // application too (df.checkpoint offers no per-call dir). Callers
+      // that checkpoint elsewhere should pass that same dir — or None.
       val mat = checkpointDir match {
         case Some(dir) =>
           val sc = dupes.sparkSession.sparkContext

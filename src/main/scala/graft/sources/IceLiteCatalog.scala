@@ -94,12 +94,16 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
     val path = pathOf(ident)
     if (!IceLite.exists(path)) throw new NoSuchTableException(ident)
     val t = IceLite.load(spark, path)
+    // Tags resolve FIRST: tag names are user-chosen, version numbers are
+    // engine-chosen, so an all-digit tag (e.g. "123") must not silently
+    // read version 123 instead. Only a non-tag all-digit string is a
+    // version; "" is neither (forall on an empty string is true).
     val snap = version match {
       case None => t.snapshot
-      case Some(v) if v.forall(_.isDigit) => t.snapshotAt(v.toLong)
-      case Some(tag) => t.snapshotAt(t.tags.getOrElse(tag,
-        throw new IllegalArgumentException(
-          s"icelite: no version or tag '$tag' at $path (tags: ${t.tags.keys.mkString(", ")})")))
+      case Some(tag) if t.tags.contains(tag) => t.snapshotAt(t.tags(tag))
+      case Some(v) if v.nonEmpty && v.forall(_.isDigit) => t.snapshotAt(v.toLong)
+      case Some(tag) => throw new IllegalArgumentException(
+        s"icelite: no version or tag '$tag' at $path (tags: ${t.tags.keys.mkString(", ")})")
     }
     new IceLiteSparkTable(path, Some(snap), hconf)
   }
@@ -125,6 +129,14 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
       "icelite: CREATE TABLE requires TBLPROPERTIES ('key'='<merge identity column>')"))
     require(schema.fieldNames.contains(key),
       s"icelite: key column '$key' is not in the schema (${schema.fieldNames.mkString(", ")})")
+    // The engine contract is STRING merge keys (MergeInto header; readers
+    // use getUTF8String; the parquet key predicate pushes Binary/UTF8).
+    // Failing here turns an opaque merge/read-time ClassCastException into
+    // a clear CREATE-time error.
+    require(schema(key).dataType == org.apache.spark.sql.types.StringType,
+      s"icelite: key column '$key' must be STRING (merge identity keys are " +
+        s"strings; got ${schema(key).dataType.catalogString}) — cast the key " +
+        "or add a derived string column")
     val buckets = props.get("buckets").map(_.toInt).getOrElse(16)
     // Spark adds reserved bookkeeping props (provider, owner, ...): keep only
     // the engine's own write.* family plus anything user-namespaced.
@@ -220,7 +232,10 @@ class IceLiteCatalog extends TableCatalog with SupportsNamespaces {
 
   override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
     if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
-    if (!cascade && listTables(namespace).nonEmpty)
+    // Non-cascade must refuse CHILD NAMESPACES too, not just direct tables —
+    // the recursive delete below would otherwise silently take nested
+    // namespaces (and any tables inside them) with it.
+    if (!cascade && (listTables(namespace).nonEmpty || listNamespaces(namespace).nonEmpty))
       throw new IllegalStateException(
         s"icelite: namespace ${namespace.mkString(".")} is not empty (use CASCADE)")
     fs.delete(new Path(pathOf(namespace)), true)

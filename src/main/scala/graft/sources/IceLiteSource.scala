@@ -792,10 +792,16 @@ private[sources] object IceLiteWrites {
         // ACCEPT_ANY_SCHEMA means the table resolves columns itself:
         // `INSERT INTO t VALUES ...` arrives with positional names
         // (col1..colN) — map them to the table schema BY POSITION (with a
-        // cast), the standard INSERT contract. Batches that carry the key
-        // column resolve by name (order-free, additive evolution allowed).
+        // cast), the standard INSERT contract. The fallback fires ONLY for
+        // Spark's positional aliases: a same-arity batch with real (but
+        // wrong/reordered) column names must keep failing fast on the
+        // missing key below, not silently write mis-mapped data through
+        // non-ANSI casts. Batches that carry the key column resolve by
+        // name (order-free, additive evolution allowed).
+        val positionalNames =
+          (1 to data.schema.length).map(i => s"col$i") == data.schema.fieldNames.toSeq
         val batch =
-          if (!data.schema.fieldNames.contains(key) &&
+          if (!data.schema.fieldNames.contains(key) && positionalNames &&
               data.schema.length == snap.schema.length) {
             val renamed = data.toDF(snap.schema.fieldNames.toIndexedSeq: _*)
             renamed.select(snap.schema.fields.toIndexedSeq.map(f =>

@@ -96,4 +96,64 @@ class IceLiteCatalogSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("key"), e.getMessage)
   }
+
+  test("CREATE TABLE rejects a non-STRING key column at analysis time") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_test.ns5")
+    val e = intercept[Exception] {
+      sql("CREATE TABLE graft_test.ns5.intkey (id INT, v STRING) TBLPROPERTIES ('key'='id')")
+    }
+    assert(e.getMessage.contains("must be STRING"), e.getMessage)
+    assert(!IceLite.exists(s"$warehouse/ns5/intkey"))
+  }
+
+  test("an all-digit tag resolves as a tag, not a version number") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_test.ns6")
+    sql("""CREATE TABLE graft_test.ns6.t (doc_id STRING, n_tok INT)
+          |TBLPROPERTIES ('key'='doc_id', 'buckets'='2')""".stripMargin)
+    sql("INSERT INTO graft_test.ns6.t VALUES ('a', 1)")
+    val t = IceLite.load(spark, s"$warehouse/ns6/t")
+    val tagged = t.snapshot.version
+    t.tagSnapshot("123") // a tag that LOOKS like a version number
+    sql("INSERT INTO graft_test.ns6.t VALUES ('b', 2)")
+    // the tag must win over numeric-version interpretation
+    val viaTag = sql("SELECT count(*) FROM graft_test.ns6.t VERSION AS OF '123'").head().getLong(0)
+    assert(viaTag == 1, s"tag '123' must read the tagged snapshot (v$tagged), got $viaTag rows")
+    // empty version string: targeted error, not NumberFormatException
+    val e = intercept[Exception] {
+      sql("SELECT * FROM graft_test.ns6.t VERSION AS OF ''").collect()
+    }
+    assert(e.getMessage.contains("no version or tag"), e.getMessage)
+  }
+
+  test("non-cascade DROP NAMESPACE refuses child namespaces") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_test.ns7")
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_test.ns7.child")
+    sql("""CREATE TABLE graft_test.ns7.child.t (doc_id STRING)
+          |TBLPROPERTIES ('key'='doc_id')""".stripMargin)
+    val e = intercept[Exception] { sql("DROP NAMESPACE graft_test.ns7") }
+    assert(e.getMessage.contains("not empty"), e.getMessage)
+    assert(IceLite.exists(s"$warehouse/ns7/child/t"), "child table must survive")
+    sql("DROP NAMESPACE graft_test.ns7 CASCADE")
+    assert(!IceLite.exists(s"$warehouse/ns7/child/t"))
+  }
+
+  test("a key-less batch with NON-positional names fails fast instead of mapping by position") {
+    import spark.implicits._
+    sql("CREATE NAMESPACE IF NOT EXISTS graft_test.ns8")
+    sql("""CREATE TABLE graft_test.ns8.t (doc_id STRING, n_tok INT)
+          |TBLPROPERTIES ('key'='doc_id', 'buckets'='2')""".stripMargin)
+    // same arity, real-but-wrong names: must NOT silently write by position
+    val e = intercept[Exception] {
+      Seq(("x", 1)).toDF("wrong_name", "other")
+        .write.format("icelite").option("epoch", "m1").mode("append")
+        .save(s"$warehouse/ns8/t")
+    }
+    assert(e.getMessage.contains("key column"), e.getMessage)
+    // positional aliases (col1..colN) still map by position
+    Seq(("y", 2)).toDF("col1", "col2")
+      .write.format("icelite").option("epoch", "m2").mode("append")
+      .save(s"$warehouse/ns8/t")
+    assert(sql("SELECT doc_id, n_tok FROM graft_test.ns8.t").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("y", 2)))
+  }
 }
